@@ -1,0 +1,1000 @@
+"""Declared relational surface (SURVEY.md §2.B) as oracle-checked queries.
+
+Each entry pairs a Spark DataFrame-API callable ``(spark, sf_dir) ->
+DataFrame`` with the equivalent ANSI SQL the DuckDB oracle runs on the same
+parquet tables. The reference delegates this whole surface through an
+opaque SQL string (/root/reference/dask_snowflake/core.py:143); here it is
+expressed Spark-first so Catalyst does pushdown / pruning / join selection.
+
+Determinism rules (the driver hash-compares values):
+- every computed column is aliased identically on both sides;
+- floating aggregates are wrapped in round(x, N) on both sides so the
+  oracle's different summation order cannot flip the hash;
+- ordering keys are always made unique (ties broken by a key column) so
+  limits and window functions are deterministic;
+- timestamps in outputs are truncated/cast identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .session import register_tables
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QueryDef(name, fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryDef]:
+    # Import extension modules for their registration side effects.
+    from . import ext_queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register the star schema tables for one query run."""
+    return register_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: multi-agg hash aggregation with partial (map-side) combine",
+    ("aggregation",),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q06_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6-style selective filter + scalar aggregate; predicates push to the parquet scan",
+    ("aggregation", "filter"),
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "q11_count_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "count-distinct (expand-based distinct agg) alongside plain aggs",
+    ("aggregation",),
+)
+def q11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q12_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "ROLLUP grouping sets (hierarchical subtotals)",
+    ("aggregation",),
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q13_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "CUBE grouping sets (all subtotal combinations)",
+    ("aggregation",),
+)
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q14_percentiles",
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4)                       AS median_price,
+           round(quantile_cont(l_extendedprice, 0.25), 4)          AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4)          AS p95_price,
+           round(min(l_extendedprice), 2)                          AS min_price,
+           round(max(l_extendedprice), 2)                          AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "exact percentile/median aggregation (sort-based within group)",
+    ("aggregation",),
+)
+def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q15_collect_agg",
+    """
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    "collect_set aggregation canonicalized by sort (list order is nondeterministic otherwise)",
+    ("aggregation",),
+)
+def q15_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderpriority LIKE '1-%'
+      AND o_orderdate IS NOT NULL
+      AND (o_custkey % 2 = 0 OR o_totalprice > 100000)
+    ORDER BY o_orderkey
+    """,
+    "compound predicates: IN / BETWEEN / LIKE / IS NULL / boolean logic, pushed to the scan",
+    ("filter",),
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 150000)
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_orderdate").isNotNull()
+            & ((F.col("o_custkey") % 2 == 0) | (F.col("o_totalprice") > 100000))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q03_projection_expr",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_uc,
+           p_size * 2 + 1                                   AS size_expr,
+           round(p_retailprice * 1.1, 2)                    AS marked_up,
+           CASE WHEN p_size > 25 THEN 'large'
+                WHEN p_size > 10 THEN 'medium'
+                ELSE 'small' END                            AS size_class
+    FROM part
+    ORDER BY p_partkey
+    """,
+    "projection with scalar expressions, CASE WHEN, arithmetic",
+    ("projection",),
+)
+def q03_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            (F.col("p_size") * 2 + 1).alias("size_expr"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+            F.when(F.col("p_size") > 25, "large")
+            .when(F.col("p_size") > 10, "medium")
+            .otherwise("small")
+            .alias("size_class"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_star_join_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "5-way star join; small dims broadcast, fact joins shuffle on keys; TPC-H Q5 shape",
+    ("join", "aggregation"),
+)
+def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    # region/nation are constant-size (5/25 rows at every SF): always
+    # broadcast. customer is SF-proportional: let Catalyst/AQE decide.
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q05_semi_join",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    ORDER BY o_orderkey
+    """,
+    "left-semi join (EXISTS): no row multiplication, build side deduped",
+    ("join",),
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big = t["lineitem"].filter(F.col("l_quantity") > 45)
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q07_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    "left-anti join (NOT EXISTS): customers with no orders",
+    ("join",),
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q08_outer_join",
+    """
+    SELECT c_custkey,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    "left outer join preserving unmatched rows + null-tolerant aggregation",
+    ("join", "aggregation"),
+)
+def q08_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q09_full_outer",
+    """
+    SELECT k, has_customer, has_supplier
+    FROM (
+        SELECT coalesce(c.k, s.k) AS k,
+               c.k IS NOT NULL     AS has_customer,
+               s.k IS NOT NULL     AS has_supplier
+        FROM      (SELECT DISTINCT c_nationkey % 40 AS k FROM customer) c
+        FULL JOIN (SELECT DISTINCT s_suppkey  % 40 AS k FROM supplier) s
+               ON c.k = s.k
+    )
+    ORDER BY k
+    """,
+    "full outer join with unmatched sides on both ends",
+    ("join",),
+)
+def q09_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    c = t["customer"].select((F.col("c_nationkey") % 40).alias("k")).distinct().alias("c")
+    s = t["supplier"].select((F.col("s_suppkey") % 40).alias("k")).distinct().alias("s")
+    return (
+        c.join(s, F.col("c.k") == F.col("s.k"), "full")
+        .select(
+            F.coalesce(F.col("c.k"), F.col("s.k")).alias("k"),
+            F.col("c.k").isNotNull().alias("has_customer"),
+            F.col("s.k").isNotNull().alias("has_supplier"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "q10_range_join",
+    """
+    SELECT o_orderkey, buckets.name AS price_bucket
+    FROM orders
+    JOIN (
+        VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('high', 150000.0, 1e18)
+    ) AS buckets(name, lo, hi)
+      ON o_totalprice >= buckets.lo AND o_totalprice < buckets.hi
+    ORDER BY o_orderkey
+    """,
+    "theta (non-equi range) join against a broadcast bucket table",
+    ("join",),
+)
+def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
+        "name string, lo double, hi double",
+    )
+    # Non-equi joins can't hash-partition; broadcasting the tiny bucket
+    # table makes this a broadcast-nested-loop — the only scalable shape.
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(buckets),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .select("o_orderkey", F.col("name").alias("price_bucket"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_window_rank",
+    """
+    SELECT * FROM (
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               rank()       OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS rnk,
+               dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS drnk
+        FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+    "ranking windows + top-k per group (row_number filter)",
+    ("window",),
+)
+def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    # rank/dense_rank over the rounded value so float-equality ties agree
+    # with the oracle bit-for-bit.
+    wr = W.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2).desc())
+    return (
+        t["customer"]
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wr).alias("rnk"),
+            F.dense_rank().over(wr).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@query(
+    "q17_window_analytic",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "analytic windows: lag/lead/first_value with deterministic tie-broken ordering",
+    ("window",),
+)
+def q17_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+                "days_since_prev"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "q18_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS running_n
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "running-frame aggregates (cumulative sum/count)",
+    ("window",),
+)
+def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.count(F.lit(1)).over(w).alias("running_n"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_topk",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    "global top-k: Spark runs TakeOrderedAndProject (per-partition heap, no full sort)",
+    ("sort",),
+)
+def q19_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "q20_set_ops",
+    """
+    WITH c AS (SELECT c_nationkey AS k FROM customer),
+         s AS (SELECT s_nationkey AS k FROM supplier)
+    SELECT 'union_all' AS op, count(*) AS n FROM (SELECT k FROM c UNION ALL SELECT k FROM s)
+    UNION ALL
+    SELECT 'union_distinct', count(*) FROM (SELECT k FROM c UNION SELECT k FROM s)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT DISTINCT k FROM c INTERSECT SELECT DISTINCT k FROM s)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT DISTINCT k FROM c EXCEPT SELECT DISTINCT k FROM s)
+    ORDER BY op
+    """,
+    "set operations: union all / union distinct / intersect / except",
+    ("setops",),
+)
+def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("k"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("k"))
+    rows = [
+        ("union_all", c.unionAll(s).count()),
+        ("union_distinct", c.union(s).distinct().count()),
+        ("intersect", c.distinct().intersect(s.distinct()).count()),
+        ("except", c.distinct().exceptAll(s.distinct()).count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long").orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_string_funcs",
+    """
+    SELECT p_partkey,
+           concat(p_brand, ':', p_type)                        AS brand_type,
+           substr(p_name, 1, 8)                                AS name_prefix,
+           length(p_name)                                      AS name_len,
+           trim(upper(p_brand))                                AS brand_uc,
+           lower(p_type)                                       AS type_lc,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')         AS devoweled,
+           regexp_extract(p_type, '^([A-Z]+)', 1)              AS type_head,
+           array_to_string(str_split(p_name, ' '), '|')        AS name_words,
+           levenshtein(p_brand, 'Brand#11')                    AS brand_dist
+    FROM part
+    ORDER BY p_partkey
+    """,
+    "string function family: concat/substr/length/trim/case/regexp/split/levenshtein",
+    ("functions",),
+)
+def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.trim(F.upper("p_brand")).alias("brand_uc"),
+            F.lower("p_type").alias("type_lc"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+            F.array_join(F.split("p_name", " "), "|").alias("name_words"),
+            F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_dist"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q22_datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE)  AS order_month,
+           EXTRACT(year  FROM o_orderdate)::BIGINT         AS yr,
+           EXTRACT(month FROM o_orderdate)::BIGINT         AS mo,
+           EXTRACT(day   FROM o_orderdate)::BIGINT         AS dy,
+           EXTRACT(quarter FROM o_orderdate)::BIGINT       AS qtr,
+           datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)    AS plus3mo,
+           strftime(o_orderdate, '%Y-%m-%d')               AS iso_day
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "date/time function family: trunc/extract/diff/add_months/format",
+    ("functions",),
+)
+def q22_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+                "days_to_end"
+            ),
+            F.add_months("o_orderdate", 3).alias("plus3mo"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q23_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 0)               AS price_rounded,
+           abs(l_discount - 0.05)                  AS disc_dev,
+           ceil(l_quantity)::BIGINT                AS qty_ceil,
+           floor(l_quantity)::BIGINT               AS qty_floor,
+           round(ln(l_extendedprice), 6)           AS log_price,
+           round(exp(l_discount), 6)               AS exp_disc,
+           round(pow(l_quantity, 2), 2)            AS qty_sq,
+           round(sqrt(l_extendedprice), 6)         AS sqrt_price,
+           CAST(l_quantity AS BIGINT) % 7          AS qty_mod
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "math function family: round/abs/ceil/floor/ln/exp/pow/sqrt/mod",
+    ("functions",),
+)
+def q23_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 0).alias("price_rounded"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+            F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+            (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q24_null_handling",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING')  AS status_norm,
+           CASE WHEN o_totalprice > 100000 THEN o_totalprice END IS NULL AS small_order,
+           round(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, 0.0), 2) AS big_or_zero
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "null handling: coalesce / nullif / CASE-produced nulls",
+    ("functions",),
+)
+def q24_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+                "status_norm"
+            ),
+            big.isNull().alias("small_order"),
+            F.round(F.coalesce(big, F.lit(0.0)), 2).alias("big_or_zero"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q25_json_access",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    ORDER BY event_id
+    """,
+    "semi-structured access: JSON path extraction from a VARIANT-ish string column",
+    ("functions", "json"),
+)
+def q25_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_id", k.alias("k_val"), "event_type")
+        .filter(F.col("k_val") > 50)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q26_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding)                                              AS dim,
+           round(list_aggregate(embedding, 'sum')::DOUBLE, 4)          AS vec_sum,
+           round(list_aggregate(embedding, 'max')::DOUBLE, 4)          AS vec_max,
+           round(embedding[1]::DOUBLE, 4)                              AS first_elem,
+           len(list_filter(embedding, x -> x > 0))                     AS n_positive
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    "array higher-order functions: size/aggregate/element/filter lambdas",
+    ("functions", "array"),
+)
+def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = F.col("embedding")
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.size(emb).alias("dim"),
+            # accumulate in float32 like DuckDB's list_aggregate, round after
+            F.round(
+                F.aggregate(emb, F.lit(0.0).cast("float"), lambda a, x: a + x).cast("double"), 4
+            ).alias("vec_sum"),
+            F.round(F.array_max(emb).cast("double"), 4).alias("vec_max"),
+            F.round(emb.getItem(0).cast("double"), 4).alias("first_elem"),
+            F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q27_explode_unnest",
+    """
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(str_split(lower(p_name), ' ')) AS word
+        FROM part
+    )
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+    "explode/unnest an array column then re-aggregate (word counts)",
+    ("functions", "array"),
+)
+def q27_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["part"]
+        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+@query(
+    "q28_pivot",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "pivot: linestatus columns out of rows (conditional aggregation)",
+    ("aggregation",),
+)
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    piv = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q29_distinct_projection",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "dropDuplicates on a projection",
+    ("projection",),
+)
+def q29_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q30_correlated_scalar",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    ORDER BY c_custkey
+    """,
+    "scalar subquery in predicate (uncorrelated aggregate subquery)",
+    ("filter", "subquery"),
+)
+def q30_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+        """
+    )

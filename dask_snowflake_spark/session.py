@@ -1,0 +1,137 @@
+"""SparkSession factory + catalog bootstrap.
+
+Engine defaults chosen for correctness-vs-oracle and 100 TB posture:
+
+- AQE on (runtime coalesce, skew-join splitting) — at cluster scale the
+  static shuffle-partition count is always wrong for some stage; AQE
+  re-plans per-stage from actual map output sizes.
+- Arrow on for every Python<->JVM hop (the reference is Arrow end-to-end:
+  /root/reference/dask_snowflake/core.py:127-130).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle (naive-UTC) and are cluster-invariant.
+- `spark.sql.shuffle.partitions` defaults to ~cores locally; on a real
+  cluster AQE's coalesce makes the initial number mostly a ceiling.
+
+The TESTDATA tables (TPC-H-ish star schema + events/documents/embeddings,
+see TESTDATA.md) are registered as temp views so the relational layer can
+be driven by SQL or DataFrame interchangeably.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region
+# has 5 rows, nation 25 — fixed size in TPC-H regardless of SF).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_session(app_name: str = "dask_snowflake_spark") -> SparkSession:
+    """Build (or reuse) the engine SparkSession with engine defaults."""
+    # Executor python workers must be able to import this package no
+    # matter the driver's cwd (batch descriptors/UDF closures reference
+    # it). PYTHONPATH is inherited by workers at JVM spawn.
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + pp if pp else "")
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # parquet timestamp[ns] fixtures: read without rebase surprises
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # parquet timestamp[ns] (events.ts): read as long, convert below —
+        # Spark has no native nanos timestamp (SPARK-40819)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one TESTDATA table. Plain parquet scan: Catalyst pushes
+    filters/column pruning into it for free.
+
+    timestamp[ns] columns (events.ts) arrive as nanosecond longs (see
+    nanosAsLong conf) and are truncated to microsecond timestamps with
+    integer division — bit-identical to DuckDB's ns->us truncation, and a
+    pure JVM-side projection on top of the scan.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for field_name in _nanos_timestamp_cols(path):
+        df = df.withColumn(
+            field_name, F.timestamp_micros(F.expr(f"`{field_name}` div 1000"))
+        )
+    return df
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every TESTDATA table at `sf_dir` as a temp view.
+
+    Returns the name -> DataFrame mapping. Views are lazy; nothing is
+    scanned until a query runs.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,237 @@
+"""Warehouse backend protocol + implementations.
+
+The reference talks to Snowflake through ``snowflake.connector``:
+``connect() -> cursor.execute(query, params) -> get_result_batches()``
+returning Arrow batch descriptors that workers download lazily
+(/root/reference/dask_snowflake/core.py:133-146), and bulk-writes with
+``write_pandas`` — a PUT-files-then-COPY-INTO bulk load (core.py:32).
+We abstract that surface into a small protocol so the engine runs
+against:
+
+- ``snowflake``: the real connector (import-gated; absent in this
+  container, used unchanged on a real deployment), or
+- ``duckdb``: a local warehouse stub with the same call shape, backed by
+  a DuckDB database file — used by the test suite so plumbing contracts
+  (connection counts, partner-ID kwarg, partition bounds) run
+  warehouse-free (SURVEY.md §5).
+
+Batch descriptors must be picklable: they travel driver -> executor
+inside Spark partitions; data is materialized only on executors
+(mirroring Snowflake's presigned-URL result batches).
+
+Connection logging: because Spark executors are separate processes, the
+reference's monkeypatch-count-connections test pattern
+(test_core.py:149-261) is reproduced with a file-based log — pass
+``_conn_log=<path>`` in ``connection_kwargs`` and every ``connect()``
+appends one JSON line (kwargs minus secrets) wherever it runs.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Protocol
+
+import pyarrow as pa
+
+
+class ResultBatch(Protocol):
+    rowcount: int
+
+    def to_arrow(self) -> pa.Table: ...
+
+
+def _log_connection(kwargs: dict[str, Any]) -> None:
+    path = kwargs.get("_conn_log")
+    if not path:
+        return
+    entry = {k: v for k, v in kwargs.items() if k not in ("password", "_conn_log")}
+    with open(path, "a") as f:
+        f.write(json.dumps(entry, default=str) + "\n")
+
+
+def read_connection_log(path: str) -> list[dict[str, Any]]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-backed local warehouse stub
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LocalArrowBatch:
+    """Picklable Arrow result-batch descriptor.
+
+    Carries serialized Arrow IPC bytes; ``to_arrow`` deserializes on the
+    executor. (A real warehouse batch carries a presigned URL, not bytes —
+    the indirection point is identical.)
+    """
+
+    rowcount: int
+    payload: bytes
+
+    def to_arrow(self) -> pa.Table:
+        with pa.ipc.open_stream(io.BytesIO(self.payload)) as reader:
+            return reader.read_all()
+
+
+class DuckDBBackend:
+    """Local warehouse with the Snowflake-connector call shape.
+
+    Writes mimic write_pandas's PUT+COPY: each partition stages a parquet
+    file next to the database (PUT), and ``finalize_write`` COPYs staged
+    files into the table in one transaction. This also sidesteps DuckDB's
+    single-writer file lock under Spark's multi-process executors.
+    """
+
+    name = "duckdb"
+
+    _DUCK_KWARGS = ("database", "read_only")
+
+    def connect(self, **kwargs: Any):
+        import duckdb
+
+        _log_connection(kwargs)
+        database = kwargs.get("database", ":memory:")
+        deadline = time.monotonic() + 60
+        while True:
+            try:
+                return duckdb.connect(database)
+            except duckdb.IOException:
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.05)
+
+    def execute_batches(
+        self, conn: Any, query: str, params: Any
+    ) -> tuple[pa.Schema | None, list[ResultBatch]]:
+        if params is not None:
+            cur = conn.execute(query, params)
+        else:
+            cur = conn.execute(query)
+        table = cur.fetch_arrow_table()
+        batches: list[ResultBatch] = []
+        # split into ~8k-row batches to exercise the bin-packing path the
+        # way Snowflake's small (<1 MiB) result batches do
+        for rb in table.to_batches(max_chunksize=8192):
+            if rb.num_rows == 0:
+                continue
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, rb.schema) as writer:
+                writer.write_batch(rb)
+            batches.append(LocalArrowBatch(rb.num_rows, sink.getvalue()))
+        return table.schema, batches
+
+    # -- write side ---------------------------------------------------------
+
+    def _stage_dir(self, database: str, table: str) -> str:
+        return f"{database}.stage.{table}"
+
+    def write_pandas(self, conn: Any, df: Any, name: str, **kwargs: Any) -> None:
+        # PUT step: stage the partition as parquet; COPY happens in
+        # finalize_write. `conn` is unused here by design — the lock-free
+        # stage write is what makes parallel partitions safe locally.
+        database = kwargs.pop("_database")
+        stage = self._stage_dir(database, name)
+        os.makedirs(stage, exist_ok=True)
+        df.to_parquet(os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet"), index=False)
+
+    def create_table_if_absent(self, conn: Any, name: str, schema_ddl: str) -> None:
+        conn.execute(f'CREATE TABLE IF NOT EXISTS "{name}" ({schema_ddl})')
+
+    def truncate(self, conn: Any, name: str) -> None:
+        conn.execute(f'DELETE FROM "{name}"')
+
+    def finalize_write(self, table: str, connection_kwargs: dict[str, Any]) -> None:
+        """COPY step: load all staged partition files, then clear the stage."""
+        database = connection_kwargs.get("database", ":memory:")
+        stage = self._stage_dir(database, table)
+        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        if not files:
+            return
+        conn = self.connect(**{**connection_kwargs, "_conn_log": None})
+        try:
+            conn.execute(
+                f'INSERT INTO "{table}" SELECT * FROM read_parquet(?)', [files]
+            )
+        finally:
+            conn.close()
+        for f in files:
+            os.remove(f)
+        os.rmdir(stage)
+
+    def close(self, conn: Any) -> None:
+        conn.close()
+
+
+class SnowflakeBackend:
+    """The real warehouse backend; requires ``snowflake-connector-python``.
+
+    Mirrors the reference exactly: capability checks before execute
+    (core.py:141-142), result batches from the cursor (core.py:144),
+    Arrow-batch type guard (core.py:280-285), rowcount>0 filter
+    (core.py:146), ``write_pandas`` bulk load with upper-cased unquoted
+    identifiers (core.py:31-40).
+    """
+
+    name = "snowflake"
+
+    def connect(self, **kwargs: Any):
+        import snowflake.connector
+
+        _log_connection(kwargs)
+        kwargs = {k: v for k, v in kwargs.items() if not k.startswith("_")}
+        return snowflake.connector.connect(**kwargs)
+
+    def execute_batches(
+        self, conn: Any, query: str, params: Any
+    ) -> tuple[pa.Schema | None, list[ResultBatch]]:
+        with conn.cursor() as cur:
+            cur.check_can_use_pandas()
+            cur.check_can_use_arrow_resultset()
+            cur.execute(query, params)
+            batches = cur.get_result_batches() or []
+        bad = {type(b).__name__ for b in batches if "Arrow" not in type(b).__name__}
+        if bad:
+            raise RuntimeError(
+                f"Received non-Arrow result batches ({bad}); ensure the "
+                "session uses the ARROW result format"
+            )
+        return None, [b for b in batches if b.rowcount > 0]
+
+    def write_pandas(self, conn: Any, df: Any, name: str, **kwargs: Any) -> None:
+        from snowflake.connector.pandas_tools import write_pandas
+
+        kwargs.pop("_database", None)
+        write_pandas(conn, df, name, quote_identifiers=False, **kwargs)
+
+    def create_table_if_absent(self, conn: Any, name: str, schema_ddl: str) -> None:
+        conn.cursor().execute(f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl})")
+
+    def truncate(self, conn: Any, name: str) -> None:
+        conn.cursor().execute(f"TRUNCATE TABLE IF EXISTS {name}")
+
+    def finalize_write(self, table: str, connection_kwargs: dict[str, Any]) -> None:
+        pass  # write_pandas already COPYed each partition
+
+    def close(self, conn: Any) -> None:
+        conn.close()
+
+
+_BACKENDS = {"duckdb": DuckDBBackend, "snowflake": SnowflakeBackend}
+
+
+def resolve_backend(name: str):
+    try:
+        return _BACKENDS[name]()
+    except KeyError:
+        raise ValueError(f"Unknown warehouse backend {name!r}; known: {sorted(_BACKENDS)}")
