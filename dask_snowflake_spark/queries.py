@@ -54,9 +54,17 @@ def registry() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
+_REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load + register the star schema tables for one query run."""
-    return register_tables(spark, sf_dir)
+    """Load + register the star schema tables, memoized per (session,
+    sf_dir) — registration reads 10 parquet footers; no reason to redo it
+    per query."""
+    key = (id(spark), sf_dir)
+    if key not in _REGISTERED:
+        _REGISTERED[key] = register_tables(spark, sf_dir)
+    return _REGISTERED[key]
 
 
 # ---------------------------------------------------------------------------
