@@ -1,5 +1,668 @@
-"""Extension-operator queries (SURVEY.md §2.C): dedup, similarity search,
-text analysis, as-of join, streaming. Registered into the same oracle-checked
-registry as the relational surface. Populated incrementally."""
+"""Extension-operator queries (SURVEY.md §2.C): dedup, similarity
+search, text analysis, as-of join, streaming windows, multimodal
+plumbing, connector roundtrip — each oracle-checked where SQL can
+express the semantics.
+
+Portability notes (verified empirically):
+- md5-derived 60-bit hashes are bit-identical Spark vs DuckDB, so the
+  MinHash/SimHash/fingerprint oracles replicate signatures exactly;
+- sequential double accumulation over arrays (Spark ``aggregate`` vs
+  DuckDB ``list_sum(list_transform(...))``) is bit-identical, so cosine
+  oracles compare after round(6);
+- struct-array sorts tie-break identically (field order), so argmax
+  logic matches.
+"""
 
 from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import asof as asof_ops
+from .operators import dedup as dedup_ops
+from .operators import multimodal as mm_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+from .queries import _t, query
+from .streaming import windows as stream_ops
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, any_value(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    ORDER BY keep_id
+    """,
+    "exact dedup: hash-groupBy on full text, deterministic min-id representative",
+    ("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("n_chars").alias("n_chars"),
+        )
+        .select("keep_id", "n_copies", "n_chars")
+        .orderBy("keep_id")
+    )
+
+
+_SHINGLE_SQL = """
+    words AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(greatest(len(w) - 2, 1)),
+                          i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS s
+            FROM words)
+    )
+"""
+
+_JACCARD_SQL = """
+    sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) c
+        FROM cand p
+        JOIN sh x ON x.doc = p.doc_a
+        JOIN sh y ON y.doc = p.doc_b AND y.shingle = x.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, round(i.c / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(16)) AS seed),
+    hashes AS (
+        SELECT doc, seed,
+               ('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (SELECT doc, seed, min(h) AS minhash FROM hashes GROUP BY doc, seed),
+    bands AS (
+        SELECT doc, seed // 2 AS band,
+               string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+        FROM sig GROUP BY doc, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    ),
+    {_JACCARD_SQL}
+    WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    "MinHash+LSH near-dup: 3-gram shingles -> 16 md5 minhashes -> 8 bands -> bucket join -> exact-Jaccard verify",
+    ("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return dedup_ops.minhash_near_dup(
+        t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    ),
+    {_JACCARD_SQL}
+    WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    "exact all-pairs n-gram Jaccard near-dup (the baseline MinHash is verified against)",
+    ("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return dedup_ops.ngram_jaccard_pairs(t["documents"], shingle_n=3, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id AS doc, w
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+        WHERE w <> ''
+    ),
+    hashes AS (
+        SELECT doc, ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h FROM words
+    ),
+    bits AS (SELECT unnest(range(48)) AS bit),
+    votes AS (
+        SELECT doc, bit, sum(((h >> bit) & 1) * 2 - 1) AS v
+        FROM hashes CROSS JOIN bits
+        GROUP BY doc, bit
+    )
+    SELECT doc AS doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc ORDER BY doc_id
+    """,
+    "SimHash 48-bit fingerprint per document (majority vote of word-hash bits)",
+    ("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return dedup_ops.simhash(t["documents"], bits=48).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+    normed AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(range(64),
+                    i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))) AS nm
+        FROM embeddings
+    )
+"""
+
+
+def _pair_sim_sql(a: str = "a", b: str = "b") -> str:
+    return (
+        f"round(list_sum(list_transform(range(64), i -> {a}.embedding[i+1]::DOUBLE * "
+        f"{b}.embedding[i+1]::DOUBLE)) / ({a}.nm * {b}.nm), 6)"
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+    WITH {_COSINE_SQL},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_pair_sim_sql('q', 'c')} AS sim
+        FROM normed q JOIN normed c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    "brute-force cosine top-k ANN baseline: broadcast queries x full corpus scan + window top-k",
+    ("similarity",),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return sim_ops.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "sim_topk_ivf",
+    f"""
+    WITH {_COSINE_SQL},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_pair_sim_sql('q', 'c')} AS sim
+        FROM normed q
+        JOIN normed c ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "IVF-style pruned top-k: candidates restricted to the query's coarse cell (label)",
+    ("similarity",),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
+    "sim_embedding_near_dup",
+    f"""
+    WITH {_COSINE_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_sim_sql()} AS sim
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE {_pair_sim_sql()} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    "embedding-cosine near-dup pairs (exact all-pairs baseline; SRP-LSH bucketing is the scale path)",
+    ("similarity", "dedup"),
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return sim_ops.embedding_near_dup_pairs(t["embeddings"], threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "token counting (whitespace + BPE-ish regex) and character-class stats",
+    ("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    text = F.col("text")
+    cc = text_ops.char_classes(text)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            text_ops.token_count(text).alias("n_tokens"),
+            text_ops.bpe_ish_token_count(text).alias("n_bpe_ish"),
+            cc["n_chars"].alias("n_chars"),
+            cc["n_alpha"].alias("n_alpha"),
+            cc["n_digit"].alias("n_digit"),
+            cc["n_punct"].alias("n_punct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH feat AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_words,
+               len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> list_contains(['the','a','of','and','in','to','is'], lower(x)))) AS n_stop,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+        FROM documents
+    ),
+    ratios AS (
+        SELECT doc_id, n_words,
+               round(n_distinct / greatest(n_words, 1)::DOUBLE, 6) AS distinct_ratio,
+               round(n_stop / greatest(n_words, 1)::DOUBLE, 6) AS stopword_ratio,
+               round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+               round(n_digit / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
+               round(n_nonspace / greatest(n_words, 1)::DOUBLE, 6) AS mean_word_len
+        FROM feat
+    )
+    SELECT *,
+           round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+               least(n_words / 100.0, 1.0) * 0.3
+               + distinct_ratio * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.2
+               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+           END, 6) AS quality_score
+    FROM ratios
+    ORDER BY doc_id
+    """,
+    "pretraining-corpus quality features + composite score (length, repetition, stopword, punct filters)",
+    ("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        text_ops.quality_features(t["documents"])
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_ratio",
+            "stopword_ratio",
+            "punct_ratio",
+            "digit_ratio",
+            "mean_word_len",
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, profile in sorted(text_ops.LANG_PROFILES.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in profile) + "]"
+        parts.append(
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            f" x -> x <> '' AND list_contains({arr}, x))) AS score_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH scores AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               list_sort([{", ".join(f"{{'neg_s': -score_{lang}, 'l': '{lang}'}}" for lang in sorted(text_ops.LANG_PROFILES))}])[1] AS best
+        FROM scores
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN best.neg_s < 0 THEN best.l ELSE 'unknown' END AS detected_lang
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    "heuristic language ID: per-language profile-hit scoring, deterministic argmax",
+    ("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        text_ops.lang_id(t["documents"])
+        .select("doc_id", F.col("lang").alias("labeled_lang"), "detected_lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents
+    )
+    SELECT doc_id,
+           md5(t) AS content_hash,
+           list_min(list_transform(range(greatest(length(t) - 7, 1)),
+                i -> ('0x' || substr(md5('0:' || substr(t, i::INTEGER + 1, 8)), 1, 15))::BIGINT)) AS winnow_fp
+    FROM norm
+    ORDER BY doc_id
+    """,
+    "document fingerprinting: normalized content hash + min-hash of character 8-grams",
+    ("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        text_ops.fingerprint(t["documents"])
+        .select("doc_id", "content_hash", "winnow_fp")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+    "as-of join: each click annotated with the user's most recent purchase at-or-before it (union-window implementation, one shuffle)",
+    ("join", "asof"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    joined = asof_ops.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts", right_cols=["event_id", "value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_asof").alias("purchase_id"),
+        F.col("ts_asof").alias("purchase_ts"),
+        F.round("value_asof", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    "Structured Streaming tumbling 6h windows + watermark, driven to completion over the bounded events source",
+    ("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_ops.run_tumbling_stream(spark, sf_dir).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding",
+    """
+    SELECT make_timestamp(((epoch_us(ts) - k.off * 21600000000) // 43200000000) * 43200000000
+                          + k.off * 21600000000) AS window_start,
+           event_type, count(*) AS n
+    FROM events CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) k(off)
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    "sliding windows (12h window, 6h slide): each event lands in 2 overlapping windows",
+    ("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "12 hours", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_sessions",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    "session windows (30-min gap) per user: session_window agg == gaps-and-islands sessionization",
+    ("streaming",),
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+    "streaming dedup (dropDuplicatesWithinWatermark) — key set matches batch distinct",
+    ("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.streaming_dedup(stream_ops._events_stream(spark, sf_dir))
+    stream_ops.run_stream_to_table(
+        stream.select("user_id", "event_type"), "stream_dedup_out", output_mode="append"
+    )
+    return spark.table("stream_dedup_out").dropDuplicates().orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_meta",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, n AS n_bytes,
+           (16 + n % 64)::INTEGER AS width,
+           (16 + (n // 64) % 64)::INTEGER AS height,
+           (1 + n % 8)::INTEGER AS n_frames,
+           n / 10.0 AS duration_ms,
+           'synthetic' AS codec
+    FROM b ORDER BY doc_id
+    """,
+    "multimodal metadata extraction: binary asset column -> Arrow-batched decode (stub kernel; real Spark plumbing)",
+    ("multimodal",),
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    assets = mm_ops.attach_binary_assets(t["documents"])
+    return mm_ops.decode_metadata(assets).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    fr AS (SELECT doc_id, n, unnest(range(0, 1 + n % 8, 2)) AS frame_idx FROM b)
+    SELECT doc_id, frame_idx::INTEGER AS frame_idx,
+           least(32, (n - frame_idx + 7) // 8)::BIGINT AS frame_len
+    FROM fr
+    ORDER BY doc_id, frame_idx
+    """,
+    "video-style frame sampling plumbing: 1->N mapInPandas over binary assets (stub frames)",
+    ("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    assets = mm_ops.attach_binary_assets(t["documents"])
+    frames = mm_ops.frame_sample(assets, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame_bytes").cast("long").alias("frame_len")
+    ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Connector roundtrip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "connector_roundtrip",
+    """
+    SELECT doc_id, lang, source FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+    """,
+    "read_snowflake through the duckdb warehouse stub: distributed batch fetch + bin-packed partitions",
+    ("connector",),
+)
+def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.snowflake import read_snowflake
+
+    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    db = os.path.join(tmp_dir, f"roundtrip-{uuid.uuid4().hex}.duckdb")
+    import duckdb
+
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE VIEW docs AS SELECT doc_id, lang, source FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    con.close()
+    df = read_snowflake(
+        "SELECT doc_id, lang, source FROM docs WHERE doc_id % 3 = 0",
+        spark=spark,
+        connection_kwargs={"database": db},
+        backend="duckdb",
+        npartitions=4,
+    )
+    # planning embedded the result batches into the partitions; the
+    # warehouse file is no longer needed
+    os.remove(db)
+    return df.orderBy("doc_id")

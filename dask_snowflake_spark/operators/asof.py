@@ -1,0 +1,79 @@
+"""As-of (nearest-key time) join.
+
+Spark has no native as-of join (SURVEY.md §2.B: "thin custom helper").
+This implements the scalable union-window technique:
+
+1. tag left/right rows and union them on (key, ts),
+2. one window sorted by (ts, side-tag) per key carries the latest right
+   row forward (``last(..., ignorenulls=True)``),
+3. keep the left rows, now annotated with their as-of match.
+
+Cost: ONE shuffle on the join key + a sort within partitions — the same
+shape as a sort-merge join, with none of the per-group pandas overhead
+of the ``merge_asof``-in-``applyInPandas`` alternative, and no range
+explosion. Semantics: backward as-of (right.ts <= left.ts), ties
+included, matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
+
+    ``right_cols`` limits which right columns are carried (default: all
+    non-key, non-ts). Right rows with duplicate (key, ts) must be
+    pre-deduplicated by the caller for deterministic output.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__left"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols, F.col(right_ts)).alias("s")).schema["s"].dataType
+        ).alias("__right"),
+    )
+    rhs = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("__left"),
+        F.struct(*right_cols, F.col(right_ts)).alias("__right"),
+    )
+
+    # right rows sort before left rows at equal ts (__is_left asc), so a
+    # tie (right.ts == left.ts) IS visible to the left row
+    w = (
+        W.partitionBy("__key")
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        lhs.unionByName(rhs)
+        .withColumn("__match", F.last("__right", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    out_cols = [F.col("__left")[c].alias(c) for c in left.columns]
+    out_cols += [F.col("__match")[c].alias(f"{c}{suffix}") for c in right_cols]
+    out_cols.append(F.col("__match")[right_ts].alias(f"{right_ts}{suffix}"))
+    return merged.select(*out_cols)

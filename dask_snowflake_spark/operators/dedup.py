@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five families (BASELINE.json north star; no reference code — the
+reference reaches data-prep capability only through its delegated SQL
+string, /root/reference/dask_snowflake/core.py:143):
+
+- exact:        hash-groupBy on the full text (``dropDuplicates``)
+- MinHash+LSH:  shingle -> k minhashes -> band -> bucket-join -> verify
+- n-gram Jaccard: exact all-pairs via shared-shingle equi-join
+- SimHash:      per-doc 48-bit similarity fingerprint
+- embedding near-dup: see operators/similarity.py
+
+Scale design (100 TB): everything is expressed as explode -> groupBy ->
+equi-join pipelines, so Spark shuffles on shingle/band keys and never
+materializes a cross product. The LSH band join touches only docs that
+collide in >=1 band (O(near-dup pairs)), unlike the exact Jaccard join
+whose shared-shingle blow-up is why MinHash is the scale path. All
+hashing is md5-based and engine-portable, so the DuckDB oracle can
+replicate signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def portable_hash(col: Column, seed: int | Column = 0) -> Column:
+    """Deterministic 60-bit hash identical across Spark and DuckDB:
+    first 15 hex chars of md5(seed || ':' || value) as int64."""
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(seed_col.cast("string"), F.lit(":"), col)), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None, key: str | None = None) -> DataFrame:
+    """Exact dedup. With ``key`` given, keeps the row with the smallest
+    key per duplicate group (deterministic — plain ``dropDuplicates``
+    keeps an arbitrary row, which can't be oracle-checked)."""
+    if key is None:
+        return df.dropDuplicates(cols)
+    group_cols = cols or [c for c in df.columns if c != key]
+    w_min = F.min(key).over(W.partitionBy(*group_cols))
+    return df.withColumn("__min_key", w_min).filter(F.col(key) == F.col("__min_key")).drop("__min_key")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    ``transform`` over a zipped index range keeps shingling inside
+    whole-stage codegen (no Python UDF)."""
+    words = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    # try_element_at: out-of-range -> NULL (short docs), which concat_ws
+    # skips — matching the DuckDB oracle's NULL-skipping concat_ws
+    shingle_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(words, i + j + 1) for j in range(n)])
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingle_arr).alias("shingle"))
+        .dropDuplicates(["doc", "shingle"])
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Long-format MinHash signatures: (doc, seed, minhash).
+
+    One shuffle (groupBy doc,seed). The seed fan-out happens map-side via
+    explode of a literal array — rows = |shingles| * k."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc", "shingle", seeds)
+        .select("doc", "seed", portable_hash(F.col("shingle"), F.col("seed")).alias("h"))
+        .groupBy("doc", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(sig: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Collapse signatures into band keys: (doc, band, band_sig).
+
+    band_sig concatenates the band's minhashes in seed order — docs
+    agreeing on a whole band become join candidates."""
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda s: s["minhash"].cast("string"))
+            ).alias("band_sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join on (band, band_sig): docs sharing any band. Shuffle key
+    is the band signature, so only colliding docs meet."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over shingle sets for the given candidate pairs."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    The scale path: cost ~ O(docs * shingles * k) map-side + shuffles on
+    (doc,seed), band_sig, and shingle for the verify step restricted to
+    candidates. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
+    return jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via shared-shingle
+    equi-join (no LSH). Quadratic in docs sharing a shingle — the
+    correctness baseline MinHash is verified against; prefer
+    ``minhash_near_dup`` beyond ~10^6 docs."""
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    return jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 48,
+) -> DataFrame:
+    """Per-document SimHash fingerprint over word unigrams.
+
+    bit_j(simhash) = majority vote of bit_j(h(word)) across the doc's
+    distinct words. 48 bits keeps every partial sum and the final
+    fingerprint inside int64. Pure explode/groupBy — one shuffle."""
+    words = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .dropDuplicates(["doc", "w"])
+        .withColumn("h", portable_hash(F.col("w")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        words.select("doc", "h", bit)
+        .withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
+        .groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc")
+        .agg(F.sum("bitval").alias("simhash"))
+        .select(F.col("doc").alias("doc_id"), "simhash")
+    )

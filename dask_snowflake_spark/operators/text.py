@@ -1,0 +1,134 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (whole-stage
+codegen, no Python in the hot path) so they run at scan speed over a
+100 TB corpus and are exactly reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash
+
+# Tiny per-language discriminator profiles (stopword heuristic). On real
+# corpora these would be character-n-gram frequency profiles; the
+# mechanism (per-language hit scoring + argmax) is the same.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "value", "order"),
+    "de": ("der", "die", "und", "nicht", "agg", "merge"),
+    "es": ("el", "la", "de", "que", "fast", "customer"),
+    "fr": ("le", "la", "et", "les", "hash", "sort"),
+    "zh": ("的", "是", "了", "在", "stream", "batch"),
+}
+
+# A small stopword list for quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND word/number/
+    punctuation boundaries (a cheap BPE proxy: ~tokens an LLM tokenizer
+    would produce, within a constant factor)."""
+    pieces = F.split(text, r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def char_classes(text: Column) -> dict[str, Column]:
+    stripped_alpha = F.regexp_replace(text, r"[A-Za-z]", "")
+    stripped_digit = F.regexp_replace(text, r"[0-9]", "")
+    stripped_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    stripped_space = F.regexp_replace(text, r"\s", "")
+    n = F.length(text)
+    return {
+        "n_chars": n,
+        "n_alpha": n - F.length(stripped_alpha),
+        "n_digit": n - F.length(stripped_digit),
+        "n_punct": n - F.length(stripped_punct),
+        "n_space": n - F.length(stripped_space),
+    }
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a deterministic composite score.
+
+    Features mirror common pretraining-corpus filters: length, mean word
+    length, punctuation/digit ratios, stopword ratio, distinct-word
+    ratio (repetition detector)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    cc = char_classes(text)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    nc = F.greatest(cc["n_chars"], F.lit(1)).cast("double")
+    feat = df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(n_distinct / nw, 6).alias("distinct_ratio"),
+        F.round(n_stop / nw, 6).alias("stopword_ratio"),
+        F.round(cc["n_punct"] / nc, 6).alias("punct_ratio"),
+        F.round(cc["n_digit"] / nc, 6).alias("digit_ratio"),
+        F.round((cc["n_chars"] - cc["n_space"]) / nw, 6).alias("mean_word_len"),
+    )
+    score = (
+        F.when(F.col("n_words") < 5, 0.0)
+        .otherwise(
+            F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.3
+            + F.col("distinct_ratio") * 0.3
+            + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+            + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.2
+        )
+    )
+    return feat.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit score, argmax
+    with lexicographic tie-break. Deterministic and oracle-replicable;
+    swap the profiles for character-n-gram frequencies on real data."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
+    out = df
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in profile])
+        out = out.withColumn(
+            f"score_{lang}", F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        )
+    scores = F.array(
+        *[
+            F.struct((-F.col(f"score_{lang}")).alias("neg_s"), F.lit(lang).alias("l"))
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    # argmax score, ties broken to the alphabetically-first language
+    best = F.array_sort(scores)[0]
+    winner = F.when(best["neg_s"] < 0, best["l"]).otherwise(F.lit("unknown"))
+    return out.withColumn("detected_lang", winner)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: exact content hash over normalized text +
+    a 60-bit rolling-window fingerprint (min hash of character 8-grams —
+    winnowing-style, robust to small edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(8)),
+    )
+    min_gram_hash = F.array_min(F.transform(grams, lambda g: portable_hash(g)))
+    return df.select(
+        "*",
+        F.md5(norm).alias("content_hash"),
+        min_gram_hash.alias("winnow_fp"),
+    )

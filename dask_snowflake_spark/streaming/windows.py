@@ -1,0 +1,115 @@
+"""Structured Streaming surface over the ``events`` table: tumbling /
+sliding / session windows, watermarked late-data handling, streaming
+dedup.
+
+Each operator has a *streaming* runner (readStream -> windowed agg ->
+memory sink, driven to completion with ``processAllAvailable`` — the
+local smoke pattern) and the *same logical spec* is what the batch
+``queries()`` entries express, so the DuckDB oracle can check the
+semantics: a tumbling/sliding/session aggregation over a static table
+is the time-complete result of the streaming query.
+
+Scale posture: watermarks bound state (late rows beyond the horizon are
+dropped, state for closed windows is evicted); groupBy keys are
+(window, type) so state is proportional to active windows, not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded file stream (ns-timestamps arrive as
+    longs under the nanosAsLong conf, converted exactly like the batch
+    reader)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drive a streaming aggregation over the bounded source to
+    completion, materializing into an in-memory table ``name``."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_counts(events: DataFrame, duration: str = "6 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, duration: str = "12 hours", slide: str = "6 hours") -> DataFrame:
+    """Sliding-window event counts (each event lands in duration/slide
+    windows)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based): session count + bounds.
+
+    In streaming mode ``session_window`` maintains merging session state
+    per key; watermark closes sessions past the horizon."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark
+    horizon (``dropDuplicatesWithinWatermark`` keeps bounded state)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str, name: str = "stream_tumbling") -> DataFrame:
+    run_stream_to_table(tumbling_counts(_events_stream(spark, sf_dir)), name)
+    return spark.table(name)
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str, name: str = "stream_sessions") -> DataFrame:
+    run_stream_to_table(session_windows(_events_stream(spark, sf_dir)), name)
+    return spark.table(name)
