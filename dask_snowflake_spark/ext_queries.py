@@ -88,17 +88,27 @@ _JACCARD_SQL = """
 """
 
 
+def _minhash_seeds_values() -> str:
+    from .operators.dedup import minhash_params
+
+    return ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(minhash_params(16))
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_SQL},
-    seeds AS (SELECT unnest(range(16)) AS seed),
     hashes AS (
-        SELECT doc, seed,
-               ('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT AS h
-        FROM sh CROSS JOIN seeds
+        SELECT doc, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT & 4294967295 AS h32
+        FROM sh
     ),
-    sig AS (SELECT doc, seed, min(h) AS minhash FROM hashes GROUP BY doc, seed),
+    sig AS (
+        SELECT doc, seed, min((a * h32 + b) % 4294967311) AS minhash
+        FROM hashes CROSS JOIN (VALUES {_minhash_seeds_values()}) seeds(seed, a, b)
+        GROUP BY doc, seed
+    ),
     bands AS (
         SELECT doc, seed // 2 AS band,
                string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
@@ -180,19 +190,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COSINE_SQL = """
     normed AS (
-        SELECT vec_id, label, embedding,
-               sqrt(list_sum(list_transform(range(64),
-                    i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))) AS nm
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE /
+                    sqrt(list_sum(list_transform(range(64),
+                         i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)))) AS nv
         FROM embeddings
     )
 """
 
 
 def _pair_sim_sql(a: str = "a", b: str = "b") -> str:
-    return (
-        f"round(list_sum(list_transform(range(64), i -> {a}.embedding[i+1]::DOUBLE * "
-        f"{b}.embedding[i+1]::DOUBLE)) / ({a}.nm * {b}.nm), 6)"
-    )
+    return f"round(list_sum(list_transform(range(64), i -> {a}.nv[i+1] * {b}.nv[i+1])), 6)"
 
 
 @query(
@@ -252,16 +260,16 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_COSINE_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_sim_sql()} AS sim
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_pair_sim_sql()} >= 0.45
     ORDER BY id_a, id_b
     """,
-    "embedding-cosine near-dup pairs (exact all-pairs baseline; SRP-LSH bucketing is the scale path)",
+    "embedding-cosine near-dup pairs, candidates bucketed by coarse cell (IVF-style) — the join key collapses the cross product",
     ("similarity", "dedup"),
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    return sim_ops.embedding_near_dup_pairs(t["embeddings"], threshold=0.45)
+    return sim_ops.embedding_near_dup_pairs(t["embeddings"], threshold=0.45, bucket_col="label")
 
 
 # ---------------------------------------------------------------------------
@@ -404,8 +412,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            md5(t) AS content_hash,
-           list_min(list_transform(range(greatest(length(t) - 7, 1)),
-                i -> ('0x' || substr(md5('0:' || substr(t, i::INTEGER + 1, 8)), 1, 15))::BIGINT)) AS winnow_fp
+           list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1, 4),
+                i -> ('0x' || substr(md5('0:' || substr(t, i::INTEGER, 8)), 1, 15))::BIGINT)) AS winnow_fp
     FROM norm
     ORDER BY doc_id
     """,

@@ -51,51 +51,112 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None, key: str | None = 
     return df.withColumn("__min_key", w_min).filter(F.col(key) == F.col("__min_key")).drop("__min_key")
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document.
+def shingle_array(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per document as an array column (map-side
+    only, no shuffle). May contain duplicate shingles; min-hashing is
+    insensitive to them.
 
-    ``transform`` over a zipped index range keeps shingling inside
-    whole-stage codegen (no Python UDF)."""
-    words = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    The word split is materialized as a column FIRST: expressions
+    captured inside higher-order-function lambdas are re-evaluated per
+    array element (no common-subexpression elimination inside lambdas),
+    so inlining the split would re-split the text ~3x per shingle."""
+    words = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), r"\s+").alias("words")
+    )
+    w = F.col("words")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     # try_element_at: out-of-range -> NULL (short docs), which concat_ws
     # skips — matching the DuckDB oracle's NULL-skipping concat_ws
-    shingle_arr = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(words, i + j + 1) for j in range(n)])
+    arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(w, i + j + 1) for j in range(n)])
     )
+    return words.select("doc", arr.alias("shingles"))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, long format.
+
+    Built with posexplode + lead() windows — fully codegen'd, ~6x
+    faster than exploding a higher-order-function-built array (HOF
+    lambdas are interpreted). The window shuffle is keyed by doc, the
+    same partitioning every downstream per-doc aggregation reuses.
+    Short docs (< n words) yield one partial shingle (concat_ws skips
+    the NULL leads), matching the array variant and the SQL oracle."""
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), r"\s+")).alias("n_words"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    )
+    w = W.partitionBy("doc").orderBy("pos")
+    leads = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, n)]
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingle_arr).alias("shingle"))
+        words.select("doc", "n_words", "pos", "w", *leads)
+        .filter(F.col("pos") <= F.greatest(F.col("n_words") - n, F.lit(0)))
+        .select("doc", F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, n)]).alias("shingle"))
         .dropDuplicates(["doc", "shingle"])
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """Long-format MinHash signatures: (doc, seed, minhash).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
-    One shuffle (groupBy doc,seed). The seed fan-out happens map-side via
-    explode of a literal array — rows = |shingles| * k."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc", "shingle", seeds)
-        .select("doc", "seed", portable_hash(F.col("shingle"), F.col("seed")).alias("h"))
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-hash coefficients (a odd, b) per seed,
+    derived from md5 so Spark and the SQL oracle share them as plain
+    literals."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        # 31-bit coefficients: a*h32 + b < 2^63 (no int64 overflow under
+        # ANSI arithmetic in either engine)
+        out.append(((int(d[:8], 16) & 0x7FFFFFFF) | 1, int(d[8:16], 16) & 0x7FFFFFFF))
+    return out
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Wide-format MinHash signatures: (doc, sig array<long>) from
+    long-format (doc, shingle) rows.
+
+    Classic one-base-hash formulation: md5 ONCE per shingle, then k
+    affine transforms h_i = (a_i * h32 + b_i) mod p — k plain codegen
+    expressions, no nested higher-order functions (those are
+    interpreted row-at-a-time and were ~15x slower). The groupBy runs
+    map-side partial min aggregation, so the shuffle carries ~one row
+    per (doc, partition)."""
+    params = minhash_params(num_hashes)
+    rows = sh.withColumn("h32", portable_hash(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF)))
+    mins = [
+        F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = rows.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_bands(sig: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """Collapse signatures into band keys: (doc, band, band_sig).
+    """Explode signatures into band keys: (doc, band, band_sig).
 
     band_sig concatenates the band's minhashes in seed order — docs
-    agreeing on a whole band become join candidates."""
-    return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
+    agreeing on a whole band become join candidates. Map-side explode of
+    k/rows_per_band rows per doc."""
+    n_bands = F.size(F.col("sig")) / rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), (n_bands - 1).cast("int")),
+        lambda b: F.struct(
+            b.alias("band"),
             F.concat_ws(
-                ",", F.transform(F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda s: s["minhash"].cast("string"))
-            ).alias("band_sig")
-        )
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda m: m.cast("string"),
+                ),
+            ).alias("band_sig"),
+        ),
+    )
+    return sig.select("doc", F.explode(bands).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
 
 
@@ -116,20 +177,19 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard over shingle sets for the given candidate pairs."""
+def _jaccard_from_intersections(sh: DataFrame, inter: DataFrame) -> DataFrame:
+    """Attach set sizes to (doc_a, doc_b, n_common) intersection counts
+    and compute Jaccard."""
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -138,6 +198,19 @@ def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over shingle sets for the given candidate pairs."""
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _jaccard_from_intersections(sh, inter)
 
 
 def minhash_near_dup(
@@ -155,7 +228,9 @@ def minhash_near_dup(
     The scale path: cost ~ O(docs * shingles * k) map-side + shuffles on
     (doc,seed), band_sig, and shingle for the verify step restricted to
     candidates. Returns (doc_a, doc_b, jaccard >= threshold)."""
-    sh = shingles(docs, text_col, id_col, shingle_n)
+    # cached: the shingle set feeds the signature path AND the verify
+    # path — without it Spark re-parses every document per subtree
+    sh = shingles(docs, text_col, id_col, shingle_n).cache()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
     return jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
@@ -173,16 +248,18 @@ def ngram_jaccard_pairs(
     equi-join (no LSH). Quadratic in docs sharing a shingle — the
     correctness baseline MinHash is verified against; prefer
     ``minhash_near_dup`` beyond ~10^6 docs."""
-    sh = shingles(docs, text_col, id_col, shingle_n)
+    sh = shingles(docs, text_col, id_col, shingle_n).cache()
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    pairs = (
+    # intersection counts straight off the shared-shingle join — no
+    # separate pair-dedup pass + re-join (one shuffle instead of three)
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
+    return _jaccard_from_intersections(sh, inter).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(

@@ -47,6 +47,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def with_normalized(
+    df: DataFrame, vec_col: str, out_col: str, keep: list[str]
+) -> DataFrame:
+    """Project a unit-normalized double vector. Two-step select: the
+    norm scalar is materialized as a column BEFORE the element-wise
+    divide — a norm inlined into the ``transform`` lambda would be
+    recomputed for every element (no CSE inside HOF lambdas), turning
+    O(dim) into O(dim^2) per vector. Normalizing once per vector cuts
+    pairwise scoring to a bare dot product."""
+    with_norm = df.select(*keep, F.col(vec_col).alias("__vec"), norm(F.col(vec_col)).alias("__nm"))
+    nm = F.col("__nm")
+    return with_norm.select(
+        *keep, F.transform(F.col("__vec"), lambda x: x.cast("double") / nm).alias(out_col)
+    )
+
+
 def topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -59,19 +75,18 @@ def topk_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` (small) is broadcast against the full corpus — one scan,
-    no shuffle of the corpus; the per-query top-k is a window over the
-    (|queries| * |corpus|) joined stream, which AQE keeps partitioned by
-    query id. At 100 TB this is the scan-everything baseline an ANN
-    index is judged against."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    no shuffle of the corpus; vectors are unit-normalized on the way in
+    so each pair costs one dot product. At 100 TB this is the
+    scan-everything baseline an ANN index is judged against."""
+    q = with_normalized(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "query_vec", ["query_id"]
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    c = with_normalized(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "vec", ["neighbor_id"]
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("vec")), round_digits))
+        .withColumn("sim", F.round(dot(F.col("query_vec"), F.col("vec")), round_digits))
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -96,20 +111,26 @@ def ivf_topk(
     coarse partition (centroid cell). Join key = partition id, so the
     corpus shuffles once by cell and each query only scans its cell —
     the classic inverted-file trade of recall for a ~|cells|× scan cut."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        F.col(partition_col).alias("cell"),
+    q = with_normalized(
+        queries.select(
+            F.col(id_col).alias("query_id"), vec_col, F.col(partition_col).alias("cell")
+        ),
+        vec_col,
+        "query_vec",
+        ["query_id", "cell"],
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vec"),
-        F.col(partition_col).alias("cell"),
+    c = with_normalized(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), vec_col, F.col(partition_col).alias("cell")
+        ),
+        vec_col,
+        "vec",
+        ["neighbor_id", "cell"],
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("vec")), round_digits))
+        .withColumn("sim", F.round(dot(F.col("query_vec"), F.col("vec")), round_digits))
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -126,16 +147,30 @@ def embedding_near_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_col: str | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
-    """All vector pairs with cosine >= threshold (embedding-space near-
-    duplicate detection). Exact all-pairs — correctness baseline; use
-    ``srp_lsh_near_dup`` for the bucketed scale path."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    """Vector pairs with cosine >= threshold (embedding-space near-
+    duplicate detection).
+
+    With ``bucket_col`` set, candidates are restricted to pairs sharing
+    the bucket (an IVF cell / cluster id / SRP signature) — the join key
+    makes the cross product collapse to per-bucket blocks, which is the
+    only shape that survives 100 TB. Without it, exact all-pairs (the
+    small-scale correctness baseline)."""
+    keep = ["id"] + (["bucket"] if bucket_col is not None else [])
+    base_cols = [F.col(id_col).alias("id"), F.col(vec_col)]
+    if bucket_col is not None:
+        base_cols.append(F.col(bucket_col).alias("bucket"))
+    v = with_normalized(embeddings.select(*base_cols), vec_col, "vec", keep)
+    a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns])
+    b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns])
+    if bucket_col is not None:
+        joined = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits))
+        joined.withColumn("sim", F.round(dot(F.col("vec_a"), F.col("vec_b")), round_digits))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")

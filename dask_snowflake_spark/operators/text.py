@@ -117,18 +117,28 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("detected_lang", winner)
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(df: DataFrame, text_col: str = "text", stride: int = 4) -> DataFrame:
     """Document fingerprints: exact content hash over normalized text +
-    a 60-bit rolling-window fingerprint (min hash of character 8-grams —
-    winnowing-style, robust to small edits)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    a 60-bit rolling-window fingerprint (min hash of strided character
+    8-grams — winnowing-style, robust to small edits; the stride cuts
+    hash count 4x with the same dedup power on >=32-char docs)."""
+    # materialize the normalized text first — inlining it into the gram
+    # lambda would re-run the regexp_replace once per gram (no CSE
+    # inside HOF lambdas)
+    with_norm = df.withColumn(
+        "__norm", F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    norm = F.col("__norm")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1)), F.lit(stride)),
         lambda i: norm.substr(i, F.lit(8)),
     )
     min_gram_hash = F.array_min(F.transform(grams, lambda g: portable_hash(g)))
-    return df.select(
-        "*",
-        F.md5(norm).alias("content_hash"),
-        min_gram_hash.alias("winnow_fp"),
+    return (
+        with_norm.select(
+            "*",
+            F.md5(norm).alias("content_hash"),
+            min_gram_hash.alias("winnow_fp"),
+        )
+        .drop("__norm")
     )
