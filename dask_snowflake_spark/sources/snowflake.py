@@ -217,34 +217,37 @@ def read_snowflake(
     if not planned.groups:
         return spark.createDataFrame([], planned.spark_schema)
 
-    # Distribute descriptor groups; executors decode their own batches.
-    sc = spark.sparkContext
+    # Distribute descriptor groups via a broadcast + a partition-index
+    # seed DataFrame; executors decode only their own batches and emit
+    # Arrow directly (mapInArrow) — no pandas hop, no per-row Python
+    # conversion. (Real warehouse descriptors are presigned URLs, so the
+    # broadcast is small; the duckdb stub embeds payload bytes.)
     arrow_schema = planned.arrow_schema
-    spark_schema = planned.spark_schema
+    groups_bc = spark.sparkContext.broadcast(planned.groups)
+    seed = spark.range(0, len(planned.groups), numPartitions=len(planned.groups))
 
-    def fetch_group(groups: Iterator[list[Any]]) -> Iterator[Any]:
-        import pandas as pd
+    def fetch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            for pid in rb.column(0).to_pylist():
+                for descriptor in groups_bc.value[pid]:
+                    table = descriptor.to_arrow()
+                    if table.schema != arrow_schema:
+                        table = table.cast(arrow_schema)
+                    yield from table.to_batches()
 
-        for group in groups:
-            tables = [d.to_arrow() for d in group]
-            table = pa.concat_tables(tables).cast(arrow_schema)
-            pdf = table.to_pandas()
-            for row in pdf.itertuples(index=False):
-                yield tuple(row)
-
-    rdd = sc.parallelize(planned.groups, len(planned.groups)).mapPartitions(fetch_group)
-    return spark.createDataFrame(rdd, spark_schema)
+    return seed.mapInArrow(fetch, planned.spark_schema)
 
 
 # ---------------------------------------------------------------------------
 # Write path
 # ---------------------------------------------------------------------------
 
+# keys are DataType.simpleString() spellings
 _SPARK_TO_SQL = {
-    "long": "BIGINT",
-    "integer": "INTEGER",
-    "short": "SMALLINT",
-    "byte": "TINYINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
     "double": "DOUBLE",
     "float": "FLOAT",
     "string": "VARCHAR",
