@@ -17,6 +17,7 @@ Determinism rules (the driver hash-compares values):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -49,7 +50,7 @@ def query(name: str, oracle: str | None, description: str = "", tags: tuple[str,
 
 def registry() -> dict[str, QueryDef]:
     # Import extension modules for their registration side effects.
-    from . import ext_queries  # noqa: F401
+    from . import ext_queries, udf_queries  # noqa: F401
 
     return dict(_REGISTRY)
 
@@ -1005,4 +1006,233 @@ def q30_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         ORDER BY c_custkey
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 5 AND sum(o_totalprice) > 200000
+    ORDER BY o_custkey
+    """,
+    "post-aggregation HAVING filter",
+    ("aggregation", "filter"),
+)
+def q31_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum("o_totalprice").alias("__raw_total"),
+        )
+        .filter((F.col("n_orders") >= 5) & (F.col("__raw_total") > 200000))
+        .drop("__raw_total")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q32_in_subquery",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey IN
+            (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE'))
+    )
+    ORDER BY s_suppkey
+    """,
+    "nested IN subqueries (rewritten to semi-joins by Catalyst)",
+    ("filter", "subquery"),
+)
+def q32_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    for name in ("supplier", "nation", "region"):
+        t[name].createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey IN
+                (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE'))
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q33_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS orders_30d,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "RANGE window frame over a time axis (trailing 30-day aggregates)",
+    ("window",),
+)
+def q33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    # rangeBetween with intervals needs the SQL form; the DataFrame API
+    # only takes numeric offsets
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS orders_30d,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
+        FROM orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "q34_ntile_cume",
+    """
+    SELECT c_custkey,
+           ntile(4)       OVER (ORDER BY round(c_acctbal, 2), c_custkey) AS quartile,
+           round(cume_dist()    OVER (ORDER BY round(c_acctbal, 2)), 6)  AS cd,
+           round(percent_rank() OVER (ORDER BY round(c_acctbal, 2)), 6)  AS pr
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    "distribution windows: ntile / cume_dist / percent_rank",
+    ("window",),
+)
+def q34_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    acct = F.round("c_acctbal", 2)
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.ntile(4).over(W.orderBy(acct, "c_custkey")).alias("quartile"),
+            F.round(F.cume_dist().over(W.orderBy(acct)), 6).alias("cd"),
+            F.round(F.percent_rank().over(W.orderBy(acct)), 6).alias("pr"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q35_approx_sketches",
+    None,  # approximate by design: rows-only check
+    "approximate sketches: approx_count_distinct (HLL++), percentile_approx — no exact oracle by design",
+    ("aggregation", "approx"),
+)
+def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _scratch_dir(name: str) -> str:
+    """Deterministic per-query scratch path (bounded growth — sinks use
+    mode('overwrite'); uuid paths would accumulate because the returned
+    DataFrame lazily references the written files)."""
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
+@query(
+    "q36_csv_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "CSV sink + source roundtrip: write orders to CSV, read back with explicit schema, aggregate",
+    ("source", "sink"),
+)
+def q36_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    path = _scratch_dir("q36_csv")
+    t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    back = spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double").option(
+        "header", True
+    ).csv(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q37_json_roundtrip",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "JSON-lines sink + source roundtrip over the events table",
+    ("source", "sink"),
+)
+def q37_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_table
+
+    path = _scratch_dir("q37_json")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, value double").json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q38_parquet_partitioned_sink",
+    """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "partitioned parquet sink + partition-pruned scan (only 2 of 3 partitions read back)",
+    ("source", "sink"),
+)
+def q38_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    path = _scratch_dir("q38_parquet")
+    t["lineitem"].select("l_orderkey", "l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "R"))
+    return (
+        back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("l_returnflag")
     )
