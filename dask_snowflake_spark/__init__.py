@@ -13,7 +13,7 @@ Two layers (SURVEY.md):
 """
 
 from .session import get_session, load_table, register_tables
-from .sources.snowflake import read_snowflake, to_snowflake
+from .sources.snowflake import SnowflakeNativeDataSource, read_snowflake, to_snowflake
 
 __all__ = [
     "get_session",
@@ -21,6 +21,7 @@ __all__ = [
     "register_tables",
     "read_snowflake",
     "to_snowflake",
+    "SnowflakeNativeDataSource",
 ]
 
 __version__ = "0.1.0"

@@ -674,3 +674,83 @@ def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse file is no longer needed
     os.remove(db)
     return df.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total, round(max(value), 6) AS mx
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "salted two-stage aggregation over a hot-key distribution == plain aggregation (skew never stalls a reducer)",
+    ("skew", "aggregation"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg
+
+    t = _t(spark, sf_dir)
+    # events has only 5 event_type values — every key is hot; the salt
+    # spreads each over 16 reducers, stage 2 folds 16 partials per key
+    out = salted_agg(
+        t["events"],
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total": (F.sum("value"), F.sum("total")),
+            "mx": (F.max("value"), F.max("mx")),
+        },
+        num_salts=16,
+        salt_by="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("mx", 6).alias("mx"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_stateful_counters",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "applyInPandasWithState custom stateful operator: per-user running counters; final state == batch aggregation",
+    ("streaming", "udf"),
+)
+def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .streaming.stateful import running_user_counters
+    from .streaming.windows import _events_stream, run_stream_to_table
+
+    run_stream_to_table(
+        running_user_counters(_events_stream(spark, sf_dir)),
+        "stream_state_out",
+        output_mode="update",
+    )
+    # the memory sink holds one row per (user, update); the final state
+    # per user is the row with the highest event count
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table("stream_state_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,91 @@
+"""Skew-mitigation operators: salted aggregation and salted joins.
+
+At 100 TB a single hot key (one customer with 10^9 events, one null-ish
+default value) stalls the stage on one reducer. Two standard remedies,
+expressed as reusable DataFrame transforms:
+
+- ``salted_agg``: two-stage aggregation — group on (key, salt) first so
+  the hot key's rows spread over N reducers, then re-aggregate partials
+  by key. Works for any decomposable aggregate (sum/count/min/max).
+- ``salted_broadcast_join``: replicate the small side N times (one copy
+  per salt) so the big side can join on (key, salt) without a shuffle of
+  the big side at all.
+
+AQE's skew-join splitting (enabled in session defaults) handles sort-
+merge skew automatically; these explicit forms cover aggregations and
+the cases where the optimizer can't see the skew (e.g. key computed at
+runtime).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, num_salts: int, deterministic_by: str | None = None) -> DataFrame:
+    """Add a ``__salt`` column in [0, num_salts). With
+    ``deterministic_by`` set, the salt derives from that column's hash
+    (reproducible, oracle-friendly); otherwise it's random per row
+    (better spread, nondeterministic)."""
+    if deterministic_by is not None:
+        salt = F.pmod(F.hash(F.col(deterministic_by)), F.lit(num_salts))
+    else:
+        salt = (F.rand() * num_salts).cast("int")
+    return df.withColumn("__salt", salt)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    *,
+    num_salts: int = 16,
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output column name -> (partial_agg_expr, final_agg_expr)
+    where the partial runs per (keys, salt) and the final re-combines
+    partials per keys, e.g.::
+
+        salted_agg(df, ["k"], {
+            "n":     (F.count(F.lit(1)),  F.sum("n")),
+            "total": (F.sum("x"),         F.sum("total")),
+            "mx":    (F.max("x"),         F.max("mx")),
+        })
+
+    The hot key's rows hit ``num_salts`` reducers in stage 1; stage 2
+    reduces num_salts partial rows per key — never a hot partition.
+    """
+    salted = with_salt(df, num_salts, salt_by)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side to a small side by replicating the small
+    side once per salt: big rows carry a random salt, small rows are
+    exploded across all salts, the equi-join key becomes (on, salt).
+
+    The big side never shuffles by the hot key; the small side grows
+    num_salts x (still broadcastable). Use when the small side is modest
+    but the big side's key distribution is pathological."""
+    big_salted = with_salt(big, num_salts)
+    small_rep = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return big_salted.join(F.broadcast(small_rep), [on, "__salt"], how).drop("__salt")

@@ -1146,7 +1146,7 @@ def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .orderBy("l_returnflag")

@@ -220,3 +220,21 @@ def test_plan_partitions_validation():
     with pytest.raises(ValueError):
         plan_partitions([1], bytes_per_row=1, npartitions=2, partition_size="1MiB")
     assert plan_partitions([], bytes_per_row=1) == []
+
+
+def test_datasource_format_api(spark, warehouse):
+    """The Python Data Source registration path:
+    spark.read.format('snowflake_native') with JSON-encoded options."""
+    import json
+
+    df = (
+        spark.read.format("snowflake_native")
+        .option("query", "SELECT * FROM big WHERE id < 20000")
+        .option("backend", "duckdb")
+        .option("connection_kwargs", json.dumps({"database": warehouse["database"]}))
+        .option("npartitions", "3")
+        .load()
+    )
+    assert df.count() == 20000
+    assert [f.name for f in df.schema.fields] == ["id", "x", "pad"]
+    assert abs(df.rdd.getNumPartitions() - 3) <= 2
