@@ -420,17 +420,19 @@ def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000)
     ORDER BY c_custkey
     """,
-    "left-anti join (NOT EXISTS): customers with no orders",
+    "left-anti join (NOT EXISTS): customers with no high-value orders",
     ("join",),
 )
 def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 350000)
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -1235,4 +1237,192 @@ def q38_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "R"))
     return (
         back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q39_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total, round(qty, 2) AS qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_orderkey
+    """,
+    "TPC-H Q18 shape: aggregate-then-join with HAVING pre-filter",
+    ("join", "aggregation"),
+)
+def q39_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round("qty", 2).alias("qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q40_inactive_customers",
+    """
+    SELECT substr(c_name, 1, 9) AS name_prefix, count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) * 0.5 FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+    GROUP BY substr(c_name, 1, 9)
+    ORDER BY name_prefix
+    """,
+    "TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti-join + re-aggregation",
+    ("join", "subquery", "aggregation"),
+)
+def q40_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    for name in ("customer", "orders"):
+        t[name].createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT substr(c_name, 1, 9) AS name_prefix, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 0.5 FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        GROUP BY substr(c_name, 1, 9)
+        ORDER BY name_prefix
+        """
+    )
+
+
+@query(
+    "q41_correlated_min",
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p_partkey
+    """,
+    "TPC-H Q2 shape: correlated scalar min subquery (decorrelated to an aggregate join by Catalyst)",
+    ("subquery", "join"),
+)
+def q41_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "q42_cte_reuse",
+    """
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+               round(sum(o_totalprice), 2) AS rev,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT a.mo, a.rev, a.n,
+           round(a.rev - b.rev, 2) AS rev_delta
+    FROM monthly a LEFT JOIN monthly b ON b.mo = CAST(a.mo - INTERVAL 1 MONTH AS DATE)
+    ORDER BY a.mo
+    """,
+    "CTE defined once, consumed twice (self-join for month-over-month delta)",
+    ("cte", "join", "window"),
+)
+def q42_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+                   round(sum(o_totalprice), 2) AS rev,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT a.mo, a.rev, a.n,
+               round(a.rev - b.rev, 2) AS rev_delta
+        FROM monthly a LEFT JOIN monthly b ON b.mo = CAST(a.mo - INTERVAL 1 MONTH AS DATE)
+        ORDER BY a.mo
+        """
+    )
+
+
+@query(
+    "q43_from_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    ORDER BY event_id
+    """,
+    "from_json with explicit schema -> typed struct field access (vs string-path extraction)",
+    ("json", "functions"),
+)
+def q43_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    parsed = t["events"].withColumn("p", F.from_json("props", "k bigint"))
+    return (
+        parsed.select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 7).alias("k_mod"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q44_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey < 300
+    ) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    "unpivot (wide -> long): Spark stack() == SQL UNPIVOT",
+    ("projection",),
+)
+def q44_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,"
+                " 'l_discount', l_discount) AS (metric, val)"
+            ),
+        )
+        .select("l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     )
