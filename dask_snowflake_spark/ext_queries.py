@@ -269,7 +269,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    return sim_ops.embedding_near_dup_pairs(t["embeddings"], threshold=0.45, bucket_col="label")
+    return sim_ops.embedding_near_dup_pairs_bucketed(t["embeddings"], threshold=0.45)
 
 
 # ---------------------------------------------------------------------------

@@ -84,14 +84,16 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     the NULL leads), matching the array variant and the SQL oracle."""
     words = df.select(
         F.col(id_col).alias("doc"),
-        F.size(F.split(F.col(text_col), r"\s+")).alias("n_words"),
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
     )
     w = W.partitionBy("doc").orderBy("pos")
     leads = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, n)]
+    # keep full n-grams (last lead non-null) plus the single partial
+    # shingle of a short doc (pos 0) — identical index set to the
+    # sequence(0, greatest(size-n, 0)) array formulation
     return (
-        words.select("doc", "n_words", "pos", "w", *leads)
-        .filter(F.col("pos") <= F.greatest(F.col("n_words") - n, F.lit(0)))
+        words.select("doc", "pos", "w", *leads)
+        .filter(F.col(f"w{n-1}").isNotNull() | (F.col("pos") == 0))
         .select("doc", F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, n)]).alias("shingle"))
         .dropDuplicates(["doc", "shingle"])
     )
