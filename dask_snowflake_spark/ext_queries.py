@@ -517,14 +517,10 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("streaming",),
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    return (
-        t["events"]
-        .groupBy(F.window("ts", "12 hours", "6 hours").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("win.start").alias("window_start"), "event_type", "n")
-        .orderBy("window_start", "event_type")
+    stream_ops.run_stream_to_table(
+        stream_ops.sliding_counts(stream_ops._events_stream(spark, sf_dir)), "stream_sliding_out"
     )
+    return spark.table("stream_sliding_out").orderBy("window_start", "event_type")
 
 
 @query(

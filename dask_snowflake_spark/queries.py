@@ -1426,3 +1426,55 @@ def q44_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val"))
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+@query(
+    "q45_map_funcs",
+    """
+    SELECT n_regionkey,
+           array_to_string(map_keys(m), ',')                    AS ks,
+           round(list_sum(map_values(m)), 2)                    AS total_bal,
+           round(element_at(m, 'max_bal')[1], 2)                AS max_bal
+    FROM (
+        SELECT n_regionkey,
+               MAP {'avg_bal': avg_bal, 'max_bal': max_bal, 'min_bal': min_bal} AS m
+        FROM (
+            SELECT n_regionkey,
+                   round(avg(c_acctbal), 4) AS avg_bal,
+                   round(max(c_acctbal), 4) AS max_bal,
+                   round(min(c_acctbal), 4) AS min_bal
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_regionkey
+        )
+    )
+    ORDER BY n_regionkey
+    """,
+    "map column functions: construction, map_keys, map_values aggregation, element_at",
+    ("functions", "map"),
+)
+def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    agg = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        )
+    )
+    m = F.create_map(
+        F.lit("avg_bal"), F.col("avg_bal"),
+        F.lit("max_bal"), F.col("max_bal"),
+        F.lit("min_bal"), F.col("min_bal"),
+    )
+    with_map = agg.select("n_regionkey", m.alias("m"))
+    return with_map.select(
+        "n_regionkey",
+        F.array_join(F.map_keys("m"), ",").alias("ks"),
+        F.round(
+            F.aggregate(F.map_values("m"), F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("total_bal"),
+        F.round(F.element_at("m", F.lit("max_bal")), 2).alias("max_bal"),
+    ).orderBy("n_regionkey")

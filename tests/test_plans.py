@@ -101,3 +101,45 @@ def test_broadcast_in_similarity_topk(spark, sf_oracle):
     df = registry()["sim_topk_bruteforce"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_approx_sketches_within_bounds(spark, sf_oracle):
+    """approx_count_distinct must land within 5% of the exact count;
+    percentile_approx within 2% of the exact median (the rows-only
+    q35 still has to be RIGHT, just not bit-exact)."""
+    rows = registry()["q35_approx_sketches"].spark_fn(spark, sf_oracle).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05, r
+    t = _t(spark, sf_oracle)
+    exact = {
+        x.l_returnflag: x.med
+        for x in t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.approx_median_price - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.02, r
+
+
+def test_repartition_ops(spark, sf_oracle):
+    """Repartitioning surface: repartition(n, col) hash-partitions,
+    repartitionByRange range-partitions, coalesce merges without
+    shuffle, sortWithinPartitions orders locally."""
+    t = _t(spark, sf_oracle)
+    o = t["orders"]
+    assert o.repartition(8, "o_custkey").rdd.getNumPartitions() == 8
+    assert o.repartitionByRange(6, "o_orderdate").rdd.getNumPartitions() == 6
+    assert o.repartition(8).coalesce(2).rdd.getNumPartitions() == 2
+    def is_sorted(it):
+        dates = [r.o_orderdate for r in it]
+        return [all(a <= b for a, b in zip(dates, dates[1:]))]
+
+    parts = (
+        o.repartition(4, "o_custkey")
+        .sortWithinPartitions("o_orderdate")
+        .rdd.mapPartitions(is_sorted)
+        .collect()
+    )
+    assert all(parts)
