@@ -1478,3 +1478,68 @@ def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_bal"),
         F.round(F.element_at("m", F.lit("max_bal")), 2).alias("max_bal"),
     ).orderBy("n_regionkey")
+
+
+@query(
+    "q46_decimal_exact",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price_exact,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))      AS sum_qty_exact,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "exact decimal aggregation: DECIMAL(18,2) sums are order-independent (no float rounding needed)",
+    ("aggregation", "types"),
+)
+def q46_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_price_exact"),
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty_exact"),
+            F.min(dec("l_extendedprice")).cast("decimal(18,2)").alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q47_date_extras",
+    """
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE))                      AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS DATE)            AS week_start,
+           CAST(o_orderdate AS DATE) + 7                            AS plus_week,
+           CAST(o_orderdate AS DATE) - 30                           AS minus_month,
+           (dayofweek(o_orderdate) + 1)::BIGINT                     AS dow,
+           weekofyear(o_orderdate)::BIGINT                          AS woy
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    "date arithmetic extras: last_day / week truncation / day offsets / dow / iso week",
+    ("functions", "datetime"),
+)
+def q47_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.last_day(d).alias("month_end"),
+            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+            F.date_add(d, 7).alias("plus_week"),
+            F.date_sub(d, 30).alias("minus_month"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+            F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        )
+        .orderBy("o_orderkey")
+    )
