@@ -750,3 +750,103 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    "watermarked stream-stream interval join: purchases within 1h after each click",
+    ("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_ops._events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id", F.round("value", 2).alias("purchase_value"))
+    stream_ops.run_stream_to_table(joined, "stream_join_out", output_mode="append")
+    return spark.table("stream_join_out").orderBy("click_id", "purchase_id")
+
+
+@query(
+    "pipeline_text_prep",
+    f"""
+    WITH feat AS (
+        SELECT doc_id, text, lang,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_words,
+               len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text, lang, n_words
+        FROM feat
+        WHERE n_words >= 20 AND n_distinct / greatest(n_words, 1)::DOUBLE >= 0.2
+    ),
+    hashed AS (
+        SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+        FROM quality
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+            FROM hashed) WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_words)::BIGINT AS n_tokens
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "composed training-data prep pipeline: quality filter -> exact dedup (content hash, min-id keeper) -> per-language token budget",
+    ("text", "dedup", "pipeline"),
+)
+def pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    feat = t["documents"].select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    quality = feat.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("n_distinct") / F.greatest(F.col("n_words"), F.lit(1)).cast("double") >= 0.2)
+    )
+    hashed = quality.withColumn(
+        "content_hash", F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    )
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").cast("long").alias("n_tokens"))
+        .orderBy("lang")
+    )

@@ -238,3 +238,22 @@ def test_datasource_format_api(spark, warehouse):
     assert df.count() == 20000
     assert [f.name for f in df.schema.fields] == ["id", "x", "pad"]
     assert abs(df.rdd.getNumPartitions() - 3) <= 2
+
+
+def test_read_bad_sql_raises_cleanly(spark, warehouse):
+    with pytest.raises(Exception) as ei:
+        read_snowflake("SELECT * FROM nonexistent_tbl", spark=spark, connection_kwargs=warehouse, backend="duckdb")
+    assert "nonexistent_tbl" in str(ei.value)
+
+
+def test_unknown_backend_rejected(spark, warehouse):
+    with pytest.raises(ValueError, match="Unknown warehouse backend"):
+        read_snowflake("SELECT 1", spark=spark, connection_kwargs=warehouse, backend="oracle9i")
+
+
+def test_write_appends_across_calls(spark, warehouse):
+    sdf = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    to_snowflake(sdf, "t_app", connection_kwargs=warehouse, backend="duckdb")
+    to_snowflake(sdf, "t_app", connection_kwargs=warehouse, backend="duckdb")
+    back = read_snowflake('SELECT * FROM "T_APP"', spark=spark, connection_kwargs=warehouse, backend="duckdb")
+    assert back.count() == 10  # default mode is append (reference write_pandas semantics)

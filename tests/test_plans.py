@@ -143,3 +143,36 @@ def test_repartition_ops(spark, sf_oracle):
         .collect()
     )
     assert all(parts)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_oracle, tmp_path):
+    """Tables bucketed on the join key must sort-merge join with NO
+    Exchange on either side — the co-location pattern that removes the
+    dominant shuffle for repeated fact-fact joins at scale."""
+    # managed tables land in ./spark-warehouse (gitignored); the
+    # warehouse dir is a static conf and can't move per-test
+    import shutil
+
+    t = _t(spark, sf_oracle)
+    for name in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    t["orders"].select("o_orderkey", "o_totalprice").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("orders_b")
+    t["lineitem"].select("l_orderkey", "l_quantity").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("lineitem_b")
+    # force sort-merge so the assertion targets shuffle Exchanges, not
+    # AQE's broadcast choice on these tiny tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        pl = plan(joined)
+        assert "SortMergeJoin" in pl, pl
+        assert "Exchange" not in pl, pl
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
