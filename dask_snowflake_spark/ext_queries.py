@@ -342,7 +342,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                + distinct_ratio * 0.3
                + least(stopword_ratio * 5.0, 1.0) * 0.2
                + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
-           END, 6) AS quality_score
+           END, 8) AS quality_score
     FROM ratios
     ORDER BY doc_id
     """,

@@ -91,7 +91,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.2
         )
     )
-    return feat.withColumn("quality_score", F.round(score, 6))
+    # round(8) is beyond the score's true decimal precision (products
+    # of 6dp ratios with 1dp weights) -> no decimal-halfway cases where
+    # Spark's BigDecimal rounding and DuckDB's scaled-round diverge
+    return feat.withColumn("quality_score", F.round(score, 8))
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

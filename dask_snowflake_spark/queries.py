@@ -1543,3 +1543,46 @@ def q47_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q48_na_handling",
+    """
+    WITH j AS (
+        SELECT c_custkey, c_acctbal, o.o_totalprice
+        FROM customer c LEFT JOIN (SELECT o_custkey, max(o_totalprice) AS o_totalprice
+                                   FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+          ON o.o_custkey = c_custkey
+    )
+    SELECT 'filled' AS variant, count(*) AS n, round(sum(coalesce(o_totalprice, -1.0)), 2) AS total
+    FROM j
+    UNION ALL
+    SELECT 'dropped', count(*), round(sum(o_totalprice), 2)
+    FROM j WHERE o_totalprice IS NOT NULL
+    ORDER BY variant
+    """,
+    "na.fill / na.drop over outer-join-produced nulls",
+    ("functions", "null"),
+)
+def q48_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    top = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    j = t["customer"].join(top, F.col("o_custkey") == F.col("c_custkey"), "left").select(
+        "c_custkey", "c_acctbal", "o_totalprice"
+    )
+    filled = j.na.fill({"o_totalprice": -1.0}).agg(
+        F.lit("filled").alias("variant"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    dropped = j.na.drop(subset=["o_totalprice"]).agg(
+        F.lit("dropped").alias("variant"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return filled.unionByName(dropped).orderBy("variant")
