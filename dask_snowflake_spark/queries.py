@@ -882,9 +882,9 @@ def q25_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding)                                              AS dim,
-           round(list_aggregate(embedding, 'sum')::DOUBLE, 4)          AS vec_sum,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_sum,
            round(list_aggregate(embedding, 'max')::DOUBLE, 4)          AS vec_max,
-           round(embedding[1]::DOUBLE, 4)                              AS first_elem,
+           round(embedding[1]::DOUBLE, 4) + 0.0                        AS first_elem,
            len(list_filter(embedding, x -> x > 0))                     AS n_positive
     FROM embeddings
     ORDER BY vec_id
@@ -900,12 +900,13 @@ def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.size(emb).alias("dim"),
-            # accumulate in float32 like DuckDB's list_aggregate, round after
+            # double-precision sequential accumulation — bit-identical to
+            # the oracle's list_sum over a DOUBLE-cast list
             F.round(
-                F.aggregate(emb, F.lit(0.0).cast("float"), lambda a, x: a + x).cast("double"), 4
+                F.aggregate(emb, F.lit(0.0), lambda a, x: a + x.cast("double")), 4
             ).alias("vec_sum"),
             F.round(F.array_max(emb).cast("double"), 4).alias("vec_max"),
-            F.round(emb.getItem(0).cast("double"), 4).alias("first_elem"),
+            (F.round(emb.getItem(0).cast("double"), 4) + F.lit(0.0)).alias("first_elem"),
             F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
         )
         .orderBy("vec_id")

@@ -9,7 +9,7 @@ passes, any order-insensitive value-hash the driver computes matches.
 from __future__ import annotations
 
 import datetime as dt
-import math
+
 import os
 from typing import Any
 
@@ -42,11 +42,9 @@ def _canon_value(v: Any) -> Any:
     if v is None:
         return None
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return 0.0  # normalize -0.0
-        return v
+        # repr-compare: catches -0.0-vs-0.0 and NaN payload differences
+        # that numeric == would hide but a value HASH would not
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
