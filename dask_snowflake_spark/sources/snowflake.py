@@ -203,6 +203,9 @@ def read_snowflake(
     documented deviation, SURVEY.md §1.2.
     """
     spark = spark or SparkSession.active()
+    from ..session import _ensure_runtime_confs
+
+    _ensure_runtime_confs(spark)  # executor import of batch descriptors
     if partition_size is None and npartitions is None:
         partition_size = DEFAULT_PARTITION_SIZE
     planned = _plan_read(
@@ -306,6 +309,9 @@ def to_snowflake(
     Returns rows written (``compute=True``) or a :class:`LazyWrite`.
     """
     spark = df.sparkSession
+    from ..session import _ensure_runtime_confs
+
+    _ensure_runtime_confs(spark)
     table = name.upper()
     backend_name = backend
     partner = spark.conf.get(PARTNER_CONF_KEY, DEFAULT_PARTNER)

@@ -19,8 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
-
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
@@ -28,6 +26,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file stream (ns-timestamps arrive as
     longs under the nanosAsLong conf, converted exactly like the batch
     reader)."""
+    from ..session import _ensure_runtime_confs
+
+    _ensure_runtime_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
