@@ -1587,3 +1587,56 @@ def q48_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
     return filled.unionByName(dropped).orderBy("variant")
+
+
+@query(
+    "q49_upsert_merge",
+    """
+    WITH updates AS (
+        SELECT o_custkey AS c_custkey,
+               round(sum(o_totalprice), 2) AS new_acctbal
+        FROM orders WHERE o_orderstatus = 'O'
+        GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name,
+           round(coalesce(u.new_acctbal, c.c_acctbal), 2) AS acctbal,
+           u.c_custkey IS NOT NULL AS was_updated
+    FROM customer c LEFT JOIN updates u ON u.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, 'NEW#' || u.c_custkey, round(u.new_acctbal, 2), TRUE
+    FROM updates u ANTI JOIN customer c ON c.c_custkey = u.c_custkey
+    ORDER BY c_custkey, c_name
+    """,
+    "MERGE INTO emulation (upsert/CDC apply): matched rows updated, unmatched inserted via anti-join + union",
+    ("merge", "join"),
+)
+def q49_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    updates = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_acctbal"))
+    )
+    cust = t["customer"]
+    # WHEN MATCHED THEN UPDATE / existing unmatched rows kept as-is
+    updated = (
+        cust.join(updates, F.col("u_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.coalesce(F.col("new_acctbal"), F.col("c_acctbal")), 2).alias("acctbal"),
+            F.col("u_custkey").isNotNull().alias("was_updated"),
+        )
+    )
+    # WHEN NOT MATCHED THEN INSERT
+    inserted = (
+        updates.join(cust, F.col("c_custkey") == F.col("u_custkey"), "left_anti")
+        .select(
+            F.col("u_custkey").alias("c_custkey"),
+            F.concat(F.lit("NEW#"), F.col("u_custkey")).alias("c_name"),
+            F.round(F.col("new_acctbal"), 2).alias("acctbal"),
+            F.lit(True).alias("was_updated"),
+        )
+    )
+    return updated.unionByName(inserted).orderBy("c_custkey", "c_name")
