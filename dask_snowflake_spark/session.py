@@ -135,6 +135,15 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
         except Exception:
             pass  # static conf on this build; session defaults apply
+    try:
+        # Spark's 200-partition default over-parallelizes local mode
+        # (200 shuffle files + 200 streaming state stores per stateful
+        # op). Right-size it ONLY when still at the untouched default —
+        # an explicit caller choice is respected.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
     _ensure_executor_package(spark)
 
 
