@@ -37,7 +37,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df = qd.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -46,12 +46,15 @@ def main() -> None:
         sf_val = sf
     out = {
         "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
-        "queries": timings,
         "sf": sf_val,
+        "queries": timings,
     }
-    print(json.dumps(out))
+    # ONE line, compact separators, headline numbers first: the driver
+    # captures a bounded window of output, so the line must stay short
+    # enough to survive truncation and still json-parse.
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

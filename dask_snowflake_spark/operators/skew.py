@@ -33,7 +33,10 @@ def with_salt(df: DataFrame, num_salts: int, deterministic_by: str | None = None
     if deterministic_by is not None:
         salt = F.pmod(F.hash(F.col(deterministic_by)), F.lit(num_salts))
     else:
-        salt = (F.rand() * num_salts).cast("int")
+        # Seeded: rand(seed) is deterministic per partition, so a task
+        # retry regenerates identical salts — an unseeded rand() can
+        # double/drop rows mid-aggregation when a task is re-run.
+        salt = (F.rand(seed=0x5A17) * num_salts).cast("int")
     return df.withColumn("__salt", salt)
 
 
@@ -83,7 +86,17 @@ def salted_broadcast_join(
 
     The big side never shuffles by the hot key; the small side grows
     num_salts x (still broadcastable). Use when the small side is modest
-    but the big side's key distribution is pathological."""
+    but the big side's key distribution is pathological.
+
+    Only ``inner`` and ``left`` joins are correct under replication: with
+    ``right``/``full``, an unmatched small-side row would surface once
+    per salt (num_salts duplicates), so those modes are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_broadcast_join supports how='inner'|'left', got {how!r}: "
+            "replicating the small side duplicates its unmatched rows "
+            "num_salts times under right/full outer joins"
+        )
     big_salted = with_salt(big, num_salts)
     small_rep = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

@@ -18,6 +18,7 @@ Determinism rules (the driver hash-compares values):
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -55,17 +56,25 @@ def registry() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
-_REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Keyed on the live session object (weakly — a dead session's entry is
+# collectable, and a recycled id() can never alias a new session). Values
+# are just the registered view names, so the cache pins neither the
+# session nor any DataFrame.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[str]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load + register the star schema tables, memoized per (session,
     sf_dir) — registration reads 10 parquet footers; no reason to redo it
-    per query."""
-    key = (id(spark), sf_dir)
-    if key not in _REGISTERED:
-        _REGISTERED[key] = register_tables(spark, sf_dir)
-    return _REGISTERED[key]
+    per query. On a hit the (cheap) temp views are re-resolved by name."""
+    per_session = _REGISTERED.setdefault(spark, {})
+    if sf_dir not in per_session:
+        tables = register_tables(spark, sf_dir)
+        per_session[sf_dir] = list(tables)
+        return tables
+    return {name: spark.table(name) for name in per_session[sf_dir]}
 
 
 # ---------------------------------------------------------------------------

@@ -158,7 +158,18 @@ def _ensure_executor_package(spark: SparkSession) -> None:
         tmp_dir = os.path.join(os.path.dirname(pkg_dir), ".tmp")
         os.makedirs(tmp_dir, exist_ok=True)
         zip_path = os.path.join(tmp_dir, "dask_snowflake_spark_pkg.zip")
-        if not os.path.exists(zip_path):
+        # Rebuild whenever any source file is newer than the zip —
+        # otherwise executors silently import stale code after an edit.
+        newest_src = max(
+            (
+                os.path.getmtime(os.path.join(root, f))
+                for root, _dirs, files in os.walk(pkg_dir)
+                for f in files
+                if f.endswith(".py")
+            ),
+            default=0.0,
+        )
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
             with zipfile.ZipFile(zip_path + ".part", "w") as zf:
                 for root, _dirs, files in os.walk(pkg_dir):
                     for f in files:

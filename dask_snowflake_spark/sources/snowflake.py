@@ -265,7 +265,14 @@ _SPARK_TO_SQL = {
 def schema_to_ddl(schema: StructType) -> str:
     """CREATE TABLE column list from a Spark schema (reference creates the
     table from the empty meta frame, core.py:43-67; we generate DDL from
-    ``df.schema`` — same effect, no data movement)."""
+    ``df.schema`` — same effect, no data movement).
+
+    Identifiers are emitted unquoted and upper-cased to match the write
+    path's ``write_pandas(..., quote_identifiers=False)`` (reference
+    core.py:31-40 upper-cases the table name for the same reason): a
+    quoted lower-case DDL column would resolve case-sensitively on a real
+    warehouse and reject every subsequent unquoted COPY.
+    """
     cols = []
     for f in schema.fields:
         name = f.dataType.simpleString()
@@ -273,7 +280,7 @@ def schema_to_ddl(schema: StructType) -> str:
             sql_type = name.upper()
         else:
             sql_type = _SPARK_TO_SQL.get(name, "VARCHAR")
-        cols.append(f'"{f.name}" {sql_type}')
+        cols.append(f"{f.name.upper()} {sql_type}")
     return ", ".join(cols)
 
 
