@@ -204,7 +204,7 @@ def _pair_sim_sql(a: str = "a", b: str = "b") -> str:
 
 
 @query(
-    "sim_topk_bruteforce",
+    "ann_topk_bruteforce",
     f"""
     WITH {_COSINE_SQL},
     scored AS (
@@ -222,14 +222,14 @@ def _pair_sim_sql(a: str = "a", b: str = "b") -> str:
     "brute-force cosine top-k ANN baseline: broadcast queries x full corpus scan + window top-k",
     ("similarity",),
 )
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return sim_ops.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 @query(
-    "sim_topk_ivf",
+    "ann_topk_ivf",
     f"""
     WITH {_COSINE_SQL},
     scored AS (
@@ -249,14 +249,14 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVF-style pruned top-k: candidates restricted to the query's coarse cell (label)",
     ("similarity",),
 )
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
 @query(
-    "sim_embedding_near_dup",
+    "ann_embedding_near_dup",
     f"""
     WITH {_COSINE_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_sim_sql()} AS sim
@@ -267,7 +267,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding-cosine near-dup pairs, candidates bucketed by coarse cell (IVF-style) — the join key collapses the cross product",
     ("similarity", "dedup"),
 )
-def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return sim_ops.embedding_near_dup_pairs_bucketed(t["embeddings"], threshold=0.45)
 
@@ -277,45 +277,31 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_token_stats",
-    """
-    SELECT doc_id,
-           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
-           length(text) AS n_chars,
-           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
-           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
-    FROM documents
-    ORDER BY doc_id
-    """,
-    "token counting (whitespace + BPE-ish regex) and character-class stats",
-    ("text",),
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    text = F.col("text")
-    cc = text_ops.char_classes(text)
-    return (
-        t["documents"]
-        .select(
-            "doc_id",
-            text_ops.token_count(text).alias("n_tokens"),
-            text_ops.bpe_ish_token_count(text).alias("n_bpe_ish"),
-            cc["n_chars"].alias("n_chars"),
-            cc["n_alpha"].alias("n_alpha"),
-            cc["n_digit"].alias("n_digit"),
-            cc["n_punct"].alias("n_punct"),
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, profile in sorted(text_ops.LANG_PROFILES.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in profile) + "]"
+        parts.append(
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            f" x -> x <> '' AND list_contains({arr}, x))) AS score_{lang}"
         )
-        .orderBy("doc_id")
-    )
+    return ", ".join(parts)
 
 
 @query(
-    "text_quality",
-    """
-    WITH feat AS (
+    "doc_stats",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    feat AS (
         SELECT doc_id,
                len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_words,
                len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct,
@@ -335,26 +321,57 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(n_digit / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
                round(n_nonspace / greatest(n_words, 1)::DOUBLE, 6) AS mean_word_len
         FROM feat
+    ),
+    qual AS (
+        SELECT *,
+               round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+                   least(n_words / 100.0, 1.0) * 0.3
+                   + distinct_ratio * 0.3
+                   + least(stopword_ratio * 5.0, 1.0) * 0.2
+                   + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+               END, 8) AS quality_score
+        FROM ratios
+    ),
+    scores AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               list_sort([{", ".join(f"{{'neg_s': -score_{lang}, 'l': '{lang}'}}" for lang in sorted(text_ops.LANG_PROFILES))}])[1] AS best
+        FROM scores
+    ),
+    lang AS (
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN best.neg_s < 0 THEN best.l ELSE 'unknown' END AS detected_lang
+        FROM ranked
     )
-    SELECT *,
-           round(CASE WHEN n_words < 5 THEN 0.0 ELSE
-               least(n_words / 100.0, 1.0) * 0.3
-               + distinct_ratio * 0.3
-               + least(stopword_ratio * 5.0, 1.0) * 0.2
-               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
-           END, 8) AS quality_score
-    FROM ratios
-    ORDER BY doc_id
+    SELECT t.doc_id, t.n_tokens, t.n_bpe_ish, t.n_chars, t.n_alpha, t.n_digit, t.n_punct,
+           q.n_words, q.distinct_ratio, q.stopword_ratio, q.punct_ratio, q.digit_ratio,
+           q.mean_word_len, q.quality_score,
+           l.labeled_lang, l.detected_lang
+    FROM tok t
+    JOIN qual q ON q.doc_id = t.doc_id
+    JOIN lang l ON l.doc_id = t.doc_id
+    ORDER BY t.doc_id
     """,
-    "pretraining-corpus quality features + composite score (length, repetition, stopword, punct filters)",
+    "per-document text analysis in ONE scan-speed pass: token counting "
+    "(whitespace + BPE-ish regex), character-class stats, quality "
+    "features + composite score, heuristic language ID. Pure column "
+    "expressions, zero Python in the hot path.",
     ("text",),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    text = F.col("text")
+    cc = text_ops.char_classes(text)
+    enriched = text_ops.lang_id(text_ops.quality_features(t["documents"]))
     return (
-        text_ops.quality_features(t["documents"])
-        .select(
+        enriched.select(
             "doc_id",
+            text_ops.token_count(text).alias("n_tokens"),
+            text_ops.bpe_ish_token_count(text).alias("n_bpe_ish"),
+            cc["n_chars"].alias("n_chars"),
+            cc["n_alpha"].alias("n_alpha"),
+            cc["n_digit"].alias("n_digit"),
+            cc["n_punct"].alias("n_punct"),
             "n_words",
             "distinct_ratio",
             "stopword_ratio",
@@ -362,50 +379,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit_ratio",
             "mean_word_len",
             "quality_score",
+            F.col("lang").alias("labeled_lang"),
+            "detected_lang",
         )
         .orderBy("doc_id")
     )
 
 
-def _lang_scores_sql() -> str:
-    parts = []
-    for lang, profile in sorted(text_ops.LANG_PROFILES.items()):
-        arr = "[" + ",".join(f"'{w}'" for w in profile) + "]"
-        parts.append(
-            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
-            f" x -> x <> '' AND list_contains({arr}, x))) AS score_{lang}"
-        )
-    return ", ".join(parts)
-
-
 @query(
-    "text_lang_id",
-    f"""
-    WITH scores AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents),
-    ranked AS (
-        SELECT doc_id, lang,
-               list_sort([{", ".join(f"{{'neg_s': -score_{lang}, 'l': '{lang}'}}" for lang in sorted(text_ops.LANG_PROFILES))}])[1] AS best
-        FROM scores
-    )
-    SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN best.neg_s < 0 THEN best.l ELSE 'unknown' END AS detected_lang
-    FROM ranked
-    ORDER BY doc_id
-    """,
-    "heuristic language ID: per-language profile-hit scoring, deterministic argmax",
-    ("text",),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    return (
-        text_ops.lang_id(t["documents"])
-        .select("doc_id", F.col("lang").alias("labeled_lang"), "detected_lang")
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "text_fingerprint",
+    "doc_fingerprint",
     """
     WITH norm AS (
         SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents
@@ -420,7 +402,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document fingerprinting: normalized content hash + min-hash of character 8-grams",
     ("text",),
 )
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         text_ops.fingerprint(t["documents"])
@@ -486,45 +468,43 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_tumbling",
+    "flow_windows",
     """
-    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+    SELECT 'tumbling' AS kind,
+           make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
            event_type,
-           count(*) AS n,
-           round(sum(value), 2) AS total_value
+           count(*) AS n
     FROM events
-    GROUP BY 1, 2
-    ORDER BY window_start, event_type
-    """,
-    "Structured Streaming tumbling 6h windows + watermark, driven to completion over the bounded events source",
-    ("streaming",),
-)
-def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_ops.run_tumbling_stream(spark, sf_dir).orderBy("window_start", "event_type")
-
-
-@query(
-    "stream_sliding",
-    """
-    SELECT make_timestamp(((epoch_us(ts) - k.off * 21600000000) // 43200000000) * 43200000000
-                          + k.off * 21600000000) AS window_start,
-           event_type, count(*) AS n
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding',
+           make_timestamp(((epoch_us(ts) - k.off * 21600000000) // 43200000000) * 43200000000
+                          + k.off * 21600000000),
+           event_type, count(*)
     FROM events CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) k(off)
-    GROUP BY 1, 2
-    ORDER BY window_start, event_type
+    GROUP BY 2, 3
+    ORDER BY kind, window_start, event_type
     """,
-    "sliding windows (12h window, 6h slide): each event lands in 2 overlapping windows",
+    "Structured Streaming tumbling 6h windows AND sliding 12h/6h windows "
+    "(each event lands in 2 overlapping windows) + watermark, both driven "
+    "to completion over the bounded events source and tag-unioned",
     ("streaming",),
 )
-def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream_ops.run_stream_to_table(
-        stream_ops.sliding_counts(stream_ops._events_stream(spark, sf_dir)), "stream_sliding_out"
+def flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumb = stream_ops.run_tumbling_stream(spark, sf_dir, "flow_tumbling_out").select(
+        F.lit("tumbling").alias("kind"), "window_start", "event_type", "n"
     )
-    return spark.table("stream_sliding_out").orderBy("window_start", "event_type")
+    stream_ops.run_stream_to_table(
+        stream_ops.sliding_counts(stream_ops._events_stream(spark, sf_dir)), "flow_sliding_out"
+    )
+    slide = spark.table("flow_sliding_out").select(
+        F.lit("sliding").alias("kind"), "window_start", "event_type", "n"
+    )
+    return tumb.unionByName(slide).orderBy("kind", "window_start", "event_type")
 
 
 @query(
-    "stream_sessions",
+    "flow_sessions",
     """
     WITH marked AS (
         SELECT user_id, ts, value,
@@ -551,7 +531,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session windows (30-min gap) per user: session_window agg == gaps-and-islands sessionization",
     ("streaming",),
 )
-def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["events"]
@@ -569,14 +549,14 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_dedup",
+    "flow_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
     """,
     "streaming dedup (dropDuplicatesWithinWatermark) — key set matches batch distinct",
     ("streaming", "dedup"),
 )
-def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_ops.streaming_dedup(stream_ops._events_stream(spark, sf_dir))
     stream_ops.run_stream_to_table(
         stream.select("user_id", "event_type"), "stream_dedup_out", output_mode="append"
@@ -672,13 +652,89 @@ def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("doc_id")
 
 
+@query(
+    "connector_write_roundtrip",
+    """
+    SELECT o_custkey % 50 AS grp, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    ORDER BY grp
+    """,
+    "to_snowflake -> read_snowflake roundtrip through the duckdb warehouse "
+    "stub: DDL bootstrap from df.schema, per-partition bulk write "
+    "(PUT+COPY shape), then distributed read-back — the reference's "
+    "flagship write path (core.py:70-124; test_core.py:54-65)",
+    ("connector", "sink"),
+)
+def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.snowflake import read_snowflake, to_snowflake
+
+    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    db = os.path.join(tmp_dir, f"write-roundtrip-{uuid.uuid4().hex}.duckdb")
+    t = _t(spark, sf_dir)
+    summary = (
+        t["orders"]
+        .groupBy((F.col("o_custkey") % 50).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .repartition(4)  # exercise the parallel per-partition write path
+    )
+    to_snowflake(summary, "cwrt", connection_kwargs={"database": db}, backend="duckdb")
+    back = read_snowflake(
+        # unquoted identifiers: the warehouse stores them upper-cased,
+        # matching write_pandas(quote_identifiers=False) semantics
+        "SELECT GRP, N, TOTAL FROM CWRT",
+        spark=spark,
+        connection_kwargs={"database": db},
+        backend="duckdb",
+    )
+    os.remove(db)
+    return back.select(
+        F.col("GRP").alias("grp"), F.col("N").alias("n"), F.col("TOTAL").alias("total")
+    ).orderBy("grp")
+
+
+@query(
+    "partition_control",
+    """
+    SELECT 'coalesce' AS mode, 2::BIGINT AS n_partitions,
+           (SELECT count(*) FROM documents) AS n_rows
+    UNION ALL
+    SELECT 'repartition', 3::BIGINT, (SELECT count(*) FROM documents)
+    ORDER BY mode
+    """,
+    "explicit repartitioning control (SURVEY §2.B last row; reference "
+    "npartitions kwarg core.py:206-207, test_core.py:128): repartition(3) "
+    "yields exactly 3 partitions, coalesce(2) merges to exactly 2 — "
+    "verified in-result via spark_partition_id()",
+    ("repartition",),
+)
+def partition_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+
+    def part_stats(df: DataFrame, mode: str) -> DataFrame:
+        return (
+            df.select(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.countDistinct("pid").alias("n_partitions"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(F.lit(mode).alias("mode"), "n_partitions", "n_rows")
+        )
+
+    rep = t["documents"].repartition(3)
+    return part_stats(rep.coalesce(2), "coalesce").unionByName(
+        part_stats(rep, "repartition")
+    ).orderBy("mode")
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "skew_salted_agg",
+    "agg_skew_salted",
     """
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS total, round(max(value), 6) AS mx
     FROM events
@@ -688,7 +744,7 @@ def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted two-stage aggregation over a hot-key distribution == plain aggregation (skew never stalls a reducer)",
     ("skew", "aggregation"),
 )
-def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_agg
 
     t = _t(spark, sf_dir)
@@ -719,7 +775,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_stateful_counters",
+    "flow_stateful_counters",
     """
     SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events
@@ -729,7 +785,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applyInPandasWithState custom stateful operator: per-user running counters; final state == batch aggregation",
     ("streaming", "udf"),
 )
-def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .streaming.stateful import running_user_counters
@@ -753,7 +809,7 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_stream_join",
+    "flow_stream_join",
     """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            round(p.value, 2) AS purchase_value
@@ -766,7 +822,7 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermarked stream-stream interval join: purchases within 1h after each click",
     ("streaming", "join"),
 )
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_ops._events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")

@@ -124,7 +124,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q06_revenue_forecast",
+    "x11_revenue_forecast",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem
@@ -136,7 +136,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q6-style selective filter + scalar aggregate; predicates push to the parquet scan",
     ("aggregation", "filter"),
 )
-def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x11_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     li = t["lineitem"]
     return li.filter(
@@ -148,7 +148,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_count_distinct",
+    "q09_count_distinct",
     """
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_customers,
@@ -161,7 +161,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count-distinct (expand-based distinct agg) alongside plain aggs",
     ("aggregation",),
 )
-def q11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]
@@ -176,68 +176,68 @@ def q11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q12_rollup",
+    "q10_rollup_cube",
     """
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS grouping_kind, l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-    "ROLLUP grouping sets (hierarchical subtotals)",
-    ("aggregation",),
-)
-def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
-    )
-
-
-@query(
-    "q13_cube",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           count(*) AS n
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2),
+           count(*)
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    ORDER BY grouping_kind, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    "CUBE grouping sets (all subtotal combinations)",
+    "ROLLUP (hierarchical subtotals) and CUBE (all subtotal combinations) grouping sets",
     ("aggregation",),
 )
-def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    return (
+    aggs = (F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    rolled = (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("grouping_kind"), "*")
+    )
+    cubed = (
         t["lineitem"]
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+        .agg(*aggs)
+        .select(F.lit("cube").alias("grouping_kind"), "*")
+    )
+    return rolled.unionByName(cubed).orderBy(
+        "grouping_kind",
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
     )
 
 
 @query(
-    "q14_percentiles",
+    "q11_percentile_collect",
     """
     SELECT l_returnflag,
            round(median(l_extendedprice), 4)                       AS median_price,
            round(quantile_cont(l_extendedprice, 0.25), 4)          AS p25_price,
            round(quantile_cont(l_extendedprice, 0.95), 4)          AS p95_price,
            round(min(l_extendedprice), 2)                          AS min_price,
-           round(max(l_extendedprice), 2)                          AS max_price
+           round(max(l_extendedprice), 2)                          AS max_price,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           count(*)                                                AS n
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    "exact percentile/median aggregation (sort-based within group)",
+    "exact percentile/median aggregation (sort-based within group) + "
+    "collect_set canonicalized by sort. Exactness is the oracle contract; "
+    "the scale path for large groups is approx_quantiles (see "
+    "functions.approx and x04_approx_sketches).",
     ("aggregation",),
 )
-def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["lineitem"]
@@ -248,13 +248,15 @@ def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
     )
 
 
 @query(
-    "q15_collect_agg",
+    "x16_collect_nations",
     """
     SELECT n_regionkey,
            array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
@@ -266,7 +268,7 @@ def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_set aggregation canonicalized by sort (list order is nondeterministic otherwise)",
     ("aggregation",),
 )
-def q15_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x16_collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["nation"]
@@ -400,55 +402,51 @@ def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_semi_join",
+    "q05_semi_anti_join",
     """
-    SELECT o_orderkey, o_orderstatus
+    SELECT 'semi' AS side, o_orderkey AS key, o_orderstatus AS label
     FROM orders
     WHERE EXISTS (
         SELECT 1 FROM lineitem
         WHERE l_orderkey = o_orderkey AND l_quantity > 45
     )
-    ORDER BY o_orderkey
-    """,
-    "left-semi join (EXISTS): no row multiplication, build side deduped",
-    ("join",),
-)
-def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    big = t["lineitem"].filter(F.col("l_quantity") > 45)
-    return (
-        t["orders"]
-        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
-        .select("o_orderkey", "o_orderstatus")
-        .orderBy("o_orderkey")
-    )
-
-
-@query(
-    "q07_anti_join",
-    """
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 350000)
-    ORDER BY c_custkey
+    ORDER BY side, key
     """,
-    "left-anti join (NOT EXISTS): customers with no high-value orders",
+    "left-semi join (EXISTS, no row multiplication) and left-anti join (NOT EXISTS) as a tagged union",
     ("join",),
 )
-def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    big = t["orders"].filter(F.col("o_totalprice") > 350000)
-    return (
-        t["customer"]
-        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    big_items = t["lineitem"].filter(F.col("l_quantity") > 45)
+    semi = (
+        t["orders"]
+        .join(big_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select(
+            F.lit("semi").alias("side"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("label"),
+        )
     )
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 350000)
+    anti = (
+        t["customer"]
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(
+            F.lit("anti").alias("side"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("label"),
+        )
+    )
+    return semi.unionByName(anti).orderBy("side", "key")
 
 
 @query(
-    "q08_outer_join",
+    "q06_outer_join_agg",
     """
     SELECT c_custkey,
            count(o_orderkey)                       AS n_orders,
@@ -461,7 +459,7 @@ def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left outer join preserving unmatched rows + null-tolerant aggregation",
     ("join", "aggregation"),
 )
-def q08_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["customer"]
@@ -476,7 +474,7 @@ def q08_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q09_full_outer",
+    "q07_full_outer",
     """
     SELECT k, has_customer, has_supplier
     FROM (
@@ -492,7 +490,7 @@ def q08_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full outer join with unmatched sides on both ends",
     ("join",),
 )
-def q09_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     c = t["customer"].select((F.col("c_nationkey") % 40).alias("k")).distinct().alias("c")
     s = t["supplier"].select((F.col("s_suppkey") % 40).alias("k")).distinct().alias("s")
@@ -508,7 +506,7 @@ def q09_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q10_range_join",
+    "q08_range_join",
     """
     SELECT o_orderkey, buckets.name AS price_bucket
     FROM orders
@@ -521,7 +519,7 @@ def q09_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theta (non-equi range) join against a broadcast bucket table",
     ("join",),
 )
-def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     buckets = spark.createDataFrame(
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
@@ -546,35 +544,46 @@ def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_window_rank",
+    "q12_window_rank",
     """
     SELECT * FROM (
         SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
                row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
                rank()       OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS rnk,
-               dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS drnk
+               dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS drnk,
+               ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2), c_custkey) AS quartile,
+               round(cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2)), 6) AS cd,
+               round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2)), 6) AS pr
         FROM customer
     ) WHERE rn <= 3
     ORDER BY c_nationkey, rn
     """,
-    "ranking windows + top-k per group (row_number filter)",
+    "ranking + distribution windows (row_number/rank/dense_rank/ntile/cume_dist/percent_rank) "
+    "+ top-k per group (row_number filter)",
     ("window",),
 )
-def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    # rank/dense_rank over the rounded value so float-equality ties agree
-    # with the oracle bit-for-bit.
-    wr = W.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2).desc())
+    # rank/dense_rank/cume_dist over the rounded value so float-equality
+    # ties agree with the oracle bit-for-bit; ntile order tie-broken by
+    # key so bucket assignment is deterministic.
+    acct = F.round("c_acctbal", 2)
+    wr = W.partitionBy("c_nationkey").orderBy(acct.desc())
+    wa = W.partitionBy("c_nationkey").orderBy(acct)
+    wn = W.partitionBy("c_nationkey").orderBy(acct, F.col("c_custkey"))
     return (
         t["customer"]
         .select(
             "c_nationkey",
             "c_custkey",
-            F.round("c_acctbal", 2).alias("acctbal"),
+            acct.alias("acctbal"),
             F.row_number().over(w).alias("rn"),
             F.rank().over(wr).alias("rnk"),
             F.dense_rank().over(wr).alias("drnk"),
+            F.ntile(4).over(wn).alias("quartile"),
+            F.round(F.cume_dist().over(wa), 6).alias("cd"),
+            F.round(F.percent_rank().over(wa), 6).alias("pr"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
@@ -582,7 +591,7 @@ def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_window_analytic",
+    "q13_window_analytic",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
            lag(o_orderkey)  OVER w AS prev_order,
@@ -596,7 +605,7 @@ def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytic windows: lag/lead/first_value with deterministic tie-broken ordering",
     ("window",),
 )
-def q17_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -617,7 +626,7 @@ def q17_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_window_running",
+    "q14_window_running",
     """
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (
@@ -625,19 +634,30 @@ def q17_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
            count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS running_n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS running_n,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS orders_30d,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
-    "running-frame aggregates (cumulative sum/count)",
+    "running ROWS-frame aggregates (cumulative sum/count) + RANGE frame "
+    "over a time axis (trailing 30-day aggregates)",
     ("window",),
 )
-def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # rangeBetween with calendar intervals needs the SQL expression form;
+    # the DataFrame API only takes numeric offsets.
+    range_30d = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)"
     )
     return (
         t["orders"]
@@ -646,6 +666,8 @@ def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
             F.count(F.lit(1)).over(w).alias("running_n"),
+            F.expr(f"count(*) {range_30d}").alias("orders_30d"),
+            F.expr(f"round(sum(o_totalprice) {range_30d}, 2)").alias("spend_30d"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -657,7 +679,7 @@ def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_topk",
+    "q15_topk",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total
     FROM orders
@@ -667,7 +689,7 @@ def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global top-k: Spark runs TakeOrderedAndProject (per-partition heap, no full sort)",
     ("sort",),
 )
-def q19_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]
@@ -678,7 +700,7 @@ def q19_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q20_set_ops",
+    "q16_set_ops",
     """
     WITH c AS (SELECT c_nationkey AS k FROM customer),
          s AS (SELECT s_nationkey AS k FROM supplier)
@@ -694,7 +716,7 @@ def q19_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set operations: union all / union distinct / intersect / except",
     ("setops",),
 )
-def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     c = t["customer"].select(F.col("c_nationkey").alias("k"))
     s = t["supplier"].select(F.col("s_nationkey").alias("k"))
@@ -713,7 +735,7 @@ def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q21_string_funcs",
+    "q17_string_funcs",
     """
     SELECT p_partkey,
            concat(p_brand, ':', p_type)                        AS brand_type,
@@ -731,7 +753,7 @@ def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string function family: concat/substr/length/trim/case/regexp/split/levenshtein",
     ("functions",),
 )
-def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["part"]
@@ -752,7 +774,7 @@ def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q22_datetime_funcs",
+    "q18_datetime_funcs",
     """
     SELECT o_orderkey,
            CAST(date_trunc('month', o_orderdate) AS DATE)  AS order_month,
@@ -762,15 +784,23 @@ def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(quarter FROM o_orderdate)::BIGINT       AS qtr,
            datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_end,
            CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)    AS plus3mo,
-           strftime(o_orderdate, '%Y-%m-%d')               AS iso_day
+           strftime(o_orderdate, '%Y-%m-%d')               AS iso_day,
+           last_day(CAST(o_orderdate AS DATE))             AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS DATE)   AS week_start,
+           CAST(o_orderdate AS DATE) + 7                   AS plus_week,
+           CAST(o_orderdate AS DATE) - 30                  AS minus_month,
+           (dayofweek(o_orderdate) + 1)::BIGINT            AS dow,
+           weekofyear(o_orderdate)::BIGINT                 AS woy
     FROM orders
     ORDER BY o_orderkey
     """,
-    "date/time function family: trunc/extract/diff/add_months/format",
+    "date/time function family: trunc/extract/diff/add_months/format/"
+    "last_day/week boundaries/day offsets/dow/iso week",
     ("functions",),
 )
-def q22_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
     return (
         t["orders"]
         .select(
@@ -785,13 +815,19 @@ def q22_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.add_months("o_orderdate", 3).alias("plus3mo"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+            F.last_day(d).alias("month_end"),
+            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+            F.date_add(d, 7).alias("plus_week"),
+            F.date_sub(d, 30).alias("minus_month"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+            F.weekofyear("o_orderdate").cast("long").alias("woy"),
         )
         .orderBy("o_orderkey")
     )
 
 
 @query(
-    "q23_math_funcs",
+    "q19_math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 0)               AS price_rounded,
@@ -810,7 +846,7 @@ def q22_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math function family: round/abs/ceil/floor/ln/exp/pow/sqrt/mod",
     ("functions",),
 )
-def q23_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["lineitem"]
@@ -833,22 +869,26 @@ def q23_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q24_null_handling",
+    "q20_null_cast",
     """
     SELECT o_orderkey,
            coalesce(nullif(o_orderstatus, 'P'), 'PENDING')  AS status_norm,
            CASE WHEN o_totalprice > 100000 THEN o_totalprice END IS NULL AS small_order,
-           round(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, 0.0), 2) AS big_or_zero
+           round(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, 0.0), 2) AS big_or_zero,
+           CAST(o_totalprice AS DECIMAL(18,2))              AS price_dec,
+           CAST(o_orderkey AS VARCHAR)                      AS key_str,
+           round(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, -1.0), 2) AS big_or_filled
     FROM orders
     ORDER BY o_orderkey
     """,
-    "null handling: coalesce / nullif / CASE-produced nulls",
+    "cast / null handling: cast to decimal+string, coalesce, nullif, "
+    "CASE-produced nulls, na.fill over a produced null",
     ("functions",),
 )
-def q24_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     big = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
-    return (
+    out = (
         t["orders"]
         .select(
             "o_orderkey",
@@ -857,53 +897,73 @@ def q24_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             big.isNull().alias("small_order"),
             F.round(F.coalesce(big, F.lit(0.0)), 2).alias("big_or_zero"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.round(big, 2).alias("big_or_filled"),
         )
-        .orderBy("o_orderkey")
     )
+    # df.na.fill on the CASE-produced null column (the DataFrame-native
+    # fill path, vs the coalesce expression above)
+    return out.na.fill({"big_or_filled": -1.0}).orderBy("o_orderkey")
 
 
 @query(
-    "q25_json_access",
+    "q21_json_semistructured",
     """
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
            event_type
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     ORDER BY event_id
     """,
-    "semi-structured access: JSON path extraction from a VARIANT-ish string column",
+    "semi-structured access: string-path extraction (get_json_object) AND "
+    "from_json with an explicit schema -> typed struct field access",
     ("functions", "json"),
 )
-def q25_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_json_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    # both access paths: string-path extraction for the filter, schema'd
+    # from_json struct for the typed projection
     k = F.get_json_object("props", "$.k").cast("long")
+    parsed = t["events"].withColumn("p", F.from_json("props", "k bigint"))
     return (
-        t["events"]
-        .select("event_id", k.alias("k_val"), "event_type")
+        parsed.select(
+            "event_id",
+            k.alias("k_val"),
+            (F.col("p.k") % 7).alias("k_mod"),
+            "event_type",
+        )
         .filter(F.col("k_val") > 50)
         .orderBy("event_id")
     )
 
 
 @query(
-    "q26_array_funcs",
+    "q22_array_map_hof",
     """
     SELECT vec_id,
            len(embedding)                                              AS dim,
            round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_sum,
            round(list_aggregate(embedding, 'max')::DOUBLE, 4)          AS vec_max,
            round(embedding[1]::DOUBLE, 4) + 0.0                        AS first_elem,
-           len(list_filter(embedding, x -> x > 0))                     AS n_positive
+           len(list_filter(embedding, x -> x > 0))                     AS n_positive,
+           array_to_string(map_keys(MAP {'dim': len(embedding), 'pos': len(list_filter(embedding, x -> x > 0))}), ',') AS stat_keys,
+           list_sum(map_values(MAP {'dim': len(embedding), 'pos': len(list_filter(embedding, x -> x > 0))}))::BIGINT AS stat_total,
+           element_at(MAP {'dim': len(embedding), 'pos': len(list_filter(embedding, x -> x > 0))}, 'pos')[1]::BIGINT AS pos_via_map
     FROM embeddings
     ORDER BY vec_id
     """,
-    "array higher-order functions: size/aggregate/element/filter lambdas",
-    ("functions", "array"),
+    "array higher-order functions (size/aggregate/element/filter lambdas) "
+    "+ map construction, map_keys/map_values aggregation, element_at",
+    ("functions", "array", "map"),
 )
-def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_array_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = F.col("embedding")
+    n_positive = F.size(F.filter(emb, lambda x: x > 0))
+    m = F.create_map(F.lit("dim"), F.size(emb).cast("long"), F.lit("pos"), n_positive.cast("long"))
     return (
         t["embeddings"]
         .select(
@@ -916,14 +976,21 @@ def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vec_sum"),
             F.round(F.array_max(emb).cast("double"), 4).alias("vec_max"),
             (F.round(emb.getItem(0).cast("double"), 4) + F.lit(0.0)).alias("first_elem"),
-            F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+            n_positive.alias("n_positive"),
+            F.array_join(F.map_keys(m), ",").alias("stat_keys"),
+            F.aggregate(
+                F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("stat_total"),
+            # element_at(map, k) returns a LIST in DuckDB — hence the [1]
+            # on the oracle side; Spark returns the scalar directly
+            F.element_at(m, F.lit("pos")).alias("pos_via_map"),
         )
         .orderBy("vec_id")
     )
 
 
 @query(
-    "q27_explode_unnest",
+    "x17_explode_unnest",
     """
     SELECT word, count(*) AS n
     FROM (
@@ -937,7 +1004,7 @@ def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode/unnest an array column then re-aggregate (word counts)",
     ("functions", "array"),
 )
-def q27_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x17_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["part"]
@@ -950,7 +1017,7 @@ def q27_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q28_pivot",
+    "x02_pivot",
     """
     SELECT l_returnflag,
            round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O,
@@ -962,7 +1029,7 @@ def q27_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot: linestatus columns out of rows (conditional aggregation)",
     ("aggregation",),
 )
-def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x02_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     piv = (
         t["lineitem"]
@@ -978,7 +1045,7 @@ def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q29_distinct_projection",
+    "x10_distinct_projection",
     """
     SELECT DISTINCT o_orderstatus, o_orderpriority
     FROM orders
@@ -987,7 +1054,7 @@ def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dropDuplicates on a projection",
     ("projection",),
 )
-def q29_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x10_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]
@@ -998,7 +1065,7 @@ def q29_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q30_correlated_scalar",
+    "x06_correlated_scalar",
     """
     SELECT c_custkey, round(c_acctbal, 2) AS acctbal
     FROM customer
@@ -1008,7 +1075,7 @@ def q29_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar subquery in predicate (uncorrelated aggregate subquery)",
     ("filter", "subquery"),
 )
-def q30_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x06_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     t["customer"].createOrReplaceTempView("customer")
     return spark.sql(
@@ -1027,7 +1094,7 @@ def q30_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q31_having",
+    "x08_having",
     """
     SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
     FROM orders
@@ -1038,7 +1105,7 @@ def q30_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "post-aggregation HAVING filter",
     ("aggregation", "filter"),
 )
-def q31_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x08_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]
@@ -1055,7 +1122,7 @@ def q31_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q32_in_subquery",
+    "x07_in_subquery",
     """
     SELECT s_suppkey, s_name
     FROM supplier
@@ -1068,7 +1135,7 @@ def q31_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested IN subqueries (rewritten to semi-joins by Catalyst)",
     ("filter", "subquery"),
 )
-def q32_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x07_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     for name in ("supplier", "nation", "region"):
         t[name].createOrReplaceTempView(name)
@@ -1086,72 +1153,12 @@ def q32_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q33_range_frame",
-    """
-    SELECT o_orderkey, o_custkey, o_orderdate,
-           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS orders_30d,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
-    FROM orders
-    ORDER BY o_orderkey
-    """,
-    "RANGE window frame over a time axis (trailing 30-day aggregates)",
-    ("window",),
-)
-def q33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    t["orders"].createOrReplaceTempView("orders")
-    # rangeBetween with intervals needs the SQL form; the DataFrame API
-    # only takes numeric offsets
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_orderdate,
-               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS orders_30d,
-               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
-        FROM orders
-        ORDER BY o_orderkey
-        """
-    )
-
-
-@query(
-    "q34_ntile_cume",
-    """
-    SELECT c_custkey,
-           ntile(4)       OVER (ORDER BY round(c_acctbal, 2), c_custkey) AS quartile,
-           round(cume_dist()    OVER (ORDER BY round(c_acctbal, 2)), 6)  AS cd,
-           round(percent_rank() OVER (ORDER BY round(c_acctbal, 2)), 6)  AS pr
-    FROM customer
-    ORDER BY c_custkey
-    """,
-    "distribution windows: ntile / cume_dist / percent_rank",
-    ("window",),
-)
-def q34_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    acct = F.round("c_acctbal", 2)
-    return (
-        t["customer"]
-        .select(
-            "c_custkey",
-            F.ntile(4).over(W.orderBy(acct, "c_custkey")).alias("quartile"),
-            F.round(F.cume_dist().over(W.orderBy(acct)), 6).alias("cd"),
-            F.round(F.percent_rank().over(W.orderBy(acct)), 6).alias("pr"),
-        )
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "q35_approx_sketches",
+    "x04_approx_sketches",
     None,  # approximate by design: rows-only check
     "approximate sketches: approx_count_distinct (HLL++), percentile_approx — no exact oracle by design",
     ("aggregation", "approx"),
 )
-def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x04_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["lineitem"]
@@ -1175,59 +1182,55 @@ def _scratch_dir(name: str) -> str:
 
 
 @query(
-    "q36_csv_roundtrip",
+    "file_csv_json_roundtrip",
     """
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT 'csv' AS fmt, o_orderstatus AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
     FROM orders
     GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
-    "CSV sink + source roundtrip: write orders to CSV, read back with explicit schema, aggregate",
-    ("source", "sink"),
-)
-def q36_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    path = _scratch_dir("q36_csv")
-    t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
-        "overwrite"
-    ).option("header", True).csv(path)
-    back = spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double").option(
-        "header", True
-    ).csv(path)
-    return (
-        back.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
-    "q37_json_roundtrip",
-    """
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    UNION ALL
+    SELECT 'json', event_type, count(*), round(sum(value), 2)
     FROM events
     GROUP BY event_type
-    ORDER BY event_type
+    ORDER BY fmt, grp
     """,
-    "JSON-lines sink + source roundtrip over the events table",
+    "CSV and JSON-lines sink + source roundtrips: write, read back with "
+    "explicit schema, aggregate — tagged union of both formats",
     ("source", "sink"),
 )
-def q37_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_table
 
-    path = _scratch_dir("q37_json")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    ev.write.mode("overwrite").json(path)
-    back = spark.read.schema("event_id long, event_type string, value double").json(path)
-    return (
-        back.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .orderBy("event_type")
+    t = _t(spark, sf_dir)
+    csv_path = _scratch_dir("file_rt_csv")
+    t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_path)
+    csv_back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).option("header", True).csv(csv_path)
+    csv_agg = (
+        csv_back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(F.lit("csv").alias("fmt"), F.col("o_orderstatus").alias("grp"), "n", "total")
     )
+
+    json_path = _scratch_dir("file_rt_json")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(json_path)
+    json_back = spark.read.schema("event_id long, event_type string, value double").json(
+        json_path
+    )
+    json_agg = (
+        json_back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.lit("json").alias("fmt"), F.col("event_type").alias("grp"), "n", "total")
+    )
+    return csv_agg.unionByName(json_agg).orderBy("fmt", "grp")
 
 
 @query(
-    "q38_parquet_partitioned_sink",
+    "file_parquet_partitioned_sink",
     """
     SELECT l_returnflag, count(*) AS n
     FROM lineitem
@@ -1238,7 +1241,7 @@ def q37_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioned parquet sink + partition-pruned scan (only 2 of 3 partitions read back)",
     ("source", "sink"),
 )
-def q38_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def file_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     path = _scratch_dir("q38_parquet")
     t["lineitem"].select("l_orderkey", "l_returnflag").write.mode("overwrite").partitionBy(
@@ -1251,7 +1254,7 @@ def q38_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q39_large_orders",
+    "x12_large_orders",
     """
     SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total, round(qty, 2) AS qty
     FROM (
@@ -1265,7 +1268,7 @@ def q38_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q18 shape: aggregate-then-join with HAVING pre-filter",
     ("join", "aggregation"),
 )
-def q39_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x12_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     big = (
         t["lineitem"]
@@ -1288,7 +1291,7 @@ def q39_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q40_inactive_customers",
+    "x13_inactive_customers",
     """
     SELECT substr(c_name, 1, 9) AS name_prefix, count(*) AS n_custs,
            round(sum(c_acctbal), 2) AS total_bal
@@ -1301,7 +1304,7 @@ def q39_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti-join + re-aggregation",
     ("join", "subquery", "aggregation"),
 )
-def q40_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x13_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     for name in ("customer", "orders"):
         t[name].createOrReplaceTempView(name)
@@ -1319,7 +1322,7 @@ def q40_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q41_correlated_min",
+    "x09_correlated_min",
     """
     SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
     FROM part p
@@ -1331,7 +1334,7 @@ def q40_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q2 shape: correlated scalar min subquery (decorrelated to an aggregate join by Catalyst)",
     ("subquery", "join"),
 )
-def q41_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x09_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     t["part"].createOrReplaceTempView("part")
     return spark.sql(
@@ -1347,7 +1350,7 @@ def q41_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q42_cte_reuse",
+    "x05_cte_reuse",
     """
     WITH monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
@@ -1363,7 +1366,7 @@ def q41_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CTE defined once, consumed twice (self-join for month-over-month delta)",
     ("cte", "join", "window"),
 )
-def q42_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x05_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     t["orders"].createOrReplaceTempView("orders")
     return spark.sql(
@@ -1383,32 +1386,7 @@ def q42_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q43_from_json_struct",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
-    FROM events
-    ORDER BY event_id
-    """,
-    "from_json with explicit schema -> typed struct field access (vs string-path extraction)",
-    ("json", "functions"),
-)
-def q43_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    parsed = t["events"].withColumn("p", F.from_json("props", "k bigint"))
-    return (
-        parsed.select(
-            "event_id",
-            F.col("p.k").alias("k"),
-            (F.col("p.k") % 7).alias("k_mod"),
-        )
-        .orderBy("event_id")
-    )
-
-
-@query(
-    "q44_unpivot",
+    "x03_unpivot",
     """
     SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
     FROM (
@@ -1420,7 +1398,7 @@ def q43_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot (wide -> long): Spark stack() == SQL UNPIVOT",
     ("projection",),
 )
-def q44_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x03_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["lineitem"]
@@ -1439,59 +1417,7 @@ def q44_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q45_map_funcs",
-    """
-    SELECT n_regionkey,
-           array_to_string(map_keys(m), ',')                    AS ks,
-           round(list_sum(map_values(m)), 2)                    AS total_bal,
-           round(element_at(m, 'max_bal')[1], 2)                AS max_bal
-    FROM (
-        SELECT n_regionkey,
-               MAP {'avg_bal': avg_bal, 'max_bal': max_bal, 'min_bal': min_bal} AS m
-        FROM (
-            SELECT n_regionkey,
-                   round(avg(c_acctbal), 4) AS avg_bal,
-                   round(max(c_acctbal), 4) AS max_bal,
-                   round(min(c_acctbal), 4) AS min_bal
-            FROM customer JOIN nation ON n_nationkey = c_nationkey
-            GROUP BY n_regionkey
-        )
-    )
-    ORDER BY n_regionkey
-    """,
-    "map column functions: construction, map_keys, map_values aggregation, element_at",
-    ("functions", "map"),
-)
-def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    agg = (
-        t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
-        .groupBy("n_regionkey")
-        .agg(
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
-            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
-        )
-    )
-    m = F.create_map(
-        F.lit("avg_bal"), F.col("avg_bal"),
-        F.lit("max_bal"), F.col("max_bal"),
-        F.lit("min_bal"), F.col("min_bal"),
-    )
-    with_map = agg.select("n_regionkey", m.alias("m"))
-    return with_map.select(
-        "n_regionkey",
-        F.array_join(F.map_keys("m"), ",").alias("ks"),
-        F.round(
-            F.aggregate(F.map_values("m"), F.lit(0.0), lambda a, x: a + x), 2
-        ).alias("total_bal"),
-        F.round(F.element_at("m", F.lit("max_bal")), 2).alias("max_bal"),
-    ).orderBy("n_regionkey")
-
-
-@query(
-    "q46_decimal_exact",
+    "x14_decimal_exact",
     """
     SELECT l_returnflag,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price_exact,
@@ -1504,7 +1430,7 @@ def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact decimal aggregation: DECIMAL(18,2) sums are order-independent (no float rounding needed)",
     ("aggregation", "types"),
 )
-def q46_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x14_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
@@ -1520,43 +1446,7 @@ def q46_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q47_date_extras",
-    """
-    SELECT o_orderkey,
-           last_day(CAST(o_orderdate AS DATE))                      AS month_end,
-           CAST(date_trunc('week', o_orderdate) AS DATE)            AS week_start,
-           CAST(o_orderdate AS DATE) + 7                            AS plus_week,
-           CAST(o_orderdate AS DATE) - 30                           AS minus_month,
-           (dayofweek(o_orderdate) + 1)::BIGINT                     AS dow,
-           weekofyear(o_orderdate)::BIGINT                          AS woy
-    FROM orders
-    WHERE o_orderkey < 2000
-    ORDER BY o_orderkey
-    """,
-    "date arithmetic extras: last_day / week truncation / day offsets / dow / iso week",
-    ("functions", "datetime"),
-)
-def q47_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    d = F.col("o_orderdate").cast("date")
-    return (
-        t["orders"]
-        .filter(F.col("o_orderkey") < 2000)
-        .select(
-            "o_orderkey",
-            F.last_day(d).alias("month_end"),
-            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
-            F.date_add(d, 7).alias("plus_week"),
-            F.date_sub(d, 30).alias("minus_month"),
-            F.dayofweek("o_orderdate").cast("long").alias("dow"),
-            F.weekofyear("o_orderdate").cast("long").alias("woy"),
-        )
-        .orderBy("o_orderkey")
-    )
-
-
-@query(
-    "q48_na_handling",
+    "x15_na_handling",
     """
     WITH j AS (
         SELECT c_custkey, c_acctbal, o.o_totalprice
@@ -1574,7 +1464,7 @@ def q47_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     "na.fill / na.drop over outer-join-produced nulls",
     ("functions", "null"),
 )
-def q48_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x15_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     top = (
         t["orders"]
@@ -1599,7 +1489,7 @@ def q48_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q49_upsert_merge",
+    "x01_upsert_merge",
     """
     WITH updates AS (
         SELECT o_custkey AS c_custkey,
@@ -1619,7 +1509,7 @@ def q48_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MERGE INTO emulation (upsert/CDC apply): matched rows updated, unmatched inserted via anti-join + union",
     ("merge", "join"),
 )
-def q49_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x01_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     updates = (
         t["orders"]

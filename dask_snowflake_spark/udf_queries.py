@@ -25,53 +25,27 @@ from .queries import _t, query
 
 
 @query(
-    "udf_pandas_scalar",
+    "fn_udf_pandas",
     """
-    SELECT l_orderkey, l_linenumber,
-           round(greatest(l_extendedprice * (1 + l_tax), 1000.0), 6) AS taxed_floor
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity ORDER BY l_extendedprice * l_quantity)
+                 / sum(l_quantity ORDER BY l_quantity), 4) AS weighted_price,
+           round(sum(greatest(l_extendedprice * (1 + l_tax), 1000.0)
+                     ORDER BY greatest(l_extendedprice * (1 + l_tax), 1000.0)), 2) AS taxed_total
     FROM lineitem
-    WHERE l_orderkey < 2000
-    ORDER BY l_orderkey, l_linenumber
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
-    "vectorized scalar Pandas UDF (Arrow-batched): taxed price with a floor",
+    "vectorized scalar Pandas UDF (Arrow-batched taxed-price floor) feeding "
+    "a grouped-aggregate Pandas UDF (order-independent sorted accumulation)",
     ("udf",),
 )
-def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     @F.pandas_udf("double")
     def taxed_floor(price: pd.Series, tax: pd.Series) -> pd.Series:
         return (price * (1 + tax)).clip(lower=1000.0)
-
-    return (
-        t["lineitem"]
-        .filter(F.col("l_orderkey") < 2000)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            # round(6) is beyond the values' true 4-decimal precision, so
-            # no decimal-halfway cases where engines' rounding diverges
-            F.round(taxed_floor("l_extendedprice", "l_tax"), 6).alias("taxed_floor"),
-        )
-        .orderBy("l_orderkey", "l_linenumber")
-    )
-
-
-@query(
-    "udf_grouped_agg",
-    """
-    SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity ORDER BY l_extendedprice * l_quantity)
-                 / sum(l_quantity ORDER BY l_quantity), 4) AS weighted_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    "grouped-aggregate Pandas UDF: order-independent weighted mean via sorted fsum",
-    ("udf",),
-)
-def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
 
     @F.pandas_udf("double")
     def weighted_price(price: pd.Series, qty: pd.Series) -> float:
@@ -85,16 +59,27 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             den += v
         return num / den
 
+    @F.pandas_udf("double")
+    def sorted_sum(v: pd.Series) -> float:
+        s = 0.0
+        for x in sorted(v):
+            s += x
+        return s
+
     return (
         t["lineitem"]
+        .withColumn("taxed", taxed_floor("l_extendedprice", "l_tax"))
         .groupBy("l_returnflag")
-        .agg(F.round(weighted_price("l_extendedprice", "l_quantity"), 4).alias("weighted_price"))
+        .agg(
+            F.round(weighted_price("l_extendedprice", "l_quantity"), 4).alias("weighted_price"),
+            F.round(sorted_sum("taxed"), 2).alias("taxed_total"),
+        )
         .orderBy("l_returnflag")
     )
 
 
 @query(
-    "udf_apply_in_pandas",
+    "fn_udf_apply_in_pandas",
     """
     SELECT c_custkey, c_nationkey,
            round(CASE WHEN max(c_acctbal) OVER w = min(c_acctbal) OVER w THEN 0.5
@@ -107,7 +92,7 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applyInPandas grouped-map: per-nation min-max scaling (exact under reordering)",
     ("udf",),
 )
-def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -133,7 +118,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "udf_map_in_arrow",
+    "fn_udf_map_in_arrow",
     """
     SELECT doc_id, length(text)::BIGINT AS n_chars_py, (doc_id % 16)::BIGINT AS shard
     FROM documents
@@ -142,7 +127,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInArrow: per-partition Arrow RecordBatch transform (zero-copy batch access)",
     ("udf",),
 )
-def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     def shard(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -169,7 +154,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "udf_table_function",
+    "fn_udf_table_function",
     """
     WITH n AS (SELECT o_orderkey, floor(o_totalprice / 50000)::BIGINT AS n_chunks FROM orders
                WHERE o_orderkey < 500),
@@ -181,7 +166,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python UDTF: one row per 50k price chunk of each order (lateral table function)",
     ("udf",),
 )
-def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     @F.udtf(returnType="o_orderkey bigint, chunk bigint, chunk_floor bigint")

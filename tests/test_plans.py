@@ -20,7 +20,7 @@ def plan(df) -> str:
 def test_filter_pushdown_reaches_scan(spark, sf_oracle):
     """q06's shipdate/discount/quantity predicates must reach the
     parquet scan as PushedFilters."""
-    df = registry()["q06_revenue_forecast"].spark_fn(spark, sf_oracle)
+    df = registry()["x11_revenue_forecast"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "PushedFilters:" in p
     pushed = [line for line in p.splitlines() if "PushedFilters" in line]
@@ -57,16 +57,18 @@ def test_aggregation_is_partial(spark, sf_oracle):
 
 
 def test_semi_join_stays_semi(spark, sf_oracle):
-    """q05's EXISTS must compile to a LeftSemi join (no row multiplication)."""
-    df = registry()["q05_semi_join"].spark_fn(spark, sf_oracle)
+    """q05's EXISTS / NOT EXISTS must compile to LeftSemi + LeftAnti
+    joins (no row multiplication on either branch)."""
+    df = registry()["q05_semi_anti_join"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
 
 
 def test_topk_uses_take_ordered(spark, sf_oracle):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
     partition heaps), not a global sort."""
-    df = registry()["q19_topk"].spark_fn(spark, sf_oracle)
+    df = registry()["q15_topk"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "TakeOrderedAndProject" in p, p
 
@@ -98,7 +100,7 @@ def test_partition_pruned_scan(spark, sf_oracle, tmp_path):
 def test_broadcast_in_similarity_topk(spark, sf_oracle):
     """The query side of top-k similarity must broadcast (corpus never
     shuffles)."""
-    df = registry()["sim_topk_bruteforce"].spark_fn(spark, sf_oracle)
+    df = registry()["ann_topk_bruteforce"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
 
@@ -107,7 +109,7 @@ def test_approx_sketches_within_bounds(spark, sf_oracle):
     """approx_count_distinct must land within 5% of the exact count;
     percentile_approx within 2% of the exact median (the rows-only
     q35 still has to be RIGHT, just not bit-exact)."""
-    rows = registry()["q35_approx_sketches"].spark_fn(spark, sf_oracle).collect()
+    rows = registry()["x04_approx_sketches"].spark_fn(spark, sf_oracle).collect()
     assert rows, "no groups"
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05, r
