@@ -9,6 +9,7 @@ each has an exact DuckDB equivalent used by the correctness oracles.
 """
 
 from ..operators.dedup import MINHASH_PRIME, minhash_params, portable_hash
+from .approx import approx_distinct, approx_median, approx_quantiles
 from ..operators.similarity import cosine, dot, norm
 from ..operators.text import (
     bpe_ish_token_count,
@@ -18,6 +19,9 @@ from ..operators.text import (
 
 __all__ = [
     "MINHASH_PRIME",
+    "approx_distinct",
+    "approx_median",
+    "approx_quantiles",
     "minhash_params",
     "portable_hash",
     "cosine",

@@ -274,29 +274,24 @@ def simhash(
     """Per-document SimHash fingerprint over word unigrams.
 
     bit_j(simhash) = majority vote of bit_j(h(word)) across the doc's
-    distinct words. 48 bits keeps every partial sum and the final
-    fingerprint inside int64. Pure explode/groupBy — one shuffle."""
+    distinct words (2*ones_j > n_words). Packed vote: the per-bit one-
+    counts are ``bits`` sum aggregates in ONE hash aggregation — no
+    words x bits row explosion, a single shuffle whose map-side partials
+    carry just ``bits`` counters per doc, and the fingerprint assembles
+    from the counts in a single projection. Equivalent to (and hash-
+    checked against) the per-bit majority formulation."""
     words = (
         docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .dropDuplicates(["doc", "w"])
         .withColumn("h", portable_hash(F.col("w")))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        words.select("doc", "h", bit)
-        .withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
-        .groupBy("doc", "bit")
-        .agg(F.sum("vote").alias("v"))
+    ones = [
+        F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"o{j}") for j in range(bits)
+    ]
+    per_doc = words.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *ones)
+    fingerprint = " + ".join(
+        f"IF(2 * o{j} > n, shiftleft(cast(1 as bigint), {j}), cast(0 as bigint))"
+        for j in range(bits)
     )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("doc")
-        .agg(F.sum("bitval").alias("simhash"))
-        .select(F.col("doc").alias("doc_id"), "simhash")
-    )
+    return per_doc.select(F.col("doc").alias("doc_id"), F.expr(fingerprint).alias("simhash"))

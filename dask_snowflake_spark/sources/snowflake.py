@@ -38,6 +38,7 @@ from typing import Any, Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 from pyspark.sql.types import StructType
@@ -194,13 +195,16 @@ def read_snowflake(
     partition_size: str | int | None = None,
     npartitions: int | None = None,
     backend: str = "snowflake",
+    cast_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Execute ``query`` on the warehouse; return a lazy partitioned
     DataFrame of the staged result (reference core.py:200-302).
 
-    ``arrow_options`` from the reference has no Spark analog (pandas
-    dtype mapping); use explicit ``.cast`` on the result instead —
-    documented deviation, SURVEY.md §1.2.
+    ``cast_map`` is the Spark analog of the reference's ``arrow_options``
+    (core.py:218-220; ``types_mapper`` forcing Float32 in
+    test_core.py:106-123): a ``{column: spark_type_string}`` mapping
+    applied to the result, e.g. ``{"X": "float"}`` to read a DOUBLE
+    column as 32-bit float. Unlisted columns keep their inferred types.
     """
     spark = spark or SparkSession.active()
     from ..session import _ensure_runtime_confs
@@ -217,8 +221,21 @@ def read_snowflake(
         partition_size=partition_size,
         partner=spark.conf.get(PARTNER_CONF_KEY, DEFAULT_PARTNER),
     )
+    def apply_cast(df: DataFrame) -> DataFrame:
+        if not cast_map:
+            return df
+        unknown = set(cast_map) - set(df.columns)
+        if unknown:
+            raise ValueError(f"cast_map references absent columns: {sorted(unknown)}")
+        return df.select(
+            *[
+                F.col(c).cast(cast_map[c]).alias(c) if c in cast_map else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     if not planned.groups:
-        return spark.createDataFrame([], planned.spark_schema)
+        return apply_cast(spark.createDataFrame([], planned.spark_schema))
 
     # Distribute descriptor groups via a broadcast + a partition-index
     # seed DataFrame; executors decode only their own batches and emit
@@ -238,7 +255,7 @@ def read_snowflake(
                         table = table.cast(arrow_schema)
                     yield from table.to_batches()
 
-    return seed.mapInArrow(fetch, planned.spark_schema)
+    return apply_cast(seed.mapInArrow(fetch, planned.spark_schema))
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,40 @@ def test_parameterized_query(spark, warehouse):
     assert [tuple(r) for r in df.collect()] == [(3, 13)]
 
 
+def test_cast_map_forces_float32(spark, warehouse):
+    """The reference's arrow_options/types_mapper contract
+    (core.py:218-220, test_core.py:106-123): force a DOUBLE result
+    column to 32-bit float via cast_map; other columns keep their types."""
+    df = read_snowflake(
+        "SELECT A, B / 3.0 AS X FROM ab",
+        spark=spark,
+        connection_kwargs=warehouse,
+        backend="duckdb",
+        cast_map={"X": "float"},
+    )
+    types = dict(df.dtypes)
+    assert types == {"A": "bigint", "X": "float"}, types
+    assert df.count() == 10
+    # empty result keeps both the schema and the cast
+    empty = read_snowflake(
+        "SELECT A, B / 3.0 AS X FROM ab WHERE A > 999",
+        spark=spark,
+        connection_kwargs=warehouse,
+        backend="duckdb",
+        cast_map={"X": "float"},
+    )
+    assert dict(empty.dtypes) == {"A": "bigint", "X": "float"}
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="absent columns"):
+        read_snowflake(
+            "SELECT A FROM ab",
+            spark=spark,
+            connection_kwargs=warehouse,
+            backend="duckdb",
+            cast_map={"nope": "float"},
+        )
+
+
 def test_npartitions_tolerance(spark, warehouse):
     df = read_snowflake(
         "SELECT * FROM big", spark=spark, connection_kwargs=warehouse, npartitions=4, backend="duckdb"
