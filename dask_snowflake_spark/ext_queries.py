@@ -906,3 +906,51 @@ def pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").cast("long").alias("n_tokens"))
         .orderBy("lang")
     )
+
+
+@query(
+    "x00_tfidf",
+    """
+    WITH terms AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, term, count(*) AS n_t FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(n_t) AS n_doc FROM tc GROUP BY doc_id),
+    dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.term,
+               round((tc.n_t / dl.n_doc) * (ln((n.n_docs + 1) / (dfq.df + 1)) + 1), 6) AS tfidf_r
+        FROM tc
+        JOIN dl ON dl.doc_id = tc.doc_id
+        JOIN dfq ON dfq.term = tc.term
+        CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf_r,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf_r, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    "sparse TF-IDF (smoothed idf) over whitespace unigrams, top-3 terms "
+    "per document; rank over the 6dp-rounded score so engine float tails "
+    "can't flip ties",
+    ("text",),
+)
+def x00_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    scored = text_ops.tfidf(t["documents"])
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_r").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf_r", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

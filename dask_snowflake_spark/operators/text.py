@@ -132,11 +132,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", stride: int = 4) -> DataF
         "__norm", F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     )
     norm = F.col("__norm")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1)), F.lit(stride)),
-        lambda i: norm.substr(i, F.lit(8)),
+    # one fused transform (hash straight off the substring) — a second
+    # transform over a materialized gram array would double the
+    # interpreted-lambda traversals
+    min_gram_hash = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1)), F.lit(stride)),
+            lambda i: portable_hash(norm.substr(i, F.lit(8))),
+        )
     )
-    min_gram_hash = F.array_min(F.transform(grams, lambda g: portable_hash(g)))
     return (
         with_norm.select(
             "*",
@@ -144,4 +148,45 @@ def fingerprint(df: DataFrame, text_col: str = "text", stride: int = 4) -> DataF
             min_gram_hash.alias("winnow_fp"),
         )
         .drop("__norm")
+    )
+
+
+def tfidf(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sparse TF-IDF over whitespace unigrams: one row per (doc, term).
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style); ``tfidf_r`` is the 6dp-rounded product —
+    round BEFORE any ranking so engine float tails can't flip ties.
+
+    Scale shape: groupBy (doc, term) shuffles ~corpus token count
+    (inherent to TF), the document-frequency groupBy shuffles the
+    distinct (doc, term) pairs with map-side partials absorbing hot
+    stopword terms, and the corpus size joins in as a broadcast scalar —
+    no driver-side count, no whole-table window."""
+    from pyspark.sql.window import Window as W
+
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_t"))
+    tc = tc.withColumn("n_doc", F.sum("n_t").over(W.partitionBy(id_col)))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tc.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "n_t",
+            "df",
+            F.round(
+                (F.col("n_t") / F.col("n_doc"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf_r"),
+        )
     )

@@ -243,13 +243,25 @@ def q11_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            # one percentile aggregate with an array of probabilities:
+            # the group buffers and sorts ONCE for all three quantiles
+            # (three separate percentile() calls would each keep their
+            # own copy of the group's values)
+            F.expr("percentile(l_extendedprice, array(0.5, 0.25, 0.95))").alias("__pcts"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__pcts")[0], 4).alias("median_price"),
+            F.round(F.col("__pcts")[1], 4).alias("p25_price"),
+            F.round(F.col("__pcts")[2], 4).alias("p95_price"),
+            "min_price",
+            "max_price",
+            "statuses",
+            "n",
         )
         .orderBy("l_returnflag")
     )
