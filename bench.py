@@ -29,8 +29,11 @@ def main() -> None:
     # engine time, not first-touch overhead
     from dask_snowflake_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
-    spark.sql("SELECT count(*) FROM lineitem").collect()
+    tables = register_tables(spark, sf_dir)
+    # touch every table (parquet footers + scan codegen) so the first
+    # measured query isn't charged for first-contact costs
+    for name in tables:
+        spark.sql(f"SELECT count(*) FROM {name}").collect()
 
     timings: dict[str, float] = {}
     for name, qd in sorted(registry().items()):

@@ -954,3 +954,52 @@ def x00_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf_r", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "x18_simhash_near_dup",
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id AS doc, w
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+        WHERE w <> ''
+    ),
+    hashes AS (
+        SELECT doc, ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h FROM words
+    ),
+    bits AS (SELECT unnest(range(48)) AS bit),
+    votes AS (
+        SELECT doc, bit, sum(((h >> bit) & 1) * 2 - 1) AS v
+        FROM hashes CROSS JOIN bits
+        GROUP BY doc, bit
+    ),
+    sims AS (
+        SELECT doc AS doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b.band, (simhash >> (b.band * 12)) & 4095 AS val
+        FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    "SimHash near-dup pairs: banded candidate generation (pigeonhole — "
+    "hamming <= 3 pairs must agree exactly on one of 4 twelve-bit bands, "
+    "so candidates come from an equi-join, never all-pairs) + "
+    "bit_count(xor) verify on candidates only",
+    ("dedup",),
+)
+def x18_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return dedup_ops.simhash_near_dup(t["documents"], max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    ).orderBy("doc_a", "doc_b")

@@ -295,3 +295,61 @@ def simhash(
         for j in range(bits)
     )
     return per_doc.select(F.col("doc").alias("doc_id"), F.expr(fingerprint).alias("simhash"))
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Banded candidate generation (pigeonhole): the ``bits``-bit
+    fingerprint splits into ``max_hamming + 1`` equal bands, and any
+    pair within the hamming budget must agree EXACTLY on at least one
+    band — so candidates come from an equi-join on (band_index,
+    band_value), O(colliding pairs), never an all-pairs cross product.
+    Survives corpus scale the same way the MinHash LSH path does; the
+    final bit_count(xor) verify touches only candidates.
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must divide into {n_bands} equal bands")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(docs, text_col, id_col, bits=bits)
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")
+            for b in range(n_bands)
+        ]
+    )
+    bands = fp.select(
+        F.col("doc_id"), F.col("simhash"), F.posexplode(band_vals).alias("band", "val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
