@@ -166,7 +166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes AS (
         SELECT doc, ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h FROM words
     ),
-    bits AS (SELECT unnest(range(48)) AS bit),
+    bits AS (SELECT unnest(range(60)) AS bit),
     votes AS (
         SELECT doc, bit, sum(((h >> bit) & 1) * 2 - 1) AS v
         FROM hashes CROSS JOIN bits
@@ -176,12 +176,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY doc ORDER BY doc_id
     """,
-    "SimHash 48-bit fingerprint per document (majority vote of word-hash bits)",
+    "SimHash 60-bit fingerprint per document (majority vote of word-hash bits)",
     ("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    return dedup_ops.simhash(t["documents"], bits=48).orderBy("doc_id")
+    return dedup_ops.simhash(t["documents"], bits=60).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -967,7 +967,7 @@ def x00_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes AS (
         SELECT doc, ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h FROM words
     ),
-    bits AS (SELECT unnest(range(48)) AS bit),
+    bits AS (SELECT unnest(range(60)) AS bit),
     votes AS (
         SELECT doc, bit, sum(((h >> bit) & 1) * 2 - 1) AS v
         FROM hashes CROSS JOIN bits
@@ -979,7 +979,7 @@ def x00_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM votes GROUP BY doc
     ),
     bands AS (
-        SELECT doc_id, simhash, b.band, (simhash >> (b.band * 12)) & 4095 AS val
+        SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS val
         FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) b
     ),
     cand AS (
@@ -993,7 +993,7 @@ def x00_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
     "SimHash near-dup pairs: banded candidate generation (pigeonhole — "
-    "hamming <= 3 pairs must agree exactly on one of 4 twelve-bit bands, "
+    "hamming <= 3 pairs must agree exactly on one of 4 fifteen-bit bands, "
     "so candidates come from an equi-join, never all-pairs) + "
     "bit_count(xor) verify on candidates only",
     ("dedup",),

@@ -7,7 +7,7 @@ string, /root/reference/dask_snowflake/core.py:143):
 - exact:        hash-groupBy on the full text (``dropDuplicates``)
 - MinHash+LSH:  shingle -> k minhashes -> band -> bucket-join -> verify
 - n-gram Jaccard: exact all-pairs via shared-shingle equi-join
-- SimHash:      per-doc 48-bit similarity fingerprint
+- SimHash:      per-doc 60-bit similarity fingerprint + banded hamming pairs
 - embedding near-dup: see operators/similarity.py
 
 Scale design (100 TB): everything is expressed as explode -> groupBy ->
@@ -269,7 +269,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    bits: int = 48,
+    bits: int = 60,
 ) -> DataFrame:
     """Per-document SimHash fingerprint over word unigrams.
 
@@ -302,7 +302,7 @@ def simhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    bits: int = 48,
+    bits: int = 60,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
