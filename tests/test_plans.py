@@ -178,3 +178,23 @@ def test_bucketed_join_avoids_shuffle(spark, sf_oracle, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_simhash_near_dup_is_equi_join(spark, sf_oracle):
+    """x18's banded candidate generation must be an equi-join on
+    (band, value) — never a cartesian/nested-loop product over docs."""
+    df = registry()["x18_simhash_near_dup"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p), p
+
+
+def test_tfidf_corpus_size_is_broadcast_scalar(spark, sf_oracle):
+    """tfidf joins the corpus size in as a broadcast single row (no
+    driver-side count, no whole-table window); the per-term document
+    frequency join must be an equi-join."""
+    df = registry()["x00_tfidf"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
