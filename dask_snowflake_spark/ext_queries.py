@@ -1003,3 +1003,44 @@ def x18_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_near_dup(t["documents"], max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "x19_dataset_split",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000000 AS bkt
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN bkt < 100000 THEN 'test'
+                    WHEN bkt < 900000 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM b
+    )
+    SELECT split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    "deterministic train/val/test split (80/10/10) by content hash of the "
+    "key — no RNG, reproducible across engines/retries/partitionings, and "
+    "rows never migrate between splits as the corpus grows",
+    ("sampling",),
+)
+def x19_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import split_assign
+
+    t = _t(spark, sf_dir)
+    assigned = split_assign(
+        t["documents"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
