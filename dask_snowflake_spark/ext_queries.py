@@ -1044,3 +1044,51 @@ def x19_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "x20_gap_fill",
+    """
+    WITH actual AS (
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(min(bucket), max(bucket), INTERVAL 6 HOUR)) AS bucket
+        FROM actual GROUP BY user_id
+    )
+    SELECT s.user_id, s.bucket,
+           coalesce(a.n, 0) AS n,
+           last_value(a.total IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ff
+    FROM spine s LEFT JOIN actual a ON a.user_id = s.user_id AND a.bucket = s.bucket
+    ORDER BY s.user_id, s.bucket
+    """,
+    "time-series gap fill: per-user 6h buckets densified over each "
+    "user's own [min, max] range (sequence+explode spine, no global "
+    "driver-side date range), zero-filled counts, forward-filled totals "
+    "via last(ignorenulls) window",
+    ("timeseries",),
+)
+def x20_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import gap_fill
+
+    t = _t(spark, sf_dir)
+    return gap_fill(
+        t["events"],
+        "user_id",
+        "ts",
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.round(F.sum("value"), 2),
+        },
+        bucket_seconds=21600,
+        fill_zero=("n",),
+        fill_forward=("total",),
+    ).withColumnRenamed("total", "total_ff").orderBy("user_id", "bucket")
