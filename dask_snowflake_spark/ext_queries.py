@@ -1092,3 +1092,66 @@ def x20_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill_zero=("n",),
         fill_forward=("total",),
     ).withColumnRenamed("total", "total_ff").orderBy("user_id", "bucket")
+
+
+@query(
+    "x21_ivf_trained_recall",
+    None,  # iterative k-means training: float means are not bit-portable
+    "trained-IVF ANN: spherical k-means centroids fit on a deterministic "
+    "20% sample (Lloyd's via DataFrame ops, hash-seeded, no RNG), "
+    "scan-speed argmax-cosine cell assignment, in-cell top-10 search, "
+    "recall measured against the brute-force ground truth in-query — "
+    "rows-only check by design (iterative float training)",
+    ("similarity",),
+)
+def x21_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import deterministic_sample
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    train = deterministic_sample(emb, "vec_id", 0.2, salt="ivf-train")
+    cents = sim_ops.kmeans_fit(train, k=8, iters=2)
+    base = sim_ops.with_normalized(
+        emb.select("vec_id", "embedding"), "embedding", "nv", ["vec_id"]
+    )
+    assigned = sim_ops.assign_cells(base, cents)
+    # query side probes its 3 closest cells (the IVF recall knob);
+    # the index side stays single-cell
+    q = sim_ops.assign_cells(
+        base.filter(F.col("vec_id") < 5), cents, nprobe=3
+    ).select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"), "cell")
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim_ops.dot(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    ivf = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    truth = sim_ops.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_found"), F.lit(0)).alias("n_found"),
+            F.round(F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -291,3 +291,89 @@ def srp_lsh_near_dup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over normalized vectors, expressed as DataFrame
+    ops (assignment = argmax cosine vs broadcast centroids; update =
+    per-(cell, dimension) avg via posexplode). The only driver-side
+    data is the centroid set itself (k x dim floats — small by
+    definition), collected once per iteration; the corpus never leaves
+    the cluster. Seeds are the k vectors with the smallest content
+    hash — deterministic, no RNG.
+
+    This is the training half of a real IVF index: cells come from the
+    data's own geometry instead of a pre-existing label column."""
+    from .dedup import portable_hash
+
+    base = with_normalized(
+        embeddings.select(F.col(id_col).alias("vid"), vec_col), vec_col, "nv", ["vid"]
+    )
+    seeds = (
+        base.withColumn("__h", portable_hash(F.col("vid"), F.lit("kmeans-seed")))
+        .orderBy("__h", "vid")
+        .limit(k)
+        .select("nv")
+        .collect()
+    )
+    centroids = [list(r.nv) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_cells(base, centroids, vec_col="nv")
+        sums = (
+            assigned.select("cell", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault(r.cell, {})[r.pos] = r.m
+        # renormalize each mean onto the unit sphere (spherical k-means);
+        # empty cells keep their previous centroid
+        out = []
+        for c in range(len(centroids)):
+            if c in new:
+                v = [new[c][p] for p in sorted(new[c])]
+                nrm = sum(x * x for x in v) ** 0.5 or 1.0
+                out.append([x / nrm for x in v])
+            else:
+                out.append(centroids[c])
+        centroids = out
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "nv",
+    out_col: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Add the argmax-cosine centroid index as ``out_col``. Centroids
+    ride along as a literal array (broadcast with the plan); assignment
+    is a pure projection — scan-speed, no shuffle, no Python.
+
+    With ``nprobe`` > 1 each row gets one output row per probed cell
+    (its nprobe closest centroids) — the standard IVF recall knob for
+    the QUERY side; index rows keep nprobe=1."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct((-dot(F.col(vec_col), c)).alias("nd"), i.alias("idx")),
+    )
+    if nprobe <= 1:
+        return df.withColumn(out_col, F.array_min(scored)["idx"])
+    probes = F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["idx"]
+    )
+    return df.withColumn(out_col, F.explode(probes))
