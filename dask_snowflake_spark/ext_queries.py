@@ -1155,3 +1155,27 @@ def x21_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "x22_mm_feature_extract",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           list_transform(range(16), j ->
+               (len(list_filter(
+                   list_transform(range(length(text)), i -> ord(text[i+1]) % 16),
+                   x -> x = j)) * 1000000 // greatest(length(text), 1)) / 1000000.0) AS features
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "multimodal feature extraction: binary asset -> array<double> "
+    "embedding via an Arrow-batched mapInPandas kernel (stub: normalized "
+    "codepoint histogram, deliberately SQL-replicable so the whole "
+    "Python-UDF path is value-checked); output feeds the ANN operators",
+    ("multimodal",),
+)
+def x22_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    assets = mm_ops.attach_binary_assets(t["documents"])
+    return mm_ops.extract_features(assets, dim=16).orderBy("doc_id")

@@ -105,3 +105,72 @@ def frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": blobs})
 
     return df.select(id_col, asset_col).mapInPandas(batches, out_schema)
+
+
+def resize(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    asset_col: str = "asset",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing: 1->1 mapInPandas producing a fixed-size payload
+    per asset (STUB kernel: strided byte sampling cycled/truncated to
+    width*height bytes — deterministic; a real deployment swaps in
+    PIL.Image.resize). Output schema mirrors the input asset group with
+    updated dimensions so downstream stages are size-bounded."""
+    out_schema = f"{id_col} long, asset binary, width int, height int"
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for payload in pdf[asset_col]:
+                if len(payload) == 0:
+                    resized.append(bytes(target))
+                    continue
+                reps = (target + len(payload) - 1) // len(payload)
+                resized.append((bytes(payload) * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "asset": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, asset_col).mapInPandas(batches, out_schema)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 16, asset_col: str = "asset", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature extraction plumbing: binary asset -> dense array<double>
+    embedding via an Arrow-batched kernel (STUB: normalized codepoint
+    histogram mod ``dim`` — deterministic AND replicable in SQL, so the
+    full Python-UDF path is value-checked by the oracle; a real
+    deployment swaps in a vision encoder). The output column feeds the
+    similarity operators directly (brute-force / IVF top-k)."""
+    out_schema = f"{id_col} long, n_chars long, features array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, lens, feats = [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[asset_col]):
+                s = bytes(payload).decode("utf-8", errors="replace")
+                counts = [0] * dim
+                for ch in s:
+                    counts[ord(ch) % dim] += 1
+                n = max(len(s), 1)
+                ids.append(doc)
+                lens.append(len(s))
+                # integer quantization (floor at 1e-6), NOT float round:
+                # count/n can land exactly on a 6-decimal halfway point
+                # (e.g. 20/512) where Python's banker's rounding and
+                # SQL's round-half-away disagree; c*1e6//n is pure
+                # integer arithmetic, bit-identical everywhere
+                feats.append([(c * 1_000_000 // n) / 1e6 for c in counts])
+            yield pd.DataFrame({id_col: ids, "n_chars": lens, "features": feats})
+
+    return df.select(id_col, asset_col).mapInPandas(batches, out_schema)
