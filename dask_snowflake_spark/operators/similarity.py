@@ -315,38 +315,41 @@ def kmeans_fit(
 
     base = with_normalized(
         embeddings.select(F.col(id_col).alias("vid"), vec_col), vec_col, "nv", ["vid"]
-    )
-    seeds = (
-        base.withColumn("__h", portable_hash(F.col("vid"), F.lit("kmeans-seed")))
-        .orderBy("__h", "vid")
-        .limit(k)
-        .select("nv")
-        .collect()
-    )
-    centroids = [list(r.nv) for r in seeds]
-    for _ in range(iters):
-        assigned = assign_cells(base, centroids, vec_col="nv")
-        sums = (
-            assigned.select("cell", F.posexplode("nv").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+    ).persist()  # iterated over once per Lloyd step — don't re-normalize per job
+    try:
+        seeds = (
+            base.withColumn("__h", portable_hash(F.col("vid"), F.lit("kmeans-seed")))
+            .orderBy("__h", "vid")
+            .limit(k)
+            .select("nv")
             .collect()
         )
-        new = {}
-        for r in sums:
-            new.setdefault(r.cell, {})[r.pos] = r.m
-        # renormalize each mean onto the unit sphere (spherical k-means);
-        # empty cells keep their previous centroid
-        out = []
-        for c in range(len(centroids)):
-            if c in new:
-                v = [new[c][p] for p in sorted(new[c])]
-                nrm = sum(x * x for x in v) ** 0.5 or 1.0
-                out.append([x / nrm for x in v])
-            else:
-                out.append(centroids[c])
-        centroids = out
-    return centroids
+        centroids = [list(r.nv) for r in seeds]
+        for _ in range(iters):
+            assigned = assign_cells(base, centroids, vec_col="nv")
+            sums = (
+                assigned.select("cell", F.posexplode("nv").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new = {}
+            for r in sums:
+                new.setdefault(r.cell, {})[r.pos] = r.m
+            # renormalize each mean onto the unit sphere (spherical
+            # k-means); empty cells keep their previous centroid
+            out = []
+            for c in range(len(centroids)):
+                if c in new:
+                    v = [new[c][p] for p in sorted(new[c])]
+                    nrm = sum(x * x for x in v) ** 0.5 or 1.0
+                    out.append([x / nrm for x in v])
+                else:
+                    out.append(centroids[c])
+            centroids = out
+        return centroids
+    finally:
+        base.unpersist()
 
 
 def assign_cells(
