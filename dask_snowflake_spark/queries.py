@@ -1171,13 +1171,15 @@ def x07_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("aggregation", "approx"),
 )
 def x04_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.approx import approx_distinct, approx_median
+
     t = _t(spark, sf_dir)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            approx_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            approx_median("l_extendedprice", accuracy=1000).alias("approx_median_price"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .orderBy("l_returnflag")
