@@ -1179,3 +1179,59 @@ def x22_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     assets = mm_ops.attach_binary_assets(t["documents"])
     return mm_ops.extract_features(assets, dim=16).orderBy("doc_id")
+
+
+@query(
+    "x23_asof_forward_tolerance",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN p.event_id END AS next_purchase_id,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN p.ts END AS next_purchase_ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN round(p.value, 2) END AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+    "forward as-of join with tolerance (full merge_asof surface): each "
+    "click annotated with the user's NEXT purchase, nulled when it is "
+    "more than 1h later — same union-window one-shuffle implementation, "
+    "frame reversed",
+    ("join", "asof"),
+)
+def x23_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    joined = asof_ops.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_asof").alias("next_purchase_id"),
+        F.col("ts_asof").alias("next_purchase_ts"),
+        F.round("value_asof", 2).alias("next_purchase_value"),
+    ).orderBy("event_id")

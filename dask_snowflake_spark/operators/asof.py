@@ -31,14 +31,26 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
+    """As-of join with the ``merge_asof`` surface: for each left row,
+    the nearest right row within the same ``on`` key —
+
+    - ``direction='backward'`` (default): greatest ``right_ts`` <=
+      ``left_ts`` (ties included);
+    - ``direction='forward'``: smallest ``right_ts`` >= ``left_ts``
+      (ties included);
+    - ``tolerance_seconds``: matches farther than this from the left
+      timestamp are nulled out (the match columns become NULL, the left
+      row is kept — merge_asof semantics).
 
     ``right_cols`` limits which right columns are carried (default: all
     non-key, non-ts). Right rows with duplicate (key, ts) must be
     pre-deduplicated by the caller for deterministic output.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -61,18 +73,39 @@ def asof_join(
         F.struct(*right_cols, F.col(right_ts)).alias("__right"),
     )
 
-    # right rows sort before left rows at equal ts (__is_left asc), so a
-    # tie (right.ts == left.ts) IS visible to the left row
-    w = (
-        W.partitionBy("__key")
-        .orderBy(F.col("__ts"), F.col("__is_left"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts (__is_left asc),
+        # so a tie (right.ts == left.ts) IS visible to the left row
+        w = (
+            W.partitionBy("__key")
+            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        match = F.last("__right", ignorenulls=True).over(w)
+    else:
+        # forward: left rows sort before right rows at equal ts
+        # (__is_left desc), so the equal-ts right is ahead of the left
+        # row inside the forward-looking frame
+        w = (
+            W.partitionBy("__key")
+            .orderBy(F.col("__ts"), F.col("__is_left").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        match = F.first("__right", ignorenulls=True).over(w)
     merged = (
         lhs.unionByName(rhs)
-        .withColumn("__match", F.last("__right", ignorenulls=True).over(w))
+        .withColumn("__match", match)
         .filter(F.col("__is_left") == 1)
     )
+    if tolerance_seconds is not None:
+        lt, rt = F.col("__ts"), F.col("__match")[right_ts]
+        if left.schema[left_ts].dataType.typeName().startswith("timestamp"):
+            delta = F.abs(F.unix_micros(lt) - F.unix_micros(rt)) / 1e6
+        else:
+            delta = F.abs(lt.cast("double") - rt.cast("double"))
+        merged = merged.withColumn(
+            "__match", F.when(delta <= F.lit(float(tolerance_seconds)), F.col("__match"))
+        )
     out_cols = [F.col("__left")[c].alias(c) for c in left.columns]
     out_cols += [F.col("__match")[c].alias(f"{c}{suffix}") for c in right_cols]
     out_cols.append(F.col("__match")[right_ts].alias(f"{right_ts}{suffix}"))
