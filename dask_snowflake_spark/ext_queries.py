@@ -1235,3 +1235,52 @@ def x23_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_asof").alias("next_purchase_ts"),
         F.round("value_asof", 2).alias("next_purchase_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "x24_stream_warehouse_sink",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "streaming CDC/ingest shape end-to-end: readStream over events -> "
+    "foreachBatch -> to_snowflake per-micro-batch bulk load into the "
+    "warehouse stub -> read_snowflake back -> aggregate; totals match "
+    "the batch aggregation exactly",
+    ("streaming", "connector", "sink"),
+)
+def x24_stream_warehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.snowflake import read_snowflake, to_snowflake
+
+    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    db = os.path.join(tmp_dir, f"stream-sink-{uuid.uuid4().hex}.duckdb")
+
+    events = stream_ops._events_stream(spark, sf_dir).select("event_type", "value")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # coalesce before the bulk load — SCALE.md's warehouse-ingest
+        # pressure valve; a micro-batch doesn't need 32 COPY files
+        to_snowflake(
+            batch_df.coalesce(4),
+            "stream_sink_q",
+            connection_kwargs={"database": db},
+            backend="duckdb",
+        )
+
+    q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    back = read_snowflake(
+        "SELECT EVENT_TYPE, VALUE FROM STREAM_SINK_Q",
+        spark=spark,
+        connection_kwargs={"database": db},
+        backend="duckdb",
+    )
+    os.remove(db)
+    return (
+        back.groupBy(F.col("EVENT_TYPE").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("VALUE"), 2).alias("total"))
+        .orderBy("event_type")
+    )
