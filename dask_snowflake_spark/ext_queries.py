@@ -1284,3 +1284,49 @@ def x24_stream_warehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("VALUE"), 2).alias("total"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "x25_sequence_pack",
+    """
+    WITH toks AS (
+        SELECT lang, doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset,
+               ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512)::BIGINT AS first_chunk,
+               ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 512)::BIGINT AS last_chunk
+        FROM toks
+    ),
+    spans AS (
+        SELECT lang, doc_id, unnest(range(first_chunk, last_chunk + 1)) AS chunk_id
+        FROM packed WHERE n_tokens > 0
+    )
+    SELECT lang, chunk_id, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM spans
+    GROUP BY lang, chunk_id
+    ORDER BY lang, chunk_id
+    """,
+    "LLM sequence packing (concat-and-chunk): per-language token streams "
+    "chunked into 512-token training sequences via prefix-sum windows "
+    "(docs may straddle chunks); output = per-chunk packing QA stats. "
+    "Shard-partitioned windows — no global ordering at any scale.",
+    ("text", "packing"),
+)
+def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import chunk_summary, sequence_pack
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("lang", "doc_id", text_ops.token_count(F.col("text")).alias("n_tokens"))
+    packed = sequence_pack(
+        docs, "n_tokens", shard_col="lang", order_col="doc_id", chunk_tokens=512
+    )
+    return chunk_summary(packed, shard_col="lang", order_col="doc_id").orderBy(
+        "lang", "chunk_id"
+    )
