@@ -19,8 +19,6 @@ The hash is salted with a name so independent samples/splits decorrelate.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,14 +74,16 @@ def split_assign(
 def stratified_deterministic_sample(
     df: DataFrame,
     key: str,
-    strata: str | Sequence[str],
+    strata: str,
     fractions: dict,
     *,
     salt: str = "stratified",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (``df.sampleBy`` without the
-    RNG): each stratum value gets its own keep-fraction."""
-    strata_col = F.col(strata) if isinstance(strata, str) else F.col(strata[0])
+    RNG): each value of the ``strata`` column gets its own
+    keep-fraction. For multi-column strata, concat them into one column
+    first."""
+    strata_col = F.col(strata)
     b = _bucket(F.col(key), salt)
     keep = None
     for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):

@@ -1,0 +1,31 @@
+"""The registry's naming IS load-bearing (CLAUDE.md): exactly 50
+priority queries whose alphabetical order is the priority order, then
+an x-prefixed tail. A checker that evaluates any bounded prefix of the
+sorted names must see full SURVEY §2 coverage first."""
+
+from __future__ import annotations
+
+from dask_snowflake_spark.queries import registry
+
+
+def test_priority_window_is_exactly_50():
+    names = sorted(registry())
+    window, tail = names[:50], names[50:]
+    assert not [n for n in window if n.startswith("x")], window
+    assert all(n.startswith("x") for n in tail), tail
+
+
+def test_priority_window_covers_every_surface():
+    window = sorted(registry())[:50]
+    prefixes = (
+        "agg_", "ann_", "asof_", "connector_", "dedup_", "doc_", "file_",
+        "flow_", "fn_udf_", "mm_", "partition_", "pipeline_", "q0", "q1", "q2",
+    )
+    for p in prefixes:
+        assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"
+
+
+def test_every_query_has_oracle_or_documented_rows_only():
+    rows_only = {n for n, qd in registry().items() if qd.oracle is None}
+    # only approximate / iterative-training queries may skip the oracle
+    assert rows_only <= {"x04_approx_sketches", "x21_ivf_trained_recall"}, rows_only
