@@ -30,6 +30,15 @@ from .queries import _t, query
 from .streaming import windows as stream_ops
 
 
+def _scratch_db(prefix: str) -> str:
+    """Unique duckdb scratch-database path under the repo's .tmp dir
+    (shared by every warehouse-stub query; unique names keep parallel
+    runs from colliding, and each query removes its file when done)."""
+    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    return os.path.join(tmp_dir, f"{prefix}-{uuid.uuid4().hex}.duckdb")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -628,9 +637,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.snowflake import read_snowflake
 
-    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
-    os.makedirs(tmp_dir, exist_ok=True)
-    db = os.path.join(tmp_dir, f"roundtrip-{uuid.uuid4().hex}.duckdb")
+    db = _scratch_db("roundtrip")
     import duckdb
 
     con = duckdb.connect(db)
@@ -669,9 +676,7 @@ def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.snowflake import read_snowflake, to_snowflake
 
-    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
-    os.makedirs(tmp_dir, exist_ok=True)
-    db = os.path.join(tmp_dir, f"write-roundtrip-{uuid.uuid4().hex}.duckdb")
+    db = _scratch_db("write-roundtrip")
     t = _t(spark, sf_dir)
     summary = (
         t["orders"]
@@ -1254,9 +1259,7 @@ def x23_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x24_stream_warehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.snowflake import read_snowflake, to_snowflake
 
-    tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
-    os.makedirs(tmp_dir, exist_ok=True)
-    db = os.path.join(tmp_dir, f"stream-sink-{uuid.uuid4().hex}.duckdb")
+    db = _scratch_db("stream-sink")
 
     events = stream_ops._events_stream(spark, sf_dir).select("event_type", "value")
 

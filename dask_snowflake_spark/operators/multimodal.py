@@ -126,7 +126,10 @@ def resize(
         for pdf in it:
             resized = []
             for payload in pdf[asset_col]:
-                if len(payload) == 0:
+                # NULL assets (e.g. external-URI rows with no inlined
+                # bytes) resize to an all-zero canvas instead of
+                # failing the whole task
+                if payload is None or len(payload) == 0:
                     resized.append(bytes(target))
                     continue
                 reps = (target + len(payload) - 1) // len(payload)
@@ -158,7 +161,8 @@ def extract_features(
         for pdf in it:
             ids, lens, feats = [], [], []
             for doc, payload in zip(pdf[id_col], pdf[asset_col]):
-                s = bytes(payload).decode("utf-8", errors="replace")
+                # NULL asset -> zero-vector features, not a task failure
+                s = "" if payload is None else bytes(payload).decode("utf-8", errors="replace")
                 counts = [0] * dim
                 for ch in s:
                     counts[ord(ch) % dim] += 1

@@ -83,6 +83,11 @@ def stratified_deterministic_sample(
     RNG): each value of the ``strata`` column gets its own
     keep-fraction. For multi-column strata, concat them into one column
     first."""
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
+    bad = {v: f for v, f in fractions.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0, 1], got {bad}")
     strata_col = F.col(strata)
     b = _bucket(F.col(key), salt)
     keep = None

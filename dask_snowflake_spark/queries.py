@@ -56,25 +56,28 @@ def registry() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
-# Keyed on the live session object (weakly — a dead session's entry is
-# collectable, and a recycled id() can never alias a new session). Values
-# are just the registered view names, so the cache pins neither the
-# session nor any DataFrame.
-_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[str]]]" = (
+# Keyed on the live session object (weakly — a recycled id() can never
+# alias a new session). Exactly ONE (sf_dir, tables) entry per session:
+# temp-view NAMES are session-global, so a different sf_dir must
+# re-register (rebinding the views) and the cached DataFrames must be
+# the ones built for the currently-bound dir — caching per-dir and
+# re-resolving views by name would silently return another scale
+# factor's data after an alternation.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple[str, dict[str, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )
 
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load + register the star schema tables, memoized per (session,
-    sf_dir) — registration reads 10 parquet footers; no reason to redo it
-    per query. On a hit the (cheap) temp views are re-resolved by name."""
-    per_session = _REGISTERED.setdefault(spark, {})
-    if sf_dir not in per_session:
-        tables = register_tables(spark, sf_dir)
-        per_session[sf_dir] = list(tables)
-        return tables
-    return {name: spark.table(name) for name in per_session[sf_dir]}
+    """Load + register the star schema tables, memoized per session for
+    the currently-registered sf_dir — registration reads 10 parquet
+    footers; no reason to redo it per query. Switching sf_dir within a
+    session re-registers (the views rebind to the new dir)."""
+    cached = _REGISTERED.get(spark)
+    if cached is None or cached[0] != sf_dir:
+        cached = (sf_dir, register_tables(spark, sf_dir))
+        _REGISTERED[spark] = cached
+    return cached[1]
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ collect anywhere.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 from typing import Any, Iterator
 
@@ -262,6 +263,18 @@ def read_snowflake(
 # Write path
 # ---------------------------------------------------------------------------
 
+# common ANSI/warehouse reserved words that break unquoted DDL — kept
+# small on purpose: the goal is a clear early error for the likely
+# collisions, not a full SQL grammar
+_SQL_RESERVED = frozenset(
+    """ALL AND ANY AS ASC BETWEEN BY CASE CAST CHECK COLUMN CREATE CROSS
+    CURRENT DEFAULT DELETE DESC DISTINCT DROP ELSE END EXISTS FALSE FOR
+    FROM FULL GRANT GROUP HAVING IN INNER INSERT INTERSECT INTO IS JOIN
+    LEFT LIKE LIMIT NATURAL NOT NULL ON OR ORDER OUTER RIGHT SELECT SET
+    TABLE THEN TO TRUE UNION UNIQUE UPDATE USING VALUES WHEN WHERE
+    WITH""".split()
+)
+
 # keys are DataType.simpleString() spellings
 _SPARK_TO_SQL = {
     "bigint": "BIGINT",
@@ -291,13 +304,31 @@ def schema_to_ddl(schema: StructType) -> str:
     warehouse and reject every subsequent unquoted COPY.
     """
     cols = []
+    seen: set[str] = set()
     for f in schema.fields:
+        ident = f.name.upper()
+        # the unquoted contract can only express plain identifiers; a
+        # reserved word or special character would produce DDL that the
+        # warehouse rejects (or a silent case-collision) — fail loudly
+        # with guidance instead
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f.name) or ident in _SQL_RESERVED:
+            raise ValueError(
+                f"column name {f.name!r} cannot be written with unquoted "
+                "identifiers (write_pandas quote_identifiers=False); rename "
+                "it to a plain non-reserved identifier before to_snowflake"
+            )
+        if ident in seen:
+            raise ValueError(
+                f"columns collide case-insensitively on {ident!r} under the "
+                "unquoted-identifier contract; rename one of them"
+            )
+        seen.add(ident)
         name = f.dataType.simpleString()
         if name.startswith("decimal"):
             sql_type = name.upper()
         else:
             sql_type = _SPARK_TO_SQL.get(name, "VARCHAR")
-        cols.append(f"{f.name.upper()} {sql_type}")
+        cols.append(f"{ident} {sql_type}")
     return ", ".join(cols)
 
 

@@ -291,3 +291,12 @@ def test_write_appends_across_calls(spark, warehouse):
     to_snowflake(sdf, "t_app", connection_kwargs=warehouse, backend="duckdb")
     back = read_snowflake('SELECT * FROM "T_APP"', spark=spark, connection_kwargs=warehouse, backend="duckdb")
     assert back.count() == 10  # default mode is append (reference write_pandas semantics)
+
+
+def test_ddl_rejects_unsafe_identifiers(spark, warehouse):
+    sdf = spark.createDataFrame([(1,)], "id long").withColumnRenamed("id", "order")
+    with pytest.raises(ValueError, match="unquoted"):
+        to_snowflake(sdf, "t_bad", connection_kwargs=warehouse, backend="duckdb")
+    both = spark.createDataFrame([(1, 2)], "a long, A long")
+    with pytest.raises(ValueError, match="collide"):
+        to_snowflake(both, "t_dup", connection_kwargs=warehouse, backend="duckdb")
