@@ -1333,3 +1333,50 @@ def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_summary(packed, shard_col="lang", order_col="doc_id").orderBy(
         "lang", "chunk_id"
     )
+
+
+@query(
+    "x26_column_profile",
+    """
+    WITH base AS (
+        SELECT count(*) AS n_rows,
+               count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+               round(min(l_quantity)::DOUBLE, 4) AS mn_q, round(max(l_quantity)::DOUBLE, 4) AS mx_q,
+               round(avg(l_quantity::DOUBLE), 4) AS av_q,
+               count(l_extendedprice) AS nn_p, count(DISTINCT l_extendedprice) AS nd_p,
+               round(min(l_extendedprice)::DOUBLE, 4) AS mn_p, round(max(l_extendedprice)::DOUBLE, 4) AS mx_p,
+               round(avg(l_extendedprice::DOUBLE), 4) AS av_p
+        FROM lineitem
+    )
+    SELECT u.column_name, u.metric, u.value
+    FROM base, LATERAL (VALUES
+        ('l_quantity', 'n_rows', n_rows::DOUBLE),
+        ('l_quantity', 'n_nonnull', nn_q::DOUBLE),
+        ('l_quantity', 'n_null', (n_rows - nn_q)::DOUBLE),
+        ('l_quantity', 'n_distinct', nd_q::DOUBLE),
+        ('l_quantity', 'min', mn_q),
+        ('l_quantity', 'max', mx_q),
+        ('l_quantity', 'mean', av_q),
+        ('l_extendedprice', 'n_rows', n_rows::DOUBLE),
+        ('l_extendedprice', 'n_nonnull', nn_p::DOUBLE),
+        ('l_extendedprice', 'n_null', (n_rows - nn_p)::DOUBLE),
+        ('l_extendedprice', 'n_distinct', nd_p::DOUBLE),
+        ('l_extendedprice', 'min', mn_p),
+        ('l_extendedprice', 'max', mx_p),
+        ('l_extendedprice', 'mean', av_p)
+    ) u(column_name, metric, value)
+    ORDER BY column_name, metric
+    """,
+    "dataset profiling QA: per-column n_rows/nonnull/null/distinct/min/"
+    "max/mean computed in ONE aggregation pass (single scan + reduce, "
+    "unlike df.summary's multi-pass), unpivoted to long form; "
+    "approx_distinct=True is the bounded-state option at corpus scale",
+    ("profile",),
+)
+def x26_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile
+
+    t = _t(spark, sf_dir)
+    return profile(t["lineitem"], ["l_quantity", "l_extendedprice"]).orderBy(
+        "column_name", "metric"
+    )
