@@ -45,9 +45,15 @@ def gap_fill(
     observed value (last(ignorenulls) over an ordered window).
     """
     bucket = time_bucket(F.col(ts_col), bucket_seconds)
+    # persist the per-(key, bucket) aggregate: it is referenced by BOTH
+    # the spine (min/max bounds) and the fill join, and Spark recomputes
+    # shared subtrees — without this the raw events scan runs twice (or
+    # more under AQE). The aggregate is keys x buckets, far smaller than
+    # the input; callers with long-lived pipelines may unpersist the
+    # result's lineage when done.
     actual = events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
         *[expr.alias(name) for name, expr in agg_cols.items()]
-    )
+    ).persist()
     step = F.expr(f"INTERVAL {bucket_seconds} SECONDS")
     spine = (
         actual.groupBy(key_col)
