@@ -320,7 +320,11 @@ def simhash_near_dup(
         raise ValueError(f"bits={bits} must divide into {n_bands} equal bands")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    fp = simhash(docs, text_col, id_col, bits=bits)
+    # persist the fingerprints (one small row per doc): the band
+    # self-join references them on BOTH sides and Spark recomputes
+    # shared subtrees — without this the word-explode + 60-counter
+    # aggregation runs twice
+    fp = simhash(docs, text_col, id_col, bits=bits).persist()
     band_vals = F.array(
         *[
             F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")

@@ -171,7 +171,10 @@ def tfidf(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    tc = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_t"))
+    # persist the (doc, term) counts: they feed the per-doc length
+    # window, the document-frequency aggregate, AND the final join —
+    # uncached, the raw-text explode would run three times
+    tc = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_t")).persist()
     tc = tc.withColumn("n_doc", F.sum("n_t").over(W.partitionBy(id_col)))
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
