@@ -162,7 +162,10 @@ def embedding_near_dup_pairs(
     base_cols = [F.col(id_col).alias("id"), F.col(vec_col)]
     if bucket_col is not None:
         base_cols.append(F.col(bucket_col).alias("bucket"))
-    v = with_normalized(embeddings.select(*base_cols), vec_col, "vec", keep)
+    # persist: the self-join references the normalized vectors on both
+    # sides and the per-element normalization lambda is interpreted —
+    # uncached it runs twice over the corpus
+    v = with_normalized(embeddings.select(*base_cols), vec_col, "vec", keep).persist()
     a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns])
     b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns])
     if bucket_col is not None:
@@ -277,11 +280,14 @@ def srp_lsh_near_dup(
     compare only within buckets, verify with exact cosine. Near-
     identical vectors agree on all sign bits with high probability, so
     the cross product collapses to per-bucket blocks."""
+    # persist: the bucket self-join reads both sides, and the SRP
+    # signature (num_planes dot products per row, interpreted lambdas)
+    # is far too expensive to compute twice
     sig = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         srp_signature(F.col(vec_col), num_planes=num_planes, dim=dim).alias("bucket"),
-    )
+    ).persist()
     a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
     return (
