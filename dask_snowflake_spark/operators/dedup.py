@@ -234,7 +234,11 @@ def minhash_near_dup(
     # path — without it Spark re-parses every document per subtree
     sh = shingles(docs, text_col, id_col, shingle_n).cache()
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
+    # the band self-join reads both sides; caching the (tiny, one row
+    # per doc x bands) band keys stops the k-min signature aggregation
+    # from running twice
+    bands = lsh_bands(sig, rows_per_band).cache()
+    cand = lsh_candidate_pairs(bands)
     return jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
