@@ -1380,3 +1380,34 @@ def x26_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(t["lineitem"], ["l_quantity", "l_extendedprice"]).orderBy(
         "column_name", "metric"
     )
+
+
+@query(
+    "x27_orc_roundtrip",
+    """
+    SELECT n_nationkey, n_name, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+    "ORC sink + source roundtrip (the third columnar format after "
+    "parquet and the warehouse): write the supplier-nation join to ORC, "
+    "read back, aggregate — hash-matched against the direct aggregation",
+    ("source", "sink"),
+)
+def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _scratch_dir
+
+    t = _t(spark, sf_dir)
+    path = _scratch_dir("x27_orc")
+    joined = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("n_nationkey", "n_name", "s_suppkey", "s_acctbal")
+    joined.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+        .orderBy("n_nationkey")
+    )
