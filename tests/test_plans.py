@@ -198,3 +198,19 @@ def test_tfidf_corpus_size_is_broadcast_scalar(spark, sf_oracle):
     p = plan(df)
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_rollup_cube_uses_expand(spark, sf_oracle):
+    """Grouping sets must compile to Expand (one pass over the input),
+    not a union of separate aggregations per grouping set."""
+    df = registry()["q10_rollup_cube"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "Expand" in p, p
+
+
+def test_array_map_hof_stays_jvm_side(spark, sf_oracle):
+    """The array/map HOF query must contain no Python evaluation node —
+    lambdas run as JVM higher-order functions."""
+    df = registry()["q22_array_map_hof"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
