@@ -35,8 +35,16 @@ def main() -> None:
     for name in tables:
         spark.sql(f"SELECT count(*) FROM {name}").collect()
 
+    ordered = sorted(registry().items())
+    # Full warmup pass: run the first query end-to-end INCLUDING the noop
+    # write before the timed loop.  count(*)-only warmup left the first
+    # measured query absorbing codegen/shuffle/noop-writer first-touch
+    # costs (r2: agg_skew_salted 0.55s -> 3.24s purely by running first).
+    warm_name, warm_qd = ordered[0]
+    warm_qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
-    for name, qd in sorted(registry().items()):
+    for name, qd in ordered:
         t0 = time.perf_counter()
         df = qd.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -47,17 +55,34 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    full = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "sf": sf_val,
         "queries": timings,
     }
-    # ONE line, compact separators, headline numbers first: the driver
-    # captures a bounded window of output, so the line must stay short
-    # enough to survive truncation and still json-parse.
-    print(json.dumps(out, separators=(",", ":")))
+    # The driver captures a bounded TAIL of stdout, so a single long line
+    # gets its FRONT truncated and never parses (r1+r2 both hit this).
+    # Per-query detail goes to a file and an earlier stdout line; the
+    # FINAL line is a short headline-only JSON that survives tail capture.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full, f, separators=(",", ":"))
+            f.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(full, separators=(",", ":")))
+    headline = {
+        "metric": "total_query_sec",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_QUERIES.json",
+    }
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

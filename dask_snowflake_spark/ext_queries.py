@@ -1111,20 +1111,31 @@ def x20_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x21_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import deterministic_sample
+    from .session import track_cache
 
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    train = deterministic_sample(emb, "vec_id", 0.2, salt="ivf-train")
-    cents = sim_ops.kmeans_fit(train, k=8, iters=2)
-    base = sim_ops.with_normalized(
-        emb.select("vec_id", "embedding"), "embedding", "nv", ["vec_id"]
+    # ONE persisted normalized projection shared by all four consumers —
+    # k-means training sample, index side, probe side, AND the
+    # brute-force ground truth (which previously re-normalized the whole
+    # corpus through topk_bruteforce). iters=1: centroid movement after
+    # the first Lloyd step doesn't change what this query demonstrates
+    # (recall of a trained coarse quantizer), and each extra iteration
+    # is two full jobs.
+    base = track_cache(
+        sim_ops.with_normalized(
+            emb.select("vec_id", "embedding"), "embedding", "nv", ["vec_id"]
+        )
     )
+    train = deterministic_sample(base, "vec_id", 0.2, salt="ivf-train")
+    cents = sim_ops.kmeans_fit(train, k=8, iters=1, vec_col="nv", normalized=True)
     assigned = sim_ops.assign_cells(base, cents)
     # query side probes its 3 closest cells (the IVF recall knob);
     # the index side stays single-cell
-    q = sim_ops.assign_cells(
-        base.filter(F.col("vec_id") < 5), cents, nprobe=3
-    ).select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"), "cell")
+    qbase = base.filter(F.col("vec_id") < 5)
+    q = sim_ops.assign_cells(qbase, cents, nprobe=3).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"), "cell"
+    )
     scored = (
         assigned.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1138,8 +1149,22 @@ def x21_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     ivf = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
-    truth = sim_ops.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
-        "query_id", "neighbor_id"
+    # ground truth off the SAME persisted base: broadcast the 5 query
+    # vectors against the cached normalized corpus — one scan, no
+    # second normalization pass
+    qn = qbase.select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"))
+    tscored = (
+        base.join(F.broadcast(qn), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim_ops.dot(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    truth = (
+        tscored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
     )
     hits = truth.join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
     return (
@@ -1368,9 +1393,10 @@ def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY column_name, metric
     """,
     "dataset profiling QA: per-column n_rows/nonnull/null/distinct/min/"
-    "max/mean computed in ONE aggregation pass (single scan + reduce, "
-    "unlike df.summary's multi-pass), unpivoted to long form; "
-    "approx_distinct=True is the bounded-state option at corpus scale",
+    "max/mean in one aggregation job (no per-column jobs like "
+    "df.summary's multi-pass), unpivoted to long form; exact distincts "
+    "cost an Expand (~(N+1)x row replication) — approx_distinct=True is "
+    "the Expand-free bounded-state option at corpus scale",
     ("profile",),
 )
 def x26_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,17 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    # the tolerance delta (and the union'd __ts ordering) dispatches on
+    # the timestamp type — a timestamp left against a numeric right
+    # would silently compare epoch-micros to raw numbers
+    l_is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
+    r_is_ts = right.schema[right_ts].dataType.typeName().startswith("timestamp")
+    if l_is_ts != r_is_ts:
+        raise TypeError(
+            f"left_ts {left_ts!r} ({left.schema[left_ts].dataType.simpleString()}) and "
+            f"right_ts {right_ts!r} ({right.schema[right_ts].dataType.simpleString()}) "
+            "must both be timestamps or both be numeric"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -99,7 +110,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         lt, rt = F.col("__ts"), F.col("__match")[right_ts]
-        if left.schema[left_ts].dataType.typeName().startswith("timestamp"):
+        if l_is_ts:  # both sides validated same type family above
             delta = F.abs(F.unix_micros(lt) - F.unix_micros(rt)) / 1e6
         else:
             delta = F.abs(lt.cast("double") - rt.cast("double"))

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..session import track_cache
+
 
 def portable_hash(col: Column, seed: int | Column = 0) -> Column:
     """Deterministic 60-bit hash identical across Spark and DuckDB:
@@ -232,12 +234,12 @@ def minhash_near_dup(
     candidates. Returns (doc_a, doc_b, jaccard >= threshold)."""
     # cached: the shingle set feeds the signature path AND the verify
     # path — without it Spark re-parses every document per subtree
-    sh = shingles(docs, text_col, id_col, shingle_n).cache()
+    sh = track_cache(shingles(docs, text_col, id_col, shingle_n))
     sig = minhash_signatures(sh, num_hashes)
     # the band self-join reads both sides; caching the (tiny, one row
     # per doc x bands) band keys stops the k-min signature aggregation
     # from running twice
-    bands = lsh_bands(sig, rows_per_band).cache()
+    bands = track_cache(lsh_bands(sig, rows_per_band))
     cand = lsh_candidate_pairs(bands)
     return jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
 
@@ -254,7 +256,7 @@ def ngram_jaccard_pairs(
     equi-join (no LSH). Quadratic in docs sharing a shingle — the
     correctness baseline MinHash is verified against; prefer
     ``minhash_near_dup`` beyond ~10^6 docs."""
-    sh = shingles(docs, text_col, id_col, shingle_n).cache()
+    sh = track_cache(shingles(docs, text_col, id_col, shingle_n))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     # intersection counts straight off the shared-shingle join — no
@@ -328,7 +330,7 @@ def simhash_near_dup(
     # self-join references them on BOTH sides and Spark recomputes
     # shared subtrees — without this the word-explode + 60-counter
     # aggregation runs twice
-    fp = simhash(docs, text_col, id_col, bits=bits).persist()
+    fp = track_cache(simhash(docs, text_col, id_col, bits=bits))
     band_vals = F.array(
         *[
             F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")

@@ -1,16 +1,18 @@
-"""Dataset profiling: per-column statistics in ONE aggregation pass.
+"""Dataset profiling: per-column statistics in one aggregation job.
 
 Pipeline QA wants a quick shape check (nulls, ranges, cardinalities)
 before and after every transform. ``profile`` computes every metric for
-every requested column inside a single hash aggregation — one scan, one
-reduce, no per-column jobs like ``df.summary()``'s multi-pass approach —
-then unpivots to the long (column, metric, value) form dashboards and
-diff tools want.
+every requested column inside a single aggregation job — one reduce, no
+per-column jobs like ``df.summary()``'s multi-pass approach — then
+unpivots to the long (column, metric, value) form dashboards and diff
+tools want.
 
-Scale: the aggregation state is a handful of scalars per column except
-exact distinct counts, which expand per distinct value; pass
-``approx_distinct=True`` to use HLL++ (bounded state) when profiling
-wide high-cardinality tables at corpus scale.
+Scale caveat: with exact distinct counts (the default), N distinct
+aggregates compile to an Expand node that replicates every scanned row
+~(N+1)× before the aggregation — so profiling many columns exactly is
+NOT single-scan-priced, and the per-count state grows with cardinality.
+Pass ``approx_distinct=True`` for HLL++ (no Expand, bounded state) when
+profiling wide or high-cardinality tables at corpus scale.
 """
 
 from __future__ import annotations

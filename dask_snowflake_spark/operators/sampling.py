@@ -40,7 +40,10 @@ def deterministic_sample(
     across engines/retries/partitionings, unlike ``df.sample``."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(_bucket(F.col(key), salt) < int(fraction * _BUCKETS))
+    # round, not int(): int() floor-truncates binary-float artifacts
+    # (int(0.3 * 1e6) == 299999), silently shifting the boundary by one
+    # bucket versus the exact quantization any SQL oracle writes down
+    return df.filter(_bucket(F.col(key), salt) < round(fraction * _BUCKETS))
 
 
 def split_assign(
@@ -62,7 +65,7 @@ def split_assign(
     expr = None
     hi = 0
     for name in sorted(weights):
-        hi += int(weights[name] * _BUCKETS)
+        hi += round(weights[name] * _BUCKETS)
         cond = b < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     # float-truncation slack: anything past the last boundary joins the
@@ -92,6 +95,6 @@ def stratified_deterministic_sample(
     b = _bucket(F.col(key), salt)
     keep = None
     for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
-        cond = (strata_col == value) & (b < int(frac * _BUCKETS))
+        cond = (strata_col == value) & (b < round(frac * _BUCKETS))
         keep = cond if keep is None else keep | cond
     return df.filter(keep)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .dedup import portable_hash
+from ..session import track_cache
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -165,7 +166,7 @@ def embedding_near_dup_pairs(
     # persist: the self-join references the normalized vectors on both
     # sides and the per-element normalization lambda is interpreted —
     # uncached it runs twice over the corpus
-    v = with_normalized(embeddings.select(*base_cols), vec_col, "vec", keep).persist()
+    v = track_cache(with_normalized(embeddings.select(*base_cols), vec_col, "vec", keep))
     a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns])
     b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns])
     if bucket_col is not None:
@@ -287,7 +288,8 @@ def srp_lsh_near_dup(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         srp_signature(F.col(vec_col), num_planes=num_planes, dim=dim).alias("bucket"),
-    ).persist()
+    )
+    sig = track_cache(sig)
     a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
     return (
@@ -306,6 +308,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalized: bool = False,
 ) -> list[list[float]]:
     """Lloyd's k-means over normalized vectors, expressed as DataFrame
     ops (assignment = argmax cosine vs broadcast centroids; update =
@@ -315,13 +318,22 @@ def kmeans_fit(
     the cluster. Seeds are the k vectors with the smallest content
     hash — deterministic, no RNG.
 
+    ``normalized=True`` declares ``vec_col`` already unit-normalized
+    (e.g. a caller-persisted projection shared with the search side) —
+    skips the second normalization pass entirely.
+
     This is the training half of a real IVF index: cells come from the
     data's own geometry instead of a pre-existing label column."""
     from .dedup import portable_hash
 
-    base = with_normalized(
-        embeddings.select(F.col(id_col).alias("vid"), vec_col), vec_col, "nv", ["vid"]
-    ).persist()  # iterated over once per Lloyd step — don't re-normalize per job
+    if normalized:
+        base = embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("nv")
+        ).persist()
+    else:
+        base = with_normalized(
+            embeddings.select(F.col(id_col).alias("vid"), vec_col), vec_col, "nv", ["vid"]
+        ).persist()  # iterated over once per Lloyd step — don't re-normalize per job
     try:
         seeds = (
             base.withColumn("__h", portable_hash(F.col("vid"), F.lit("kmeans-seed")))

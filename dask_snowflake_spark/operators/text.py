@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash
+from ..session import track_cache
 
 # Tiny per-language discriminator profiles (stopword heuristic). On real
 # corpora these would be character-n-gram frequency profiles; the
@@ -174,7 +175,7 @@ def tfidf(
     # persist the (doc, term) counts: they feed the per-doc length
     # window, the document-frequency aggregate, AND the final join —
     # uncached, the raw-text explode would run three times
-    tc = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_t")).persist()
+    tc = track_cache(terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_t")))
     tc = tc.withColumn("n_doc", F.sum("n_t").over(W.partitionBy(id_col)))
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

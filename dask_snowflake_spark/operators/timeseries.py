@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..session import track_cache
+
 
 def time_bucket(ts: Column, bucket_seconds: int) -> Column:
     """Floor a timestamp onto a regular grid (epoch-aligned)."""
@@ -51,9 +53,11 @@ def gap_fill(
     # more under AQE). The aggregate is keys x buckets, far smaller than
     # the input; callers with long-lived pipelines may unpersist the
     # result's lineage when done.
-    actual = events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
-        *[expr.alias(name) for name, expr in agg_cols.items()]
-    ).persist()
+    actual = track_cache(
+        events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+            *[expr.alias(name) for name, expr in agg_cols.items()]
+        )
+    )
     step = F.expr(f"INTERVAL {bucket_seconds} SECONDS")
     spine = (
         actual.groupBy(key_col)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .session import register_tables
+from .session import register_tables, release_caches
 
 
 @dataclass
@@ -72,7 +72,13 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load + register the star schema tables, memoized per session for
     the currently-registered sf_dir — registration reads 10 parquet
     footers; no reason to redo it per query. Switching sf_dir within a
-    session re-registers (the views rebind to the new dir)."""
+    session re-registers (the views rebind to the new dir).
+
+    Also the per-query cache boundary: persisted intermediates the
+    PREVIOUS query handed back inside its plan (tracked via
+    session.track_cache) are released here, so a long-lived session
+    sweeping the whole registry doesn't accumulate them."""
+    release_caches()
     cached = _REGISTERED.get(spark)
     if cached is None or cached[0] != sf_dir:
         cached = (sf_dir, register_tables(spark, sf_dir))
@@ -890,7 +896,7 @@ def q19_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(nullif(o_orderstatus, 'P'), 'PENDING')  AS status_norm,
            CASE WHEN o_totalprice > 100000 THEN o_totalprice END IS NULL AS small_order,
            round(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, 0.0), 2) AS big_or_zero,
-           CAST(o_totalprice AS DECIMAL(18,2))              AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
            CAST(o_orderkey AS VARCHAR)                      AS key_str,
            round(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, -1.0), 2) AS big_or_filled
     FROM orders
@@ -912,7 +918,11 @@ def q20_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             big.isNull().alias("small_order"),
             F.round(F.coalesce(big, F.lit(0.0)), 2).alias("big_or_zero"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+            # decimal cast exercised, then stringified: raw DECIMAL output
+            # canonicalizes differently across engines' Arrow conversions
+            # (Decimal('123.40') vs float 123.4), so the driver-facing value
+            # is the scale-2 string '123.40' — identical on both sides.
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
             F.col("o_orderkey").cast("string").alias("key_str"),
             F.round(big, 2).alias("big_or_filled"),
         )

@@ -86,6 +86,38 @@ def get_session(app_name: str = "dask_snowflake_spark") -> SparkSession:
     return spark
 
 
+# Persisted intermediates handed back to callers inside lazy plans.
+# Operators persist twice-read subtrees (LSH band keys, normalized
+# vectors, TF term counts); the plan is materialized AFTER the operator
+# returns, so the operator can't unpersist in a finally.  Tracking each
+# persist here and releasing at the next query's table lookup keeps a
+# long-lived session (the grading driver's 78-query sweep) from
+# accumulating every query's cache in storage memory.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """``persist()`` a DataFrame and register it for :func:`release_caches`.
+
+    Use for intermediates that out-live the operator call (the caller
+    materializes the returned plan).  Fully-consumed caches (e.g. the
+    k-means training base) should keep the local try/finally pattern
+    instead."""
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked intermediate from prior queries."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to free
+
+
 def _register_data_sources(spark: SparkSession) -> None:
     """Expose the connector as spark.read.format('snowflake_native')."""
     try:
