@@ -1447,14 +1447,16 @@ def x03_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x14_decimal_exact",
     """
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price_exact,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))      AS sum_qty_exact,
-           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price_exact,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR)      AS sum_qty_exact,
+           CAST(CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS min_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    "exact decimal aggregation: DECIMAL(18,2) sums are order-independent (no float rounding needed)",
+    "exact decimal aggregation: DECIMAL(18,2) sums are order-independent "
+    "(no float rounding needed); driver-facing output stringified — raw "
+    "DECIMAL canonicalizes differently per engine (CLAUDE.md rule)",
     ("aggregation", "types"),
 )
 def x14_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,9 +1466,9 @@ def x14_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_price_exact"),
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty_exact"),
-            F.min(dec("l_extendedprice")).cast("decimal(18,2)").alias("min_price"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").cast("string").alias("sum_price_exact"),
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").cast("string").alias("sum_qty_exact"),
+            F.min(dec("l_extendedprice")).cast("decimal(18,2)").cast("string").alias("min_price"),
         )
         .orderBy("l_returnflag")
     )
