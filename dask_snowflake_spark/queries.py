@@ -240,33 +240,39 @@ def q10_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    "exact percentile/median aggregation (sort-based within group) + "
-    "collect_set canonicalized by sort. Exactness is the oracle contract; "
-    "the scale path for large groups is approx_quantiles (see "
-    "functions.approx and x04_approx_sketches).",
+    "exact percentile/median via DISTRIBUTED two-phase selection "
+    "(operators.quantiles: range-bucket histogram -> candidate-bucket "
+    "sort; bounded per-task state, never an O(group) agg buffer) + "
+    "collect_set canonicalized by sort. Exactness is the oracle "
+    "contract; approx_quantiles (functions.approx, x04) is the "
+    "fewer-pass sketch alternative.",
     ("aggregation",),
 )
 def q11_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+
     t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    # exact quantiles WITHOUT Spark's percentile() agg: that buffers
+    # every group value in one reducer's state (the engine's one
+    # genuine scale ceiling at 100 TB); the two-phase selection keeps
+    # per-task state at O(buckets) + O(candidate bucket)
+    q = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.25, 0.95]
+    )
+    rest = li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            # one percentile aggregate with an array of probabilities:
-            # the group buffers and sorts ONCE for all three quantiles
-            # (three separate percentile() calls would each keep their
-            # own copy of the group's values)
-            F.expr("percentile(l_extendedprice, array(0.5, 0.25, 0.95))").alias("__pcts"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        q.join(rest, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round(F.col("__pcts")[0], 4).alias("median_price"),
-            F.round(F.col("__pcts")[1], 4).alias("p25_price"),
-            F.round(F.col("__pcts")[2], 4).alias("p95_price"),
+            F.round(F.col("quantiles")[0], 4).alias("median_price"),
+            F.round(F.col("quantiles")[1], 4).alias("p25_price"),
+            F.round(F.col("quantiles")[2], 4).alias("p95_price"),
             "min_price",
             "max_price",
             "statuses",

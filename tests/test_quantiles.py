@@ -1,0 +1,64 @@
+"""Distributed exact-quantile operator: equivalence with Spark's
+percentile() aggregate, edge cases, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_snowflake_spark.operators.quantiles import exact_group_quantiles
+from dask_snowflake_spark.session import register_tables
+
+
+def test_matches_percentile_aggregate(spark, sf_oracle) -> None:
+    li = register_tables(spark, sf_oracle)["lineitem"]
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0]
+    got = {
+        r.l_returnflag: list(r.quantiles)
+        for r in exact_group_quantiles(li, ["l_returnflag"], "l_extendedprice", probs).collect()
+    }
+    exp = {
+        r.l_returnflag: list(r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_edges(spark) -> None:
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 1.0), ("c", None), ("c", 2.0), ("c", 4.0)],
+        ["g", "v"],
+    )
+    rows = {r.g: list(r.quantiles) for r in exact_group_quantiles(df, ["g"], "v", [0.0, 0.5, 1.0]).collect()}
+    assert rows == {"a": [5.0, 5.0, 5.0], "b": [1.0, 1.0, 1.0], "c": [2.0, 3.0, 4.0]}
+
+
+def test_all_null_group_dropped(spark) -> None:
+    df = spark.createDataFrame([("a", 1.0), ("z", None)], ["g", "v"])
+    got = {r.g for r in exact_group_quantiles(df, ["g"], "v", [0.5]).collect()}
+    assert got == {"a"}
+
+
+def test_validation(spark) -> None:
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError):
+        exact_group_quantiles(df, ["g"], "v", [])
+    with pytest.raises(ValueError):
+        exact_group_quantiles(df, ["g"], "v", [1.5])
+
+
+def test_no_percentile_aggregate_in_plan(spark, sf_smoke) -> None:
+    """The point of the operator: NO O(group)-state percentile agg —
+    the plan is aggregates + windows over bucket-bounded partitions."""
+    li = register_tables(spark, sf_smoke)["lineitem"]
+    plan = (
+        exact_group_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile(" not in plan.lower()
