@@ -1437,3 +1437,171 @@ def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "x28_decontaminate",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+             LATERAL unnest(range(greatest(len(w) - 3, 1))) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 50 != 0),
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hits AS (
+        SELECT tr.doc_id, count(*) AS n_overlap
+        FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+    )
+    SELECT p.doc_id                                   AS doc,
+           p.n_shingles,
+           coalesce(h.n_overlap, 0)                   AS n_overlap,
+           coalesce(h.n_overlap, 0) * 1000000 // p.n_shingles / 1e6 AS overlap_frac
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    WHERE coalesce(h.n_overlap, 0) > 0
+    ORDER BY doc
+    """,
+    "benchmark decontamination: per-training-doc word-4-gram overlap "
+    "against the eval set's distinct shingles (doc_id % 50 = 0 stands in "
+    "for the benchmark) — broadcast semi-join of the corpus shingles "
+    "against the tiny eval n-gram set, the GPT-3/PaLM-style contamination "
+    "detector; only contaminated docs returned",
+    ("text", "decontam"),
+)
+def x28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import ngram_overlap
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    return (
+        ngram_overlap(train, evalset, n=4)
+        .filter(F.col("n_overlap") > 0)
+        .orderBy("doc")
+    )
+
+
+@query(
+    "x29_pii_redact",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 2 THEN text
+                    ELSE text || ' contact user' || doc_id ||
+                         '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                         ' ip 10.0.' || doc_id % 256 || '.1'
+               END AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+               len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b'))                               AS n_phone,
+               len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))   AS n_ipv4,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted
+        FROM seeded
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           length(redacted) AS redacted_len,
+           md5(redacted)    AS redacted_md5
+    FROM red
+    ORDER BY doc_id
+    """,
+    "PII detect + redact: engine-portable regex (RE2-and-Java subset) "
+    "counts and placeholder-replaces emails/phones/IPv4s in one "
+    "codegen'd projection — synthetic PII seeded deterministically from "
+    "doc_id on both sides (corpus text has none); md5 of the redacted "
+    "text value-checks the full replacement",
+    ("text", "pii"),
+)
+def x29_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pii import redact
+
+    t = _t(spark, sf_dir)
+    seeded = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 2, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ip 10.0."),
+                F.col("doc_id") % 256,
+                F.lit(".1"),
+            )
+        )
+        .alias("text"),
+    )
+    return (
+        redact(seeded, "text")
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+            F.length("redacted").alias("redacted_len"),
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x30_repetition_filter",
+    """
+    WITH words AS (
+        SELECT doc_id, lower(u.w) AS w
+        FROM documents, LATERAL unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+        WHERE u.w != ''
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    stats AS (
+        -- BIGINT casts: DuckDB sums BIGINT into HUGEINT, which pandas
+        -- renders as float64 — a driver-hash divergence vs Spark's long
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+               max(c) AS max_count,
+               CAST(sum(length(w) * c) AS BIGINT) AS sum_len
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id                                                    AS doc,
+           n_words,
+           n_distinct,
+           (n_words - n_distinct) * 1000000 // n_words / 1e6         AS dup_word_frac,
+           max_count * 1000000 // n_words / 1e6                      AS top_word_frac,
+           sum_len * 1000000 // n_words / 1e6                        AS mean_word_len,
+           ((n_words - n_distinct) * 1000000 // n_words / 1e6 > 0.68
+            OR max_count * 1000000 // n_words / 1e6 > 0.2)           AS low_quality
+    FROM stats
+    ORDER BY doc
+    """,
+    "Gopher-style repetition quality filter: per-doc duplicate-word "
+    "fraction, top-word fraction, mean word length (integer-quantized "
+    "ratios) + low_quality flag — one explode keyed by doc, two "
+    "cascaded map-side-combinable aggregations",
+    ("text", "quality"),
+)
+def x30_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_stats
+
+    t = _t(spark, sf_dir)
+    s = repetition_stats(t["documents"])
+    return s.select(
+        "doc",
+        "n_words",
+        "n_distinct",
+        "dup_word_frac",
+        "top_word_frac",
+        "mean_word_len",
+        ((F.col("dup_word_frac") > 0.68) | (F.col("top_word_frac") > 0.2)).alias(
+            "low_quality"
+        ),
+    ).orderBy("doc")

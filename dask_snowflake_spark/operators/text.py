@@ -194,3 +194,40 @@ def tfidf(
             ).alias("tfidf_r"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document — the quality
+    filters that catch boilerplate and degenerate (looping) text:
+    duplicate-word fraction, top-word fraction, mean word length.
+
+    One explode keyed by doc, two cascaded aggregations with map-side
+    combine — the same shuffle key every per-doc text operator uses.
+    All ratios integer-quantized to 6 decimals (floor) so the values
+    are engine-portable (CLAUDE.md rounding rules)."""
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("doc")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_count"),
+            F.sum(F.length("w") * F.col("c")).alias("__sum_len"),
+        )
+        .select(
+            "doc",
+            "n_words",
+            "n_distinct",
+            (F.expr("(n_words - n_distinct) * 1000000 div n_words") / 1e6).alias(
+                "dup_word_frac"
+            ),
+            (F.expr("max_count * 1000000 div n_words") / 1e6).alias("top_word_frac"),
+            (F.expr("__sum_len * 1000000 div n_words") / 1e6).alias("mean_word_len"),
+        )
+    )

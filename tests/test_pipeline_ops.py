@@ -1,0 +1,84 @@
+"""Unit tests for the r3 training-pipeline operators: decontamination,
+PII redaction, repetition stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_snowflake_spark.operators.decontam import ngram_overlap
+from dask_snowflake_spark.operators.pii import PII_PATTERNS, redact
+from dask_snowflake_spark.operators.text import repetition_stats
+
+
+def test_ngram_overlap_basic(spark) -> None:
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # contains eval 3-gram "b c d"
+            (2, "x y z w q r"),     # no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame([(100, "b c d z z z")], ["doc_id", "text"])
+    rows = {r.doc: r for r in ngram_overlap(train, evalset, n=3).collect()}
+    assert rows[1].n_overlap == 1 and rows[1].n_shingles == 4
+    assert rows[1].overlap_frac == 0.25
+    assert rows[2].n_overlap == 0 and rows[2].overlap_frac == 0.0
+
+
+def test_ngram_overlap_plan_broadcasts_eval(spark) -> None:
+    train = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    evalset = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    plan = (
+        ngram_overlap(train, evalset, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_redact_counts_and_placeholders(spark) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call 555-1234"),
+            (2, "server at 10.0.3.1 and 192.168.0.255"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact(df, "text").collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1 and rows[1].n_ipv4 == 0
+    assert "[EMAIL]" in rows[1].redacted and "[PHONE]" in rows[1].redacted
+    assert "@" not in rows[1].redacted
+    assert rows[2].n_ipv4 == 2 and rows[2].redacted.count("[IP]") == 2
+    assert rows[3].redacted == "nothing sensitive here"
+    assert rows[3].n_email == rows[3].n_phone == rows[3].n_ipv4 == 0
+
+
+def test_pii_patterns_no_python_udf(spark) -> None:
+    df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = redact(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats(spark) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the cat"),   # 5 words, 2 distinct, top=4
+            (2, "a b c d"),               # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_words == 5 and rows[1].n_distinct == 2
+    assert rows[1].dup_word_frac == 0.6      # (5-2)*1e6 div 5 / 1e6
+    assert rows[1].top_word_frac == 0.8      # 4*1e6 div 5 / 1e6
+    assert rows[1].mean_word_len == 3.0      # (4*3 + 3)*1e6 div 5 = 3.0
+    assert rows[2].dup_word_frac == 0.0 and rows[2].top_word_frac == 0.25
+
+
+def test_patterns_are_re2_safe() -> None:
+    # no backrefs / lookaround — the portability contract
+    for _name, (pat, _repl) in PII_PATTERNS.items():
+        assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat
