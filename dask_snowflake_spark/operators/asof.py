@@ -111,7 +111,10 @@ def asof_join(
     if tolerance_seconds is not None:
         lt, rt = F.col("__ts"), F.col("__match")[right_ts]
         if l_is_ts:  # both sides validated same type family above
-            delta = F.abs(F.unix_micros(lt) - F.unix_micros(rt)) / 1e6
+            # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
+            # (unix_micros rejects NTZ, which parquet timestamp[us]
+            # fixtures produce)
+            delta = F.abs(F.timestamp_diff("MICROSECOND", rt, lt)) / 1e6
         else:
             delta = F.abs(lt.cast("double") - rt.cast("double"))
         merged = merged.withColumn(

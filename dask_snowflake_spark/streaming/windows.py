@@ -16,25 +16,36 @@ dropped, state for closed windows is evicted); groupBy keys are
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# ts streams as a raw long and is converted per the parquet footer's
+# physical unit (testdata fixtures have shipped both timestamp[ns] and
+# timestamp[us] across rounds): ns longs are truncated to µs exactly
+# like the batch reader (session.load_table); µs longs convert as-is.
+# Declaring long (not timestamp) keeps the conversion explicit and
+# yields TIMESTAMP (LTZ), which watermarks require (NTZ is rejected:
+# EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded file stream (ns-timestamps arrive as
-    longs under the nanosAsLong conf, converted exactly like the batch
-    reader)."""
-    from ..session import _ensure_runtime_confs
+    """events.parquet as a bounded file stream, ts normalized to a
+    µs-precision timestamp regardless of the file's physical unit."""
+    from ..session import _ensure_runtime_confs, _nanos_timestamp_cols
 
     _ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    is_ns = "ts" in _nanos_timestamp_cols(path)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.expr("ts div 1000") if is_ns else F.col("ts")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
