@@ -81,7 +81,7 @@ _SHINGLE_SQL = """
     )
 """
 
-_JACCARD_SQL = """
+_JACCARD_CTES = """
     sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
     inter AS (
         SELECT p.doc_a, p.doc_b, count(*) c
@@ -90,11 +90,17 @@ _JACCARD_SQL = """
         JOIN sh y ON y.doc = p.doc_b AND y.shingle = x.shingle
         GROUP BY p.doc_a, p.doc_b
     )
+"""
+
+_JACCARD_SQL = (
+    _JACCARD_CTES
+    + """
     SELECT i.doc_a, i.doc_b, round(i.c / (sa.n + sb.n - i.c), 6) AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.doc = i.doc_a
     JOIN sizes sb ON sb.doc = i.doc_b
 """
+)
 
 
 def _minhash_seeds_values() -> str:
@@ -105,10 +111,11 @@ def _minhash_seeds_values() -> str:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLE_SQL},
+def _minhash_cand_sql() -> str:
+    """CTEs producing LSH candidate pairs ``cand(doc_a, doc_b)`` from
+    ``sh`` (see ``_SHINGLE_SQL``) — shared by the pair query and the
+    connected-components clustering oracle."""
+    return f"""
     hashes AS (
         SELECT doc, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT & 4294967295 AS h32
         FROM sh
@@ -127,7 +134,15 @@ def _minhash_seeds_values() -> str:
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
-    ),
+    )
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
     {_JACCARD_SQL}
     WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
     ORDER BY doc_a, doc_b
@@ -1657,3 +1672,230 @@ def x30_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low_quality"
         ),
     ).orderBy("doc")
+
+
+@query(
+    "x31_dedup_cluster_cc",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    labels AS (SELECT u, least(u, min(r)) AS cluster_id FROM reach GROUP BY u)
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           array_to_string(list_sort(list(u)), ',') AS members
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    "near-dup CLUSTERS, not just pairs: MinHash+LSH candidate pairs -> "
+    "hash-min connected components (one equi-join + min-agg per round, "
+    "O(diameter) rounds, lineage checkpoint-truncated) -> one cluster "
+    "row with min-id representative; the oracle replays the clustering "
+    "as a recursive transitive closure",
+    ("dedup", "graph"),
+)
+def x31_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    t = _t(spark, sf_dir)
+    pairs = dedup_ops.minhash_near_dup(
+        t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        cc.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("vertex")), lambda x: x.cast("string")),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "x32_multires_rollup",
+    """
+    WITH b AS (
+        SELECT event_type, value,
+               date_trunc('hour', ts) AS h1,
+               date_trunc('day', ts) + (extract(hour FROM ts)::BIGINT // 6) * 6 * INTERVAL 1 HOUR AS h6,
+               date_trunc('day', ts) AS d1
+        FROM events
+    )
+    SELECT CASE WHEN h1 IS NOT NULL THEN '1h'
+                WHEN h6 IS NOT NULL THEN '6h'
+                ELSE '1d' END AS resolution,
+           coalesce(h1, h6, d1) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((h1, event_type), (h6, event_type), (d1, event_type))
+    ORDER BY resolution, bucket_start, event_type
+    """,
+    "hypertable-style multi-resolution rollup: 1h/6h/1d downsampled "
+    "aggregates of the event stream in ONE Expand-based grouping-sets "
+    "pass (no triple scan), tagged by resolution",
+    ("timeseries", "aggregation"),
+)
+def x32_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    b = t["events"].select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", F.col("ts")).alias("h1"),
+        F.expr(
+            "date_trunc('day', ts) + make_interval(0, 0, 0, 0, CAST(floor(hour(ts) / 6) * 6 AS INT), 0, 0)"
+        ).alias("h6"),
+        F.date_trunc("day", F.col("ts")).alias("d1"),
+    )
+    return (
+        b.groupingSets(
+            [["h1", "event_type"], ["h6", "event_type"], ["d1", "event_type"]],
+            "h1",
+            "h6",
+            "d1",
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.when(F.col("h1").isNotNull(), F.lit("1h"))
+            .when(F.col("h6").isNotNull(), F.lit("6h"))
+            .otherwise(F.lit("1d"))
+            .alias("resolution"),
+            F.coalesce("h1", "h6", "d1").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("resolution", "bucket_start", "event_type")
+    )
+
+
+@query(
+    "x33_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT count(v.user_id)                                        AS n_view,
+           count(c.user_id)                                        AS n_click,
+           count(p.user_id)                                        AS n_purchase,
+           count(c.user_id) * 1000000 // count(v.user_id) / 1e6    AS view_to_click,
+           count(p.user_id) * 1000000 // count(v.user_id) / 1e6    AS view_to_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "ordered conversion funnel over the event stream: first view -> "
+    "first click at-or-after it -> first purchase at-or-after that, "
+    "per-stage user counts + integer-quantized conversion rates; "
+    "stage aggregations shuffle once on user_id each",
+    ("events", "analytics"),
+)
+def x33_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        (F.expr("count(t_click) * 1000000 div count(t_view)") / 1e6).alias("view_to_click"),
+        (F.expr("count(t_purchase) * 1000000 div count(t_view)") / 1e6).alias("view_to_purchase"),
+    )
+
+
+@query(
+    "x34_vocab_topk",
+    """
+    WITH words AS (
+        SELECT doc_id, lower(u.w) AS w
+        FROM documents, LATERAL unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+        WHERE u.w != ''
+    )
+    SELECT w AS word,
+           count(*) AS corpus_freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM words
+    GROUP BY w
+    ORDER BY corpus_freq DESC, word
+    LIMIT 20
+    """,
+    "corpus vocabulary head: global top-20 words by corpus frequency "
+    "with document frequency — explode + one combined agg + "
+    "TakeOrderedAndProject top-k (per-partition heap, no full sort), "
+    "deterministic word tie-break",
+    ("text", "aggregation"),
+)
+def x34_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", F.lower("w").alias("word"))
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("corpus_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("corpus_freq").desc(), "word")
+        .limit(20)
+    )

@@ -1,0 +1,80 @@
+"""Connected components over an edge list — the clustering step that
+turns near-duplicate PAIRS (MinHash/SimHash/embedding candidates) into
+dedup CLUSTERS with one kept representative per component.
+
+No reference counterpart (the reference delegates all compute to the
+warehouse, which has no iterative operator); this is the standard
+hash-min label propagation used by large-scale dedup pipelines:
+
+- state: one (vertex, label) row per vertex, label = smallest vertex id
+  known reachable;
+- iteration: every vertex takes the min of its neighbors' labels and
+  its own (one equi-join + one min-aggregation — both shuffle on the
+  vertex key, no all-pairs anything);
+- termination: when no label changed (converges in O(component
+  diameter) rounds; near-dup clusters are shallow — text corpora
+  measure single-digit diameters).
+
+Scale posture: per-round cost is one shuffle join of the edge list with
+the label table plus a map-side-combinable min agg; per-task state is
+O(1) per key. The only driver-side work is a per-round scalar
+``changed`` count (size-independent). Lineage is truncated each round
+with ``localCheckpoint`` so the plan doesn't grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label each vertex of the undirected graph ``edges`` with the
+    minimum vertex id of its connected component.
+
+    Returns ``(vertex, component)`` for every vertex that appears in at
+    least one edge (isolated vertices aren't represented in an edge
+    list). Deterministic: no RNG, no order dependence.
+    """
+    und = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+        .distinct()
+    )
+    try:
+        und = und.localCheckpoint(eager=False)
+    except Exception:
+        und = und.persist()
+
+    # initial label: min over self and direct neighbors
+    labels = und.groupBy("__u").agg(F.least(F.min("__v"), F.first("__u")).alias("__lbl"))
+
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        # neighbor labels flow one hop: vertex u sees label of each
+        # neighbor v; keep the min of (own label, neighbor labels)
+        prop = und.join(
+            labels.select(F.col("__u").alias("__v"), "__lbl"), "__v"
+        ).select("__u", "__lbl")
+        new_labels = (
+            prop.unionByName(labels.select("__u", "__lbl"))
+            .groupBy("__u")
+            .agg(F.min("__lbl").alias("__lbl"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("__lbl", "__old"), "__u")
+            .filter(F.col("__lbl") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("__u").alias("vertex"), F.col("__lbl").alias("component"))

@@ -1,0 +1,43 @@
+"""Connected-components operator: chains, separate components,
+convergence, determinism."""
+
+from __future__ import annotations
+
+from dask_snowflake_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = connected_components(df, "a", "b").collect()
+    return {r.vertex: r.component for r in rows}
+
+
+def test_chain_is_one_component(spark) -> None:
+    # a-b, b-c, c-d: transitive chain must collapse to min id even
+    # though (1,4) never share an edge — the case pair-level dedup
+    # cannot express
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components(spark) -> None:
+    got = _cc(spark, [(10, 20), (30, 40), (40, 50)])
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30}
+
+
+def test_long_path_converges(spark) -> None:
+    # path of length 12 needs multiple propagation rounds
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_duplicate_and_reversed_edges(spark) -> None:
+    got = _cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_star_and_triangle(spark) -> None:
+    got = _cc(spark, [(5, 6), (5, 7), (5, 8), (6, 7), (100, 101)])
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 100: 100, 101: 100}
