@@ -41,40 +41,56 @@ def connected_components(
     Returns ``(vertex, component)`` for every vertex that appears in at
     least one edge (isolated vertices aren't represented in an edge
     list). Deterministic: no RNG, no order dependence.
+
+    Convergence is detected without a labels-to-labels join: labels
+    only ever decrease, so the per-round ``sum(label)`` (exact, 38-digit
+    decimal) is strictly monotone until fixpoint — one scalar
+    aggregation per round instead of a join + count.
     """
-    und = (
-        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-        .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
-        .distinct()
-    )
+    spark = edges.sparkSession
+    # The loop's joins/aggs run over the (usually small) active label
+    # frontier; a cluster-wide shuffle width means mostly-empty tasks
+    # per round. Right-size for the rounds, restore after — a
+    # production run sizes this to its edge cardinality instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    resized = prev is not None and prev.isdigit() and int(prev) > 8
+    if resized:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        und = und.localCheckpoint(eager=False)
-    except Exception:
-        und = und.persist()
-
-    # initial label: min over self and direct neighbors
-    labels = und.groupBy("__u").agg(F.least(F.min("__v"), F.first("__u")).alias("__lbl"))
-
-    for _ in range(max_iter):
-        labels = labels.localCheckpoint(eager=True)
-        # neighbor labels flow one hop: vertex u sees label of each
-        # neighbor v; keep the min of (own label, neighbor labels)
-        prop = und.join(
-            labels.select(F.col("__u").alias("__v"), "__lbl"), "__v"
-        ).select("__u", "__lbl")
-        new_labels = (
-            prop.unionByName(labels.select("__u", "__lbl"))
-            .groupBy("__u")
-            .agg(F.min("__lbl").alias("__lbl"))
+        und = (
+            edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+            .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("__lbl", "__old"), "__u")
-            .filter(F.col("__lbl") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+
+        # initial label: min over self and direct neighbors
+        labels = und.groupBy("__u").agg(
+            F.least(F.min("__v"), F.first("__u")).alias("__lbl")
+        ).localCheckpoint(eager=True)
+        lbl_sum = labels.agg(
+            F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+        for _ in range(max_iter):
+            # neighbor labels flow one hop: vertex u sees label of each
+            # neighbor v; keep the min of (own label, neighbor labels)
+            prop = und.join(
+                labels.select(F.col("__u").alias("__v"), "__lbl"), "__v"
+            ).select("__u", "__lbl")
+            labels = (
+                prop.unionByName(labels.select("__u", "__lbl"))
+                .groupBy("__u")
+                .agg(F.min("__lbl").alias("__lbl"))
+            ).localCheckpoint(eager=True)
+            new_sum = labels.agg(
+                F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if new_sum == lbl_sum:
+                break
+            lbl_sum = new_sum
+    finally:
+        if resized:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return labels.select(F.col("__u").alias("vertex"), F.col("__lbl").alias("component"))
