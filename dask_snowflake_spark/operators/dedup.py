@@ -78,25 +78,35 @@ def shingle_array(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, long format.
 
-    Built with posexplode + lead() windows — fully codegen'd, ~6x
-    faster than exploding a higher-order-function-built array (HOF
-    lambdas are interpreted). The window shuffle is keyed by doc, the
-    same partitioning every downstream per-doc aggregation reuses.
+    Built by zipping the word array against its own n-1 shifted slices
+    (``arrays_zip`` of ``slice``s — all codegen'd, no interpreted HOF
+    lambdas) and posexploding the zipped structs: shingle assembly is
+    entirely MAP-SIDE, so the only shuffle in the operator is the final
+    per-doc distinct — one fewer exchange than the previous
+    lead()-window formulation, which mattered more than its local ~20%:
+    a window shuffle's sort is the part that grows with corpus scale.
     Short docs (< n words) yield one partial shingle (concat_ws skips
-    the NULL leads), matching the array variant and the SQL oracle."""
-    words = df.select(
+    the NULL tail), matching the array variant and the SQL oracle."""
+    w = F.split(F.col(text_col), r"\s+")
+    base = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+        w.alias("w0"),
+        *[
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, n)
+        ],
     )
-    w = W.partitionBy("doc").orderBy("pos")
-    leads = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, n)]
-    # keep full n-grams (last lead non-null) plus the single partial
-    # shingle of a short doc (pos 0) — identical index set to the
-    # sequence(0, greatest(size-n, 0)) array formulation
+    zipped = base.select(
+        "doc",
+        F.posexplode(F.arrays_zip(*[F.col(f"w{j}") for j in range(n)])).alias("pos", "s"),
+    )
+    cols = [F.col("s").getField(f"w{j}") for j in range(n)]
+    # keep full n-grams (last slice element non-null) plus the single
+    # partial shingle of a short doc (pos 0) — identical index set to
+    # the sequence(0, greatest(size-n, 0)) array formulation
     return (
-        words.select("doc", "pos", "w", *leads)
-        .filter(F.col(f"w{n-1}").isNotNull() | (F.col("pos") == 0))
-        .select("doc", F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, n)]).alias("shingle"))
+        zipped.filter(cols[-1].isNotNull() | (F.col("pos") == 0))
+        .select("doc", F.concat_ws(" ", *cols).alias("shingle"))
         .dropDuplicates(["doc", "shingle"])
     )
 
