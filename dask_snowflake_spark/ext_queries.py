@@ -1899,3 +1899,103 @@ def x34_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corpus_freq").desc(), "word")
         .limit(20)
     )
+
+
+@query(
+    "x35_scd2_history",
+    """
+    WITH p AS (
+        SELECT user_id, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 20 = 0
+    ),
+    d AS (SELECT user_id, ts, value FROM p WHERE rn = 1)
+    SELECT user_id,
+           round(value, 2) AS value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ORDER BY user_id, valid_from
+    """,
+    "SCD-2 dimension history build from a CDC-style change stream: "
+    "per-key change rows -> validity intervals via lead() (valid_from, "
+    "valid_to, is_current), deduplicated deterministically at equal "
+    "timestamps; one shuffle keyed by the dimension key",
+    ("cdc", "window"),
+)
+def x35_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    p = (
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    return (
+        p.select(
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@query(
+    "x36_quality_resample",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               least(1.0, n_chars / 2000.0) AS q,
+               (('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 1000000) / 1e6 AS u
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(count(CASE WHEN u < q THEN 1 END) AS BIGINT) AS n_kept,
+           count(CASE WHEN u < q THEN 1 END) * 1000000 // count(*) / 1e6 AS kept_frac,
+           CAST(sum(CASE WHEN u < q THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "deterministic quality-weighted corpus resampling: keep probability "
+    "proportional to a quality score, decided by a content-keyed md5 "
+    "hash instead of RNG — reproducible across engines, retries, and "
+    "partitionings (same determinism contract as the split operator); "
+    "pure projection + one aggregation, zero extra shuffle",
+    ("sampling", "quality"),
+)
+def x36_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    q = F.least(F.lit(1.0), F.col("n_chars") / 2000.0)
+    u = (dedup_ops.portable_hash(F.col("doc_id").cast("string"), 7) % 1000000) / 1e6
+    scored = t["documents"].select(
+        "lang", "n_chars", q.alias("q"), u.alias("u")
+    )
+    kept = F.when(F.col("u") < F.col("q"), F.lit(1))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(kept).alias("n_kept"),
+            (F.expr("count(CASE WHEN u < q THEN 1 END) * 1000000 div count(1)") / 1e6).alias(
+                "kept_frac"
+            ),
+            F.sum(F.when(F.col("u") < F.col("q"), F.col("n_chars"))).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )

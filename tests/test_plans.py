@@ -214,3 +214,32 @@ def test_array_map_hof_stays_jvm_side(spark, sf_oracle):
     df = registry()["q22_array_map_hof"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_multires_rollup_single_expand_pass(spark, sf_oracle):
+    """The 1h/6h/1d multi-resolution rollup must be ONE Expand-based
+    pass over events, not three scans union'd together."""
+    df = registry()["x32_multires_rollup"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "Expand" in p, p
+    # formatted explain prints each node twice (tree + detail): one
+    # scan node == exactly two occurrences; a triple-scan union would
+    # show six
+    assert p.count("Scan parquet ") <= 2, p
+
+
+def test_vocab_topk_uses_heap(spark, sf_oracle):
+    """Global vocabulary top-k must compile to TakeOrderedAndProject
+    (per-partition heaps), never a full sort."""
+    df = registry()["x34_vocab_topk"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quality_resample_no_join_no_python(spark, sf_oracle):
+    """Hash-decided weighted resampling is a pure projection + one
+    aggregation: no join, no Python eval, single scan."""
+    df = registry()["x36_quality_resample"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
