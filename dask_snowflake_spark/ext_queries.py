@@ -1999,3 +1999,141 @@ def x36_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x37_anomaly_zscore",
+    """
+    WITH w AS (
+        SELECT user_id, event_id, ts, value,
+               avg(value)    OVER win AS mu,
+               stddev(value) OVER win AS sigma,
+               count(*)      OVER win AS n_win
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round(value, 2) AS value,
+           -- floor-quantized, not round(): means of 2-decimal values
+           -- land EXACTLY on 4dp halfway points (e.g. sum/16 =
+           -- 15.24125) where engine rounding rules disagree
+           CAST(floor(mu * 10000) AS BIGINT) / 1e4 AS trailing_mean,
+           CAST(floor((value - mu) / sigma * 10000) AS BIGINT) / 1e4 AS zscore
+    FROM w
+    WHERE n_win >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 3
+    ORDER BY user_id, event_id
+    """,
+    "streaming-style anomaly detection on the event stream: per-user "
+    "trailing-window mean/stddev (ROWS frame, bounded state) -> z-score "
+    "-> |z| > 3 outlier flag; one shuffle keyed by user, deterministic "
+    "(ts, event_id) ordering",
+    ("events", "window", "quality"),
+)
+def x37_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.avg("value").over(win).alias("mu"),
+            F.stddev("value").over(win).alias("sigma"),
+            F.count(F.lit(1)).over(win).alias("n_win"),
+        )
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        w.filter((F.col("n_win") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            (F.floor(F.col("mu") * 10000) / 1e4).alias("trailing_mean"),
+            (F.floor(z * 10000) / 1e4).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "x38_incremental_agg",
+    """
+    WITH base AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n,
+               sum(l_extendedprice) AS sum_price
+        FROM lineitem WHERE l_orderkey % 10 != 0
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    delta AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n,
+               sum(l_extendedprice) AS sum_price
+        FROM lineitem WHERE l_orderkey % 10 = 0
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    merged AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(sum_qty) AS BIGINT) AS sum_qty,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum(sum_price) AS sum_price
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty, n,
+           round(sum_price, 2) AS sum_price,
+           round(sum_price / n, 4) AS avg_price
+    FROM merged
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "incremental materialized-aggregate maintenance: a base aggregate "
+    "table merged with a delta batch by COMBINING partial states "
+    "(sums/counts re-summed, avg derived at read) instead of "
+    "recomputing over the full corpus — the foreachBatch/CDC update "
+    "pattern; equals the full recompute exactly",
+    ("aggregation", "cdc"),
+)
+def x38_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("sum_qty").cast("long").alias("sum_qty"),
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_price").alias("sum_price"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "n",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round(F.col("sum_price") / F.col("n"), 4).alias("avg_price"),
+    ).orderBy("l_returnflag", "l_linestatus")
