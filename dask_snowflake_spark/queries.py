@@ -747,13 +747,20 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     c = t["customer"].select(F.col("c_nationkey").alias("k"))
     s = t["supplier"].select(F.col("s_nationkey").alias("k"))
-    rows = [
-        ("union_all", c.unionAll(s).count()),
-        ("union_distinct", c.union(s).distinct().count()),
-        ("intersect", c.distinct().intersect(s.distinct()).count()),
-        ("except", c.distinct().exceptAll(s.distinct()).count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n long").orderBy("op")
+
+    # ONE declarative plan (four agg subtrees unioned) instead of four
+    # sequential driver-side count() actions — subtrees execute inside
+    # a single job graph and nothing but the final 4 rows moves
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        tagged("union_all", c.unionAll(s))
+        .unionByName(tagged("union_distinct", c.union(s).distinct()))
+        .unionByName(tagged("intersect", c.distinct().intersect(s.distinct())))
+        .unionByName(tagged("except", c.distinct().exceptAll(s.distinct())))
+        .orderBy("op")
+    )
 
 
 # ---------------------------------------------------------------------------
