@@ -2137,3 +2137,161 @@ def x38_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_price", 2).alias("sum_price"),
         F.round(F.col("sum_price") / F.col("n"), 4).alias("avg_price"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "x39_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 != 0
+    ),
+    new AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    diff AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'insert'
+                    WHEN n.k IS NULL THEN 'delete'
+                    WHEN o.o_totalprice != n.o_totalprice
+                         OR o.o_orderstatus != n.o_orderstatus THEN 'update'
+                    ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT change, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+    FROM diff
+    GROUP BY change
+    ORDER BY change
+    """,
+    "snapshot diff / change-data-feed between two table versions: "
+    "full outer join on the key classifying insert/delete/update/"
+    "unchanged (row-hash comparison) — the table-format CDF pattern "
+    "computed relationally; one shuffle keyed by the table key",
+    ("cdc", "join"),
+)
+def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), "o_totalprice", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    change = (
+        F.when(F.col("o.k").isNull(), F.lit("insert"))
+        .when(F.col("n.k").isNull(), F.lit("delete"))
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"), change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("min_key"), F.max("k").alias("max_key"))
+        .orderBy("change")
+    )
+
+
+@query(
+    "x40_stream_outer_join",
+    """
+    WITH horizon AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click' AND user_id % 5 = 0),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 2 HOUR AS w
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id % 5 = 0) c
+    CROSS JOIN horizon h
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    WHERE c.ts + INTERVAL 31 MINUTE <= h.w
+    ORDER BY click_id, purchase_id NULLS FIRST
+    """,
+    "watermarked stream-stream LEFT OUTER interval join: clicks with no "
+    "purchase within 30min still emit (null right side) once the "
+    "watermark passes — the state-eviction semantics the inner "
+    "flow_stream_join can't show. A bounded source's final watermark "
+    "stops 2h short of max event time, so clicks whose join window has "
+    "not fully expired are withheld by design; both engine and oracle "
+    "restrict to clicks inside the emitted horizon (margin over the "
+    "eviction boundary), making the bounded run equal the batch outer "
+    "join exactly",
+    ("streaming", "join"),
+)
+def x40_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the final watermark of the bounded run, computed batch-side: the
+    # stream only emits unmatched clicks whose 30-min join window fully
+    # expired before it (1-min margin keeps eviction boundary semantics
+    # out of the compare)
+    t = _t(spark, sf_dir)
+    ev_b = t["events"]
+    horizon = (
+        ev_b.agg(
+            (
+                F.least(
+                    F.max(
+                        F.when(
+                            (F.col("event_type") == "click") & (F.col("user_id") % 5 == 0),
+                            F.col("ts"),
+                        )
+                    ),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 2 HOURS")
+            ).alias("w")
+        ).collect()[0]["w"]
+    )
+    ev = stream_ops._events_stream(spark, sf_dir)
+    # NOTE: the stream itself must NOT be pre-filtered to the horizon —
+    # the click-side watermark derives from the stream's own max event
+    # time, so a ts filter lowers the watermark by the same amount and
+    # the eviction horizon chases the filter (measured: exactly the
+    # tail rows stay withheld). The horizon is applied to the
+    # MATERIALIZED output instead.
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("user_id") % 5 == 0))
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id", "purchase_id", "user_id", "click_ts", F.round("value", 2).alias("purchase_value")
+    )
+    stream_ops.run_stream_to_table(joined, "stream_outer_join_out", output_mode="append")
+    return (
+        spark.table("stream_outer_join_out")
+        .filter(F.col("click_ts") + F.expr("INTERVAL 31 MINUTES") <= F.lit(horizon))
+        .select("click_id", "purchase_id", "user_id", "purchase_value")
+        .orderBy("click_id", F.col("purchase_id").asc_nulls_first())
+    )
