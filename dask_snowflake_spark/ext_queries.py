@@ -2295,3 +2295,91 @@ def x40_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "purchase_id", "user_id", "purchase_value")
         .orderBy("click_id", F.col("purchase_id").asc_nulls_first())
     )
+
+
+@query(
+    "x41_pq_adc_recall",
+    None,  # iterative per-subspace k-means: float means are not bit-portable
+    "product-quantization ANN: per-subspace codebooks trained on a "
+    "deterministic 20% sample (euclidean Lloyd's via DataFrame aggs, "
+    "hash-seeded), corpus encoded to m=4 one-byte codes (16x "
+    "compression of the float corpus), asymmetric-distance shortlist "
+    "via per-query lookup tables (the corpus scan does NO vector math "
+    "— sum of m table lookups per row), exact re-rank of the 10x "
+    "shortlist only (the PQ-prune + re-rank production pattern), "
+    "recall measured against the exact euclidean ground truth "
+    "in-query. NOTE the testdata embeddings are isotropic random unit "
+    "vectors (pairwise d2 = 2.0 +/- 0.25 measured): distance "
+    "concentration bounds ANY quantizer's recall on them, so the "
+    "deliverable here is the mechanism (lookup-only scan, bounded "
+    "codebooks, exact re-rank), not the recall value — rows-only "
+    "check by design (iterative float training)",
+    ("similarity",),
+)
+def x41_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.sampling import deterministic_sample
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    emb = track_cache(t["embeddings"].select("vec_id", "embedding"))
+    train = deterministic_sample(emb, "vec_id", 0.2, salt="pq-train")
+    # iters=1 per subspace: codebook movement after the first Lloyd
+    # step doesn't change what the query demonstrates (PQ prune +
+    # re-rank recall), and every extra iteration is m more jobs
+    books = sim_ops.pq_fit(train, m=4, k=16, iters=1)
+    codes = sim_ops.pq_encode(emb, books).select("vec_id", "codes")
+
+    qbase = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # ADC prunes the corpus to a 10x shortlist; only the shortlist pays
+    # full-precision distance math (re-rank) — the scan stays
+    # lookup-only, which is the whole point of PQ at 10^9 vectors
+    shortlist = sim_ops.pq_adc_topk(
+        qbase, codes.filter(F.col("vec_id") >= 5), books, k=100
+    ).select("q_id", "vec_id")
+    rr_w = W.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    approx = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(qbase), "q_id")
+        .select(
+            "q_id", "vec_id", sim_ops._l2sq(F.col("q_vec"), F.col("embedding")).alias("d2")
+        )
+        .withColumn("rnk", F.row_number().over(rr_w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+
+    # exact euclidean ground truth off the same cached corpus
+    scored = (
+        emb.filter(F.col("vec_id") >= 5)
+        .join(F.broadcast(qbase))
+        .select(
+            "q_id",
+            "vec_id",
+            sim_ops._l2sq(F.col("q_vec"), F.col("embedding")).alias("d2"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+    hits = truth.join(approx, ["q_id", "vec_id"])
+    return (
+        truth.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_found")), "q_id", "left")
+        .select(
+            "q_id",
+            "n_true",
+            F.coalesce(F.col("n_found"), F.lit(0)).alias("n_found"),
+            F.round(F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("q_id")
+    )

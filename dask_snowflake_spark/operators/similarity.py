@@ -398,3 +398,164 @@ def assign_cells(
         F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["idx"]
     )
     return df.withColumn(out_col, F.explode(probes))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks: the vector splits into ``m``
+    contiguous slices and each subspace trains its own k-means
+    (euclidean Lloyd's over DataFrame aggregations, deterministic
+    hash-picked seeds — no RNG).
+
+    Memory story at scale: a float32 corpus compresses dim*4 bytes ->
+    m bytes per vector (e.g. 64-dim -> 4 codes = 64x); the codebooks
+    (m * k * dim/m floats) are driver/broadcast-sized by construction.
+    Only per-(cell, dim) means ever reach the driver, same contract as
+    ``kmeans_fit``."""
+    from .dedup import portable_hash
+
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m:
+        raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    d_m = dim // m
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        *[F.slice(F.col(vec_col), s * d_m + 1, d_m).alias(f"s{s}") for s in range(m)],
+    ).persist()
+    try:
+        seeds = (
+            base.withColumn("__h", portable_hash(F.col("vid").cast("string"), F.lit("pq-seed")))
+            .orderBy("__h", "vid")
+            .limit(k)
+            .collect()
+        )
+        books: list[list[list[float]]] = [[list(r[f"s{s}"]) for r in seeds] for s in range(m)]
+        # ONE aggregation job per Lloyd step covering ALL m subspaces:
+        # per row, assign each slice to its subspace cell, explode to
+        # (subspace, cell, pos, x), one groupBy — the driver pulls only
+        # the m*k*(dim/m) mean matrix per step
+        for _ in range(iters):
+            parts = []
+            for s in range(m):
+                cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+                scored = F.transform(
+                    cents, lambda c, i: F.struct(_l2sq(F.col(f"s{s}"), c).alias("d2"), i.alias("idx"))
+                )
+                parts.append(
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.array_min(scored)["idx"].alias("cell"),
+                        F.col(f"s{s}").alias("v"),
+                    )
+                )
+            sums = (
+                base.select(F.explode(F.array(*parts)).alias("e"))
+                .select("e.sub", "e.cell", F.posexplode("e.v").alias("pos", "x"))
+                .groupBy("sub", "cell", "pos")
+                .agg(F.avg("x").alias("mval"))
+                .collect()
+            )
+            new: dict[int, dict[int, dict[int, float]]] = {}
+            for r in sums:
+                new.setdefault(r.sub, {}).setdefault(r.cell, {})[r.pos] = r.mval
+            books = [
+                [
+                    [new[s][c][p] for p in sorted(new[s][c])] if c in new.get(s, {}) else books[s][c]
+                    for c in range(k)
+                ]
+                for s in range(m)
+            ]
+        return books
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Append the PQ code array (m small ints per vector): per
+    subspace, the index of the closest codebook centroid. Pure
+    projection against codebook literals — scan-speed, no shuffle, no
+    Python; the full-precision vector can be dropped afterwards (the
+    compression is the point)."""
+    m = len(codebooks)
+    d_m = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * d_m + 1, d_m)
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        scored = F.transform(
+            cents, lambda c, i: F.struct(_l2sq(sl, c).alias("d2"), i.alias("idx"))
+        )
+        codes.append(F.array_min(scored)["idx"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes one lookup table of squared distances to every codebook
+    centroid (m arrays of k floats — QUERY-side only, tiny), then the
+    corpus scan is ``sum(element_at(lut_s, code_s))`` per row: no
+    vector arithmetic against the corpus at all, which is what makes
+    PQ scans cheap at 10^9 vectors. Broadcast of the query side; top-k
+    via per-query window."""
+    from pyspark.sql.window import Window as W
+
+    m = len(codebooks)
+    d_m = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        sl = F.slice(F.col(q_vec), s * d_m + 1, d_m)
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        luts.append(F.transform(cents, lambda c: _l2sq(sl, c)).alias(f"lut{s}"))
+    q = queries.select(F.col(q_id), *luts)
+    dist = sum(
+        F.element_at(F.col(f"lut{s}"), F.element_at(F.col(codes_col), s + 1) + 1)
+        for s in range(m)
+    )
+    scored = codes.join(F.broadcast(q)).select(
+        q_id, id_col, dist.alias("adc_d2")
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("adc_d2"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id, id_col, F.col("rnk"), F.round("adc_d2", 6).alias("adc_d2"))
+    )
