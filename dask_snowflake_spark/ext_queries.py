@@ -2383,3 +2383,57 @@ def x41_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@query(
+    "x42_segment_bitmask",
+    """
+    WITH m AS (
+        SELECT user_id,
+               bit_or(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 4
+                      WHEN 'error' THEN 8 WHEN 'signup' THEN 16 ELSE 32 END) AS mask
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT mask,
+           count(*) AS n_users,
+           (mask & 4 != 0) AS has_purchase,
+           CAST(min(user_id) AS BIGINT) AS min_user
+    FROM m
+    GROUP BY mask
+    ORDER BY mask
+    """,
+    "bitmap segmentation: per-user behavior bitmask via bit_or "
+    "aggregation (one bit per event type), then segment distribution "
+    "with bitwise predicates — the roaring-bitmap-style audience "
+    "pattern in two map-side-combinable aggregations",
+    ("events", "aggregation", "bitwise"),
+)
+def x42_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "error", 8)
+        .when(F.col("event_type") == "signup", 16)
+        .otherwise(32)
+    )
+    m = (
+        t["events"]
+        .select("user_id", bit.alias("b"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+    )
+    return (
+        m.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.min("user_id").alias("min_user"))
+        .select(
+            "mask",
+            "n_users",
+            (F.col("mask").bitwiseAND(4) != 0).alias("has_purchase"),
+            "min_user",
+        )
+        .orderBy("mask")
+    )

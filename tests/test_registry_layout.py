@@ -28,4 +28,8 @@ def test_priority_window_covers_every_surface():
 def test_every_query_has_oracle_or_documented_rows_only():
     rows_only = {n for n, qd in registry().items() if qd.oracle is None}
     # only approximate / iterative-training queries may skip the oracle
-    assert rows_only <= {"x04_approx_sketches", "x21_ivf_trained_recall"}, rows_only
+    assert rows_only <= {
+        "x04_approx_sketches",
+        "x21_ivf_trained_recall",
+        "x41_pq_adc_recall",
+    }, rows_only
