@@ -70,10 +70,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shingles carried as 60-bit md5 hashes (identical expression to the
+# engine's portable_hash), so every downstream join/distinct matches
+# the engine's hashed-shingle traffic value-for-value
 _SHINGLE_SQL = """
     words AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
     sh AS (
-        SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+        SELECT DISTINCT doc_id AS doc,
+               ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS shingle
+        FROM (
             SELECT doc_id,
                    unnest(list_transform(range(greatest(len(w) - 2, 1)),
                           i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS s
@@ -117,7 +122,7 @@ def _minhash_cand_sql() -> str:
     connected-components clustering oracle."""
     return f"""
     hashes AS (
-        SELECT doc, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT & 4294967295 AS h32
+        SELECT doc, shingle & 4294967295 AS h32
         FROM sh
     ),
     sig AS (

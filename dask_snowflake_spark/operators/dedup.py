@@ -111,6 +111,37 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
+def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document as 60-bit hashes
+    (``portable_hash``, seed 0): the text -> hash projection is
+    map-side, so the per-doc distinct and every downstream join/shuffle
+    carries 8-byte longs instead of raw shingle strings — ~5x fewer
+    shuffle bytes at corpus scale. Jaccard over hashes equals Jaccard
+    over shingles up to md5 collisions, and the oracle hashes with the
+    IDENTICAL md5 expression, so the value compare stays exact even in
+    a collision. The low 32 bits are the MinHash base hash (same bits
+    ``minhash_signatures`` derives), so no second md5 pass is needed."""
+    w = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        w.alias("w0"),
+        *[
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, n)
+        ],
+    )
+    zipped = base.select(
+        "doc",
+        F.posexplode(F.arrays_zip(*[F.col(f"w{j}") for j in range(n)])).alias("pos", "s"),
+    )
+    cols = [F.col("s").getField(f"w{j}") for j in range(n)]
+    return (
+        zipped.filter(cols[-1].isNotNull() | (F.col("pos") == 0))
+        .select("doc", portable_hash(F.concat_ws(" ", *cols)).alias("shingle"))
+        .dropDuplicates(["doc", "shingle"])
+    )
+
+
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 
@@ -129,7 +160,9 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, *, prehashed: bool = False
+) -> DataFrame:
     """Wide-format MinHash signatures: (doc, sig array<long>) from
     long-format (doc, shingle) rows.
 
@@ -138,9 +171,14 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     expressions, no nested higher-order functions (those are
     interpreted row-at-a-time and were ~15x slower). The groupBy runs
     map-side partial min aggregation, so the shuffle carries ~one row
-    per (doc, partition)."""
+    per (doc, partition). ``prehashed=True`` declares the shingle
+    column already a ``portable_hash`` long (``hashed_shingles``) whose
+    low 32 bits ARE the base hash — skips the md5 pass."""
     params = minhash_params(num_hashes)
-    rows = sh.withColumn("h32", portable_hash(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF)))
+    base_hash = (
+        F.col("shingle") if prehashed else portable_hash(F.col("shingle"))
+    )
+    rows = sh.withColumn("h32", base_hash.bitwiseAND(F.lit(0xFFFFFFFF)))
     mins = [
         F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
@@ -241,11 +279,12 @@ def minhash_near_dup(
 
     The scale path: cost ~ O(docs * shingles * k) map-side + shuffles on
     (doc,seed), band_sig, and shingle for the verify step restricted to
-    candidates. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    candidates — all shingle traffic as 60-bit hashes, never raw
+    strings. Returns (doc_a, doc_b, jaccard >= threshold)."""
     # cached: the shingle set feeds the signature path AND the verify
     # path — without it Spark re-parses every document per subtree
-    sh = track_cache(shingles(docs, text_col, id_col, shingle_n))
-    sig = minhash_signatures(sh, num_hashes)
+    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n))
+    sig = minhash_signatures(sh, num_hashes, prehashed=True)
     # the band self-join reads both sides; caching the (tiny, one row
     # per doc x bands) band keys stops the k-min signature aggregation
     # from running twice
@@ -266,7 +305,7 @@ def ngram_jaccard_pairs(
     equi-join (no LSH). Quadratic in docs sharing a shingle — the
     correctness baseline MinHash is verified against; prefer
     ``minhash_near_dup`` beyond ~10^6 docs."""
-    sh = track_cache(shingles(docs, text_col, id_col, shingle_n))
+    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     # intersection counts straight off the shared-shingle join — no
