@@ -2442,3 +2442,89 @@ def x42_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+@query(
+    "x43_data_mixture",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+               (('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000000) / 1e6 AS u
+        FROM documents
+    ),
+    totals AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM toks GROUP BY lang),
+    corpus AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS all_tokens FROM totals),
+    rates AS (
+        SELECT t.lang, t.lang_tokens,
+               least(1.0, (CASE t.lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+                           WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15 ELSE 0.1 END)
+                          * c.all_tokens * 0.5 / t.lang_tokens) AS rate
+        FROM totals t CROSS JOIN corpus c
+    )
+    SELECT k.lang,
+           r.lang_tokens,
+           round(r.rate, 6) AS rate,
+           count(*) AS n_kept,
+           CAST(sum(k.n_tokens) AS BIGINT) AS kept_tokens
+    FROM toks k
+    JOIN rates r ON r.lang = k.lang
+    WHERE k.u < r.rate
+    GROUP BY k.lang, r.lang_tokens, r.rate
+    ORDER BY k.lang
+    """,
+    "LLM data mixing: target language proportions (en .4 / zh .2 / "
+    "de .15 / fr .15 / es .1) over a 50% global token budget -> "
+    "per-language sampling rate from the corpus's own token totals -> "
+    "deterministic hash-decided downsampling to the mixture (same "
+    "no-RNG contract as the split/resample operators); the rate table "
+    "is a broadcast-sized aggregate, the keep decision a pure "
+    "projection",
+    ("sampling", "text", "pipeline"),
+)
+def x43_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+        (
+            (dedup_ops.portable_hash(F.col("doc_id").cast("string"), F.lit("mix")) % 1000000)
+            / 1e6
+        ).alias("u"),
+    )
+    totals = toks.groupBy("lang").agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
+    corpus = totals.agg(F.sum("lang_tokens").cast("long").alias("all_tokens"))
+    weight = (
+        F.when(F.col("lang") == "en", 0.4)
+        .when(F.col("lang") == "zh", 0.2)
+        .when(F.col("lang") == "de", 0.15)
+        .when(F.col("lang") == "fr", 0.15)
+        .otherwise(0.1)
+    )
+    rates = totals.join(F.broadcast(corpus)).select(
+        "lang",
+        "lang_tokens",
+        F.least(
+            F.lit(1.0), weight * F.col("all_tokens") * 0.5 / F.col("lang_tokens")
+        ).alias("rate"),
+    )
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("lang", "lang_tokens", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round("rate", 6).alias("rate"),
+            "n_kept",
+            "kept_tokens",
+        )
+        .orderBy("lang")
+    )
