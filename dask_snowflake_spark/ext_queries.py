@@ -2528,3 +2528,61 @@ def x43_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x44_hll_mergeable_sketches",
+    None,  # datasketches HLL binary images are engine-specific
+    "mergeable distinct-count sketches — the pre-aggregation pattern "
+    "that makes 100 TB distinct-user rollups incremental: per-(day, "
+    "event_type) HLL sketches (one pass over events), then weekly "
+    "distinct-user estimates by MERGING the daily sketch states "
+    "(hll_union_agg — never re-scanning events), compared in-query "
+    "against the exact weekly distinct and a relative-error bound; "
+    "rows-only by design (sketch binaries are engine-specific)",
+    ("aggregation", "sketch", "timeseries"),
+)
+def x44_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    )
+    # pass 1 (the only scan): daily sketch table — this is what a real
+    # pipeline would PERSIST and maintain incrementally
+    daily = ev.groupBy("week", "day", "event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    # weekly rollup: union of daily sketch STATES, no second scan
+    weekly = daily.groupBy("week", "event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+    )
+    exact = ev.groupBy("week", "event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        weekly.join(exact, ["week", "event_type"])
+        .select(
+            "week",
+            "event_type",
+            "n_days",
+            "exact_distinct",
+            F.col("est_distinct").cast("long").alias("est_distinct"),
+            # sketches must beat naive daily-sum double counting AND
+            # land within HLL's error envelope
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("within_5pct"),
+            (F.col("sum_daily_exact") >= F.col("exact_distinct")).alias(
+                "naive_sum_overcounts"
+            ),
+        )
+        .orderBy("week", "event_type")
+    )

@@ -41,3 +41,36 @@ def test_duplicate_and_reversed_edges(spark) -> None:
 def test_star_and_triangle(spark) -> None:
     got = _cc(spark, [(5, 6), (5, 7), (5, 8), (6, 7), (100, 101)])
     assert got == {5: 5, 6: 5, 7: 5, 8: 5, 100: 100, 101: 100}
+
+
+def test_random_graphs_match_union_find(spark) -> None:
+    """Hash-min propagation equals a classic union-find on arbitrary
+    graphs (deterministically generated, several shapes per seed)."""
+    import hashlib
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    for seed in range(3):
+        n_vertices, n_edges = 40, 55
+        edges = []
+        for i in range(n_edges):
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            a, b = int(h[:8], 16) % n_vertices, int(h[8:16], 16) % n_vertices
+            if a != b:
+                edges.append((a, b))
+        got = _cc(spark, edges)
+        assert got == uf_components(edges), f"seed {seed}"

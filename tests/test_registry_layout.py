@@ -32,4 +32,5 @@ def test_every_query_has_oracle_or_documented_rows_only():
         "x04_approx_sketches",
         "x21_ivf_trained_recall",
         "x41_pq_adc_recall",
+        "x44_hll_mergeable_sketches",
     }, rows_only
