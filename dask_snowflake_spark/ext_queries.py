@@ -2586,3 +2586,42 @@ def x44_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "event_type")
     )
+
+
+@query(
+    "x45_heavy_hitters",
+    None,  # freqItems candidate sets are sketch-dependent (over-approximate)
+    "distributed heavy hitters over the corpus vocabulary: one-pass "
+    "frequent-items sketch (df.stat.freqItems, Karp/Misra-Gries "
+    "family — per-partition candidate counters, merged map-side, no "
+    "full vocabulary shuffle) at 1% support, verified in-query against "
+    "the exact word frequencies: every TRUE >=1% word must be in the "
+    "candidate set (the algorithm's containment guarantee) — rows-only "
+    "by design (the candidate superset is sketch-dependent)",
+    ("text", "sketch", "aggregation"),
+)
+def x45_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    words = track_cache(
+        t["documents"]
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    support = 0.01
+    cand_row = words.stat.freqItems(["w"], support).collect()[0]
+    candidates = set(cand_row["w_freqItems"])
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = words.count()
+    thresh = int(total * support)
+    return (
+        exact.filter(F.col("n") >= thresh)
+        .select(
+            F.col("w").alias("word"),
+            "n",
+            (F.expr(f"n * 1000000 div {total}") / 1e6).alias("freq"),
+            F.col("w").isin(*candidates).alias("in_candidates"),
+        )
+        .orderBy(F.col("n").desc(), "word")
+    )

@@ -33,4 +33,5 @@ def test_every_query_has_oracle_or_documented_rows_only():
         "x21_ivf_trained_recall",
         "x41_pq_adc_recall",
         "x44_hll_mergeable_sketches",
+        "x45_heavy_hitters",
     }, rows_only
