@@ -74,3 +74,8 @@ def test_random_graphs_match_union_find(spark) -> None:
                 edges.append((a, b))
         got = _cc(spark, edges)
         assert got == uf_components(edges), f"seed {seed}"
+
+
+def test_empty_edge_list(spark) -> None:
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df, "a", "b").collect() == []

@@ -62,3 +62,19 @@ def test_no_percentile_aggregate_in_plan(spark, sf_smoke) -> None:
         .toString()
     )
     assert "percentile(" not in plan.lower()
+
+
+def test_negative_zero_mixed_values(spark) -> None:
+    """The sign-aware log bucketing must stay order-preserving across
+    negative / zero / positive values and subnormal magnitudes."""
+    vals = [-100.0, -1.5, -0.001, 0.0, 0.0, 1e-7, 0.5, 2.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    probs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = exact_group_quantiles(df, ["g"], "v", probs).collect()[0].quantiles
+    exp = (
+        df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()[0]
+        .p
+    )
+    assert list(got) == pytest.approx(list(exp), abs=1e-12)
