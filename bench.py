@@ -6,6 +6,12 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Execution sink is `noop` so timings measure the distributed plan, not
 driver-side row serialization. Value = total wall seconds across all
 queries (lower is better).
+
+Noise defense: the shared bench host shows ±2x run-to-run variance on
+byte-identical code (SCALE.md's measurements), so every query runs in
+TWO interleaved full passes and reports the best-of-2 — a transient
+host stall must hit the same query in both passes to bias its number.
+Per-run raw times and the per-query spread ship in the detail file.
 """
 
 from __future__ import annotations
@@ -43,12 +49,18 @@ def main() -> None:
     warm_name, warm_qd = ordered[0]
     warm_qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, qd in ordered:
-        t0 = time.perf_counter()
-        df = qd.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 2)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    runs: list[dict[str, float]] = []
+    for _ in range(max(1, n_passes)):
+        pass_times: dict[str, float] = {}
+        for name, qd in ordered:
+            t0 = time.perf_counter()
+            df = qd.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            pass_times[name] = round(time.perf_counter() - t0, 2)
+        runs.append(pass_times)
+    timings = {name: min(r[name] for r in runs) for name in runs[0]}
+    spread = {name: round(max(r[name] for r in runs) - timings[name], 2) for name in runs[0]}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -61,6 +73,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "queries": timings,
+        "runs": runs,
+        "spread": spread,
     }
     # The driver captures a bounded TAIL of stdout, so a single long line
     # gets its FRONT truncated and never parses (r1+r2 both hit this).
@@ -80,6 +94,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "n_passes": len(runs),
+        "spread_total_sec": round(sum(spread.values()), 2),
         "detail": "BENCH_QUERIES.json",
     }
     print(json.dumps(headline, separators=(",", ":")))

@@ -163,7 +163,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_ngram_jaccard",
+    "x46_dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_SQL},
     cand AS (
@@ -177,7 +177,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact all-pairs n-gram Jaccard near-dup (the baseline MinHash is verified against)",
     ("dedup",),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x46_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return dedup_ops.ngram_jaccard_pairs(t["documents"], shingle_n=3, threshold=0.8).orderBy(
         "doc_a", "doc_b"
@@ -233,7 +233,7 @@ def _pair_sim_sql(a: str = "a", b: str = "b") -> str:
 
 
 @query(
-    "ann_topk_bruteforce",
+    "x47_ann_topk_bruteforce",
     f"""
     WITH {_COSINE_SQL},
     scored AS (
@@ -251,7 +251,7 @@ def _pair_sim_sql(a: str = "a", b: str = "b") -> str:
     "brute-force cosine top-k ANN baseline: broadcast queries x full corpus scan + window top-k",
     ("similarity",),
 )
-def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x47_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return sim_ops.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -575,12 +575,9 @@ def flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumb = stream_ops.run_tumbling_stream(spark, sf_dir, "flow_tumbling_out").select(
         F.lit("tumbling").alias("kind"), "window_start", "event_type", "n"
     )
-    stream_ops.run_stream_to_table(
+    slide = stream_ops.run_stream_to_table(
         stream_ops.sliding_counts(stream_ops._events_stream(spark, sf_dir)), "flow_sliding_out"
-    )
-    slide = spark.table("flow_sliding_out").select(
-        F.lit("sliding").alias("kind"), "window_start", "event_type", "n"
-    )
+    ).select(F.lit("sliding").alias("kind"), "window_start", "event_type", "n")
     return tumb.unionByName(slide).orderBy("kind", "window_start", "event_type")
 
 
@@ -639,10 +636,10 @@ def flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def flow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_ops.streaming_dedup(stream_ops._events_stream(spark, sf_dir))
-    stream_ops.run_stream_to_table(
+    out = stream_ops.run_stream_to_table(
         stream.select("user_id", "event_type"), "stream_dedup_out", output_mode="append"
     )
-    return spark.table("stream_dedup_out").dropDuplicates().orderBy("user_id", "event_type")
+    return out.dropDuplicates().orderBy("user_id", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -868,7 +865,7 @@ def flow_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import running_user_counters
     from .streaming.windows import _events_stream, run_stream_to_table
 
-    run_stream_to_table(
+    out = run_stream_to_table(
         running_user_counters(_events_stream(spark, sf_dir)),
         "stream_state_out",
         output_mode="update",
@@ -877,8 +874,7 @@ def flow_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per user is the row with the highest event count
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        spark.table("stream_state_out")
-        .withColumn("rn", F.row_number().over(w))
+        out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
@@ -922,8 +918,8 @@ def flow_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "user_id", F.round("value", 2).alias("purchase_value"))
-    stream_ops.run_stream_to_table(joined, "stream_join_out", output_mode="append")
-    return spark.table("stream_join_out").orderBy("click_id", "purchase_id")
+    out = stream_ops.run_stream_to_table(joined, "stream_join_out", output_mode="append")
+    return out.orderBy("click_id", "purchase_id")
 
 
 @query(
@@ -1512,7 +1508,7 @@ def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x28_decontaminate",
+    "decontaminate_evals",
     """
     WITH sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i+1:i+4], ' ') AS shingle
@@ -1541,7 +1537,7 @@ def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "detector; only contaminated docs returned",
     ("text", "decontam"),
 )
-def x28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontam import ngram_overlap
 
     t = _t(spark, sf_dir)
@@ -1680,7 +1676,7 @@ def x30_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x31_dedup_cluster_cc",
+    "dedup_cluster_cc",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -1717,7 +1713,7 @@ def x30_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a recursive transitive closure",
     ("dedup", "graph"),
 )
-def x31_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     t = _t(spark, sf_dir)
@@ -2027,7 +2023,11 @@ def x36_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(mu * 10000) AS BIGINT) / 1e4 AS trailing_mean,
            CAST(floor((value - mu) / sigma * 10000) AS BIGINT) / 1e4 AS zscore
     FROM w
-    WHERE n_win >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 3
+    -- outlier test on the SAME floor-quantized z the output carries:
+    -- an unquantized |z| > 3 would flip row membership when per-engine
+    -- float summation puts z within an ulp of 3
+    WHERE n_win >= 5 AND sigma > 0
+      AND abs(CAST(floor((value - mu) / sigma * 10000) AS BIGINT) / 1e4) > 3
     ORDER BY user_id, event_id
     """,
     "streaming-style anomaly detection on the event stream: per-user "
@@ -2059,14 +2059,15 @@ def x37_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    zq = F.floor(z * 10000) / 1e4  # filter + output share this quantization
     return (
-        w.filter((F.col("n_win") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 3))
+        w.filter((F.col("n_win") >= 5) & (F.col("sigma") > 0) & (F.abs(zq) > 3))
         .select(
             "user_id",
             "event_id",
             F.round("value", 2).alias("value"),
             (F.floor(F.col("mu") * 10000) / 1e4).alias("trailing_mean"),
-            (F.floor(z * 10000) / 1e4).alias("zscore"),
+            zq.alias("zscore"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -2293,10 +2294,9 @@ def x40_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "click_id", "purchase_id", "user_id", "click_ts", F.round("value", 2).alias("purchase_value")
     )
-    stream_ops.run_stream_to_table(joined, "stream_outer_join_out", output_mode="append")
+    out = stream_ops.run_stream_to_table(joined, "stream_outer_join_out", output_mode="append")
     return (
-        spark.table("stream_outer_join_out")
-        .filter(F.col("click_ts") + F.expr("INTERVAL 31 MINUTES") <= F.lit(horizon))
+        out.filter(F.col("click_ts") + F.expr("INTERVAL 31 MINUTES") <= F.lit(horizon))
         .select("click_id", "purchase_id", "user_id", "purchase_value")
         .orderBy("click_id", F.col("purchase_id").asc_nulls_first())
     )
@@ -2445,7 +2445,7 @@ def x42_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x43_data_mixture",
+    "data_mixture",
     """
     WITH toks AS (
         SELECT doc_id, lang,
@@ -2482,7 +2482,7 @@ def x42_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection",
     ("sampling", "text", "pipeline"),
 )
-def x43_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     toks = t["documents"].select(
         "doc_id",

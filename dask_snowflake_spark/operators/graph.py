@@ -4,22 +4,31 @@ dedup CLUSTERS with one kept representative per component.
 
 No reference counterpart (the reference delegates all compute to the
 warehouse, which has no iterative operator); this is the standard
-hash-min label propagation used by large-scale dedup pipelines:
+hash-min label propagation used by large-scale dedup pipelines, with a
+**frontier** (delta) iteration:
 
 - state: one (vertex, label) row per vertex, label = smallest vertex id
   known reachable;
-- iteration: every vertex takes the min of its neighbors' labels and
-  its own (one equi-join + one min-aggregation — both shuffle on the
-  vertex key, no all-pairs anything);
-- termination: when no label changed (converges in O(component
-  diameter) rounds; near-dup clusters are shallow — text corpora
-  measure single-digit diameters).
+- iteration: only labels that IMPROVED last round (the frontier) flow
+  one hop to their neighbors; every vertex keeps the min of its current
+  label and the incoming frontier labels. Labels are monotone
+  decreasing, so information a vertex propagated the round it last
+  changed never needs re-sending — the classic semi-naive datalog /
+  delta-iteration argument. Late rounds therefore join the edge list
+  against a shrinking frontier instead of the full vertex set;
+- termination: frontier empty (converges in O(component diameter)
+  rounds; near-dup clusters are shallow — text corpora measure
+  single-digit diameters). Exhausting ``max_iter`` with a non-empty
+  frontier raises instead of returning silently split components.
 
 Scale posture: per-round cost is one shuffle join of the edge list with
-the label table plus a map-side-combinable min agg; per-task state is
-O(1) per key. The only driver-side work is a per-round scalar
-``changed`` count (size-independent). Lineage is truncated each round
-with ``localCheckpoint`` so the plan doesn't grow with iterations.
+the FRONTIER (not all labels) plus a map-side-combinable min agg and a
+narrow vertex-keyed merge join; per-task state is O(1) per key. The
+only driver-side work is a per-round frontier count (size-independent
+scalar). Lineage is truncated each round with ``localCheckpoint`` so
+the plan doesn't grow with iterations. Shuffle width is left to the
+session (AQE coalesces the shrinking per-round shuffles at runtime);
+no session-global conf is mutated.
 """
 
 from __future__ import annotations
@@ -33,7 +42,7 @@ def connected_components(
     src: str,
     dst: str,
     *,
-    max_iter: int = 30,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Label each vertex of the undirected graph ``edges`` with the
     minimum vertex id of its connected component.
@@ -42,55 +51,52 @@ def connected_components(
     least one edge (isolated vertices aren't represented in an edge
     list). Deterministic: no RNG, no order dependence.
 
-    Convergence is detected without a labels-to-labels join: labels
-    only ever decrease, so the per-round ``sum(label)`` (exact, 38-digit
-    decimal) is strictly monotone until fixpoint — one scalar
-    aggregation per round instead of a join + count.
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the
+    fixpoint (one-hop hash-min needs O(diameter) rounds, so a component
+    with diameter > max_iter would otherwise be silently mislabeled).
     """
-    spark = edges.sparkSession
-    # The loop's joins/aggs run over the (usually small) active label
-    # frontier; a cluster-wide shuffle width means mostly-empty tasks
-    # per round. Right-size for the rounds, restore after — a
-    # production run sizes this to its edge cardinality instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    resized = prev is not None and prev.isdigit() and int(prev) > 8
-    if resized:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        und = (
-            edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-            .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
-            .distinct()
-            .localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # initial label: min over self and direct neighbors — equivalently
+    # the result of round 0 with every vertex in the frontier
+    labels = und.groupBy("__u").agg(
+        F.least(F.min("__v"), F.first("__u")).alias("__lbl")
+    ).localCheckpoint(eager=True)
+    # round-0 information no neighbor has seen yet: every vertex whose
+    # label isn't its own id (a self-labeled vertex u has u < all its
+    # neighbors, and each neighbor already took min(self, u) in init)
+    frontier = labels.filter(F.col("__lbl") != F.col("__u")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        # frontier labels flow one hop; each touched vertex's candidate
+        # is the min incoming frontier label
+        cand = (
+            und.join(frontier.select(F.col("__u").alias("__v"), "__lbl"), "__v")
+            .groupBy("__u")
+            .agg(F.min("__lbl").alias("__cand"))
         )
-
-        # initial label: min over self and direct neighbors
-        labels = und.groupBy("__u").agg(
-            F.least(F.min("__v"), F.first("__u")).alias("__lbl")
+        merged = labels.join(cand, "__u", "left").localCheckpoint(eager=True)
+        frontier = merged.filter(F.col("__cand") < F.col("__lbl")).select(
+            "__u", F.col("__cand").alias("__lbl")
         ).localCheckpoint(eager=True)
-        lbl_sum = labels.agg(
-            F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-        for _ in range(max_iter):
-            # neighbor labels flow one hop: vertex u sees label of each
-            # neighbor v; keep the min of (own label, neighbor labels)
-            prop = und.join(
-                labels.select(F.col("__u").alias("__v"), "__lbl"), "__v"
-            ).select("__u", "__lbl")
-            labels = (
-                prop.unionByName(labels.select("__u", "__lbl"))
-                .groupBy("__u")
-                .agg(F.min("__lbl").alias("__lbl"))
-            ).localCheckpoint(eager=True)
-            new_sum = labels.agg(
-                F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            if new_sum == lbl_sum:
-                break
-            lbl_sum = new_sum
-    finally:
-        if resized:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        labels = merged.select(
+            "__u", F.least("__lbl", F.coalesce("__cand", F.col("__lbl"))).alias("__lbl")
+        ).localCheckpoint(eager=True)
+    else:
+        # all max_iter bodies ran without an early break; the labels are
+        # only trustworthy if the LAST round emptied the frontier
+        if not frontier.isEmpty():
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter={max_iter} rounds; "
+                "a component's diameter exceeds the round budget — raise max_iter "
+                "(labels at exhaustion would be silently split otherwise)"
+            )
 
     return labels.select(F.col("__u").alias("vertex"), F.col("__lbl").alias("component"))

@@ -18,19 +18,24 @@ histogram** so no min/max pre-pass is needed:
    needed rank, the bucket containing it and the rank's offset within
    the bucket.
 2. **Selection pass** — only rows falling in candidate buckets are
-   re-read from the cached projection and collected sorted per (group,
-   bucket) cell; ``element_at`` picks the exact offsets.
+   re-read from the cached projection; a ``row_number`` window sorted
+   per (group, bucket) cell assigns local ranks and an equi-join with
+   the target ranks picks the exact values.
 
-State per task is O(B) counters in pass 1 and O(candidate cell) values
-in pass 2 — neither O(group). Interpolation follows Spark/DuckDB
+State per task is O(B) counters in pass 1 and a disk-spillable window
+sort over one candidate cell in pass 2 — neither holds O(group) values
+in a single aggregation buffer. Interpolation follows Spark/DuckDB
 ``quantile_cont``: position ``p*(n-1)`` (0-based), result
 ``lo + (hi - lo) * frac``.
 
-Degenerate distributions (a candidate cell holding most of a group —
-only possible when the group is nearly constant within one 1/S octave)
-can be re-split by raising ``buckets``; one level suffices for real
-data and keeps the operator a fixed 2-pass plan. NaNs are not handled
-(filter them like nulls before calling).
+Degenerate cells: pass 1 also records per-cell min/max, so a cell whose
+values are all identical (the one case finer bucketing cannot split —
+e.g. a group dominated by a single repeated value; all zeros land in
+bucket 0 regardless of resolution) short-circuits to that value with no
+selection read at all. Non-constant heavy cells go through the window
+sort, which spills to disk instead of materializing the cell as one
+in-memory array. NaNs are not handled (filter them like nulls before
+calling).
 """
 
 from __future__ import annotations
@@ -94,7 +99,11 @@ def exact_group_quantiles(
 
     # Pass 1: histogram — the ONLY full-data aggregation; everything
     # below the counts table is G×B-row arithmetic.
-    counts = vals.groupBy(*group_cols, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    counts = vals.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min("__v").alias("__bmin"),
+        F.max("__v").alias("__bmax"),
+    )
     wg = W.partitionBy(*group_cols)
     wcum = wg.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
     cum = track_cache(
@@ -156,26 +165,34 @@ def exact_group_quantiles(
             "__role",
             "__b",
             (F.col("__rank") - F.col("__before")).alias("__lr"),
+            "__bmin",
+            "__bmax",
         )
     )
 
-    # Pass 2: collect ONLY candidate-bucket rows, sorted per (group,
-    # bucket) cell — ≈ cell-sized agg state, never the whole group.
-    need = cand.select(*group_cols, "__b").distinct()
-    bvals = (
-        vals.join(F.broadcast(need), [*group_cols, "__b"])
-        .groupBy(*group_cols, "__b")
-        .agg(F.sort_array(F.collect_list("__v")).alias("__vs"))
+    # Constant cells (min == max): every value in the cell is the same
+    # number — the one shape finer bucketing can't split — so the answer
+    # is the cell min itself, with no second read of the data.
+    const_picks = cand.filter(F.col("__bmin") == F.col("__bmax")).select(
+        *group_cols, "__pi", "__frac", "__role", F.col("__bmin").alias("__v")
+    )
+    var_cand = cand.filter(F.col("__bmin") != F.col("__bmax")).select(
+        *group_cols, "__pi", "__frac", "__role", "__b", F.col("__lr").cast("int").alias("__lr")
+    )
+
+    # Pass 2: re-read ONLY non-constant candidate cells; a row_number
+    # window sorted within the cell assigns local ranks (external-sort
+    # spillable — the cell never sits in one agg buffer as an array)
+    # and the target ranks equi-join against it.
+    need = var_cand.select(*group_cols, "__b").distinct()
+    ranked = vals.join(F.broadcast(need), [*group_cols, "__b"]).withColumn(
+        "__lr", F.row_number().over(W.partitionBy(*group_cols, "__b").orderBy("__v"))
+    )
+    var_picks = ranked.join(var_cand, [*group_cols, "__b", "__lr"]).select(
+        *group_cols, "__pi", "__frac", "__role", "__v"
     )
     per_prob = (
-        bvals.join(cand, [*group_cols, "__b"])
-        .select(
-            *group_cols,
-            "__pi",
-            "__frac",
-            "__role",
-            F.element_at("__vs", F.col("__lr").cast("int")).alias("__v"),
-        )
+        var_picks.unionByName(const_picks)
         .groupBy(*group_cols, "__pi")
         .agg(
             F.min(F.when(F.col("__role") == 0, F.col("__v"))).alias("__vlo"),

@@ -436,6 +436,8 @@ def pq_fit(
     from .dedup import portable_hash
 
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_fit needs a non-empty training set")
     dim = int(dim_row["d"])
     if dim % m:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
@@ -452,6 +454,13 @@ def pq_fit(
             .limit(k)
             .collect()
         )
+        if not seeds:
+            raise ValueError("pq_fit needs a non-empty training set")
+        # fewer rows than k: clamp the codebook size so the Lloyd update
+        # (and every downstream books[s][c] lookup) stays in range —
+        # duplicate codewords would make cell assignment tie-ambiguous,
+        # a short codebook is just a coarser quantizer
+        k = min(k, len(seeds))
         books: list[list[list[float]]] = [[list(r[f"s{s}"]) for r in seeds] for s in range(m)]
         # ONE aggregation job per Lloyd step covering ALL m subspaces:
         # per row, assign each slice to its subspace cell, explode to

@@ -861,7 +861,7 @@ def q18_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_math_funcs",
+    "x48_math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 0)               AS price_rounded,
@@ -880,7 +880,7 @@ def q18_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math function family: round/abs/ceil/floor/ln/exp/pow/sqrt/mod",
     ("functions",),
 )
-def q19_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x48_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["lineitem"]

@@ -31,12 +31,36 @@ from pyspark.sql import functions as F
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """A per-driver-session clone (shared SparkContext, OWN SQLConf)
+    right-sized for bounded stream runs. State-store instances = shuffle
+    partitions and their setup cost dominates a bounded smoke run
+    (6s -> 2.7s at 32 -> 8 partitions locally); sizing the clone keeps
+    the width-8 setting invisible to every query on the caller's
+    session. Memoized so all streams of one driver session share a
+    catalog (stream-stream joins, memory-sink tables). A long-lived
+    production stream sizes this to its key cardinality instead."""
+    clone = getattr(spark, "_dss_stream_session", None)
+    if clone is None:
+        from ..session import _ensure_runtime_confs
+
+        clone = spark.newSession()
+        _ensure_runtime_confs(clone)
+        width = clone.conf.get("spark.sql.shuffle.partitions")
+        if width.isdigit() and int(width) > 8:
+            clone.conf.set("spark.sql.shuffle.partitions", "8")
+        spark._dss_stream_session = clone
+    return clone
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file stream, ts normalized to a
-    µs-precision timestamp regardless of the file's physical unit."""
+    µs-precision timestamp regardless of the file's physical unit.
+    The stream is bound to the right-sized clone session."""
     from ..session import _ensure_runtime_confs, _nanos_timestamp_cols
 
     _ensure_runtime_confs(spark)
+    spark = _stream_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
     is_ns = "ts" in _nanos_timestamp_cols(path)
     raw = (
@@ -48,29 +72,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
-def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over the bounded source to
-    completion, materializing into an in-memory table ``name``.
-
-    State-store instances = shuffle partitions, and their setup cost
-    dominates a bounded smoke run (6s -> 2.7s at 32 -> 8 partitions
-    locally). Right-size for the run, restore after — a long-lived
-    production stream sizes this to its key cardinality instead."""
+    completion, materializing into an in-memory table ``name``; returns
+    that table. The stream runs on the session that built it (the
+    ``_stream_session`` clone for ``_events_stream`` sources), so no
+    session-global conf is touched — the memory-sink view lives in the
+    clone's catalog, which is why callers must consume the returned
+    DataFrame rather than ``spark.table(name)``."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if int(prev) > 8:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def tumbling_counts(events: DataFrame, duration: str = "6 hours") -> DataFrame:
@@ -130,10 +149,8 @@ def streaming_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
 
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str, name: str = "stream_tumbling") -> DataFrame:
-    run_stream_to_table(tumbling_counts(_events_stream(spark, sf_dir)), name)
-    return spark.table(name)
+    return run_stream_to_table(tumbling_counts(_events_stream(spark, sf_dir)), name)
 
 
 def run_session_stream(spark: SparkSession, sf_dir: str, name: str = "stream_sessions") -> DataFrame:
-    run_stream_to_table(session_windows(_events_stream(spark, sf_dir)), name)
-    return spark.table(name)
+    return run_stream_to_table(session_windows(_events_stream(spark, sf_dir)), name)

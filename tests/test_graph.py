@@ -79,3 +79,40 @@ def test_random_graphs_match_union_find(spark) -> None:
 def test_empty_edge_list(spark) -> None:
     df = spark.createDataFrame([], "a long, b long")
     assert connected_components(df, "a", "b").collect() == []
+
+
+def test_exhaustion_raises_not_silently_splits(spark) -> None:
+    """A diameter-20 path with max_iter=3 must raise, never return
+    partially-propagated (split) components."""
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(20)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "a", "b", max_iter=3)
+
+
+def test_exact_round_budget_converges(spark) -> None:
+    """Convergence exactly at the max_iter-th round is still success
+    (the exhaustion check must not have an off-by-one)."""
+    # path 0-1-2-...-6: init gives each vertex min over 1-hop; hash-min
+    # then needs a handful of rounds; find the exact budget empirically
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    lo = 1
+    while True:
+        try:
+            rows = connected_components(df, "a", "b", max_iter=lo).collect()
+            break
+        except RuntimeError:
+            lo += 1
+            assert lo < 20
+    assert {r.component for r in rows} == {0}
+
+
+def test_session_conf_untouched(spark) -> None:
+    """The CC loop must not mutate session-global shuffle width."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    connected_components(
+        spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"), "a", "b"
+    ).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -29,3 +29,41 @@ def test_features_feed_similarity_topk(spark, sf_oracle):
     rows = top.collect()
     assert {r.query_id for r in rows} <= {0, 1}
     assert all(r.rank <= 5 for r in rows)
+
+
+def test_real_kernel_unavailable_raises_loudly(spark, sf_oracle):
+    """Without Pillow the real kernel must fail at call time with a
+    descriptive error — never silently fall back to the stub."""
+    import pytest
+
+    if mm.DECODE_AVAILABLE:
+        pytest.skip("Pillow installed; covered by test_real_kernel_decodes_png")
+    docs = _t(spark, sf_oracle)["documents"].limit(1)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_metadata(mm.attach_binary_assets(docs), kernel="real")
+
+
+def test_real_kernel_decodes_png(spark):
+    """With Pillow present, kernel='real' reads true image dimensions
+    through the same Arrow-batched plumbing as the stub."""
+    import pytest
+
+    if not mm.DECODE_AVAILABLE:
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, asset binary")
+    row = mm.decode_metadata(df, kernel="real").collect()[0]
+    assert (row.width, row.height, row.n_frames, row.codec) == (12, 7, 1, "png")
+
+
+def test_kernel_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, asset binary")
+    with pytest.raises(ValueError, match="kernel"):
+        mm.decode_metadata(df, kernel="ffmpeg")

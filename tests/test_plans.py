@@ -100,7 +100,7 @@ def test_partition_pruned_scan(spark, sf_oracle, tmp_path):
 def test_broadcast_in_similarity_topk(spark, sf_oracle):
     """The query side of top-k similarity must broadcast (corpus never
     shuffles)."""
-    df = registry()["ann_topk_bruteforce"].spark_fn(spark, sf_oracle)
+    df = registry()["x47_ann_topk_bruteforce"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
 

@@ -64,3 +64,24 @@ def test_validation(spark) -> None:
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         pq_fit(df, m=2, k=2)  # dim 3 does not split into 2 subspaces
+
+
+def test_small_training_set_clamps_k(spark) -> None:
+    """Fewer training rows than k must clamp the codebook (short but
+    valid), not crash the Lloyd update with an IndexError."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 9.0, 9.0]), (1, [9.0, 9.0, 0.0, 0.0]), (2, [0.0, 0.0, 9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_fit(df, m=2, k=16, iters=2)
+    assert len(books) == 2 and all(1 <= len(b) <= 3 for b in books)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert codes[0] == codes[2]
+
+
+def test_empty_training_set_raises(spark) -> None:
+    import pytest
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        pq_fit(df, m=2, k=4)

@@ -64,6 +64,46 @@ def test_no_percentile_aggregate_in_plan(spark, sf_smoke) -> None:
     assert "percentile(" not in plan.lower()
 
 
+def test_constant_hot_group_takes_fast_path(spark) -> None:
+    """A group dominated by one repeated value (all zeros — bucket 0 at
+    ANY resolution) must resolve from the pass-1 min/max fast path: the
+    constant cell is never re-read or collected, so the plan stays
+    bounded even at coarse ``buckets``."""
+    rows = [("hot", 0.0)] * 5000 + [("hot", 7.0), ("cold", 1.0), ("cold", 3.0)]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    probs = [0.0, 0.5, 0.9, 1.0]
+    got = {
+        r.g: list(r.quantiles)
+        for r in exact_group_quantiles(df, ["g"], "v", probs, buckets=64).collect()
+    }
+    exp = {
+        r.g: list(r.p)
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
+def test_selection_pass_has_no_cell_collect(spark, sf_smoke) -> None:
+    """The selection pass ranks candidate cells with a spillable window
+    sort; no sort_array(collect_list(...)) may materialize a data cell
+    in one aggregation buffer. (The final quantiles-array assembly is a
+    collect_list too, but over <= len(probs) rows per group — bounded.)"""
+    li = register_tables(spark, sf_smoke)["lineitem"]
+    plan = (
+        exact_group_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "sort_array(collect_list" not in plan
+    assert "collect_list(__v" not in plan
+
+
 def test_negative_zero_mixed_values(spark) -> None:
     """The sign-aware log bucketing must stay order-preserving across
     negative / zero / positive values and subnormal magnitudes."""

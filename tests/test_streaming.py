@@ -21,10 +21,10 @@ def test_tumbling_vs_batch(spark, sf_smoke):
     from dask_snowflake_spark.session import load_table
     from pyspark.sql import functions as F
 
-    run_stream_to_table(tumbling_counts(_events_stream(spark, sf_smoke)), "t_tumb")
+    out = run_stream_to_table(tumbling_counts(_events_stream(spark, sf_smoke)), "t_tumb")
     streamed = {
         (r.window_start, r.event_type): (r.n, r.total_value)
-        for r in spark.table("t_tumb").collect()
+        for r in out.collect()
     }
     batch = {
         (r.win.start, r.event_type): (r.n, r.total_value)
@@ -38,10 +38,10 @@ def test_tumbling_vs_batch(spark, sf_smoke):
 
 def test_sliding_window_multiplicity(spark, sf_smoke):
     """12h/6h sliding windows: total window-row count == 2x event count."""
-    run_stream_to_table(sliding_counts(_events_stream(spark, sf_smoke)), "t_slide")
+    out = run_stream_to_table(sliding_counts(_events_stream(spark, sf_smoke)), "t_slide")
     from pyspark.sql import functions as F
 
-    total = spark.table("t_slide").agg(F.sum("n")).collect()[0][0]
+    total = out.agg(F.sum("n")).collect()[0][0]
     n_events = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
     assert total == 2 * n_events
 
