@@ -2625,3 +2625,125 @@ def x45_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "word")
     )
+
+
+@query(
+    "x49_dedup_apply",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    labels AS (SELECT u, least(u, min(r)) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS kept
+    FROM documents d LEFT JOIN labels l ON l.u = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "end-to-end dedup APPLICATION over the corpus: MinHash+LSH pairs -> "
+    "connected-component clusters -> keep exactly the min-id "
+    "representative per cluster, emit the keep/drop decision for EVERY "
+    "document (singletons keep themselves via the left join) — the "
+    "materialization a training pipeline actually ships; the oracle "
+    "replays clustering as a recursive transitive closure",
+    ("dedup", "graph", "pipeline"),
+)
+def x49_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup_ops.minhash_near_dup(
+        docs, shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("vertex", "doc_id")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x50_gopher_rules",
+    """
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_words,
+               len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> list_contains(['the','a','of','and','in','to','is'], lower(x)))) AS n_stop,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, lang, n_words,
+               (n_words >= 5 AND n_words <= 5000) AS ok_word_count,
+               (n_nonspace >= n_words * 2 AND n_nonspace <= n_words * 12) AS ok_mean_word_len,
+               (n_stop >= 2) AS ok_stopwords,
+               (n_punct * 10 <= n_chars * 3) AS ok_symbol_ratio,
+               (n_digit * 5 <= n_chars) AS ok_digit_ratio,
+               (n_distinct * 10 >= n_words * 3) AS ok_repetition
+        FROM feat
+    )
+    SELECT doc_id, lang, n_words,
+           ok_word_count, ok_mean_word_len, ok_stopwords,
+           ok_symbol_ratio, ok_digit_ratio, ok_repetition,
+           -- coalesce: DuckDB's array_to_string of an all-NULL-filtered
+           -- (empty) list is NULL, Spark's array_join is ''
+           coalesce(array_to_string(list_filter([
+               CASE WHEN NOT ok_word_count THEN 'word_count' END,
+               CASE WHEN NOT ok_mean_word_len THEN 'mean_word_len' END,
+               CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
+               CASE WHEN NOT ok_symbol_ratio THEN 'symbol_ratio' END,
+               CASE WHEN NOT ok_digit_ratio THEN 'digit_ratio' END,
+               CASE WHEN NOT ok_repetition THEN 'repetition' END
+           ], x -> x IS NOT NULL), ','), '') AS reasons,
+           (ok_word_count AND ok_mean_word_len AND ok_stopwords
+            AND ok_symbol_ratio AND ok_digit_ratio AND ok_repetition) AS passes
+    FROM flags
+    ORDER BY doc_id
+    """,
+    "Gopher/C4-style rule-based quality filter: per-document pass/fail "
+    "per rule + failed-rule audit trail, every threshold an integer "
+    "cross-multiplication (no float ratio can flip membership on an "
+    "engine rounding ulp); pure codegen projections, scan-speed",
+    ("text", "quality", "pipeline"),
+)
+def x50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    out = text_ops.gopher_rules(t["documents"])
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        *[F.col(f"ok_{n}") for n in text_ops.GOPHER_RULES],
+        "reasons",
+        "passes",
+    ).orderBy("doc_id")

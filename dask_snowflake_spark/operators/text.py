@@ -100,6 +100,83 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality_score", F.round(score, 8))
 
 
+# ordered rule registry: name -> (doc threshold description). Order is
+# the reasons-string order, so it is part of the output contract.
+GOPHER_RULES: tuple[str, ...] = (
+    "word_count",
+    "mean_word_len",
+    "stopwords",
+    "symbol_ratio",
+    "digit_ratio",
+    "repetition",
+)
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based corpus filter in the style of the Gopher / C4 quality
+    heuristics: per-document pass/fail per rule, a composite ``passes``
+    flag, and a ``reasons`` string naming every failed rule (the
+    audit-trail shape a filtering pipeline materializes next to the
+    kept corpus).
+
+    Rules (fixture-scaled thresholds, same shapes as the published
+    heuristics): word count in [5, 5000]; mean word length in [2, 12];
+    >= 2 stopwords; punctuation <= 30% of chars; digits <= 20% of
+    chars; distinct-word ratio >= 30%.
+
+    Determinism: every threshold is an INTEGER cross-multiplication
+    (``n_punct * 10 <= n_chars * 3``, never ``punct_ratio <= 0.3``) —
+    rule membership is exact integer arithmetic on both engines, so no
+    document can flip sides on a float rounding ulp (the failure class
+    CLAUDE.md's ratio-quantization rule exists for). Pure codegen
+    column expressions; scan-speed, no shuffle."""
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    cc = char_classes(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    # internal feature columns are __gr_-prefixed (the operator takes an
+    # arbitrary frame — documents already carries its own n_chars);
+    # n_words is part of the output contract and stays unprefixed
+    base = df.select(
+        "*",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("__gr_distinct"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))).alias(
+            "__gr_stop"
+        ),
+        cc["n_chars"].alias("__gr_chars"),
+        cc["n_punct"].alias("__gr_punct"),
+        cc["n_digit"].alias("__gr_digit"),
+        (cc["n_chars"] - cc["n_space"]).alias("__gr_nonspace"),
+    )
+    conds = {
+        "word_count": (F.col("n_words") >= 5) & (F.col("n_words") <= 5000),
+        "mean_word_len": (F.col("__gr_nonspace") >= F.col("n_words") * 2)
+        & (F.col("__gr_nonspace") <= F.col("n_words") * 12),
+        "stopwords": F.col("__gr_stop") >= 2,
+        "symbol_ratio": F.col("__gr_punct") * 10 <= F.col("__gr_chars") * 3,
+        "digit_ratio": F.col("__gr_digit") * 5 <= F.col("__gr_chars"),
+        "repetition": F.col("__gr_distinct") * 10 >= F.col("n_words") * 3,
+    }
+    assert tuple(conds) == GOPHER_RULES
+    out = base
+    for name in GOPHER_RULES:
+        out = out.withColumn(f"ok_{name}", conds[name])
+    failed = F.array(
+        *[F.when(~F.col(f"ok_{n}"), F.lit(n)) for n in GOPHER_RULES]
+    )
+    passes = F.lit(True)
+    for n in GOPHER_RULES:
+        passes = passes & F.col(f"ok_{n}")
+    return (
+        out.withColumn(
+            "reasons", F.array_join(F.filter(failed, lambda x: x.isNotNull()), ",")
+        )
+        .withColumn("passes", passes)
+        .drop(*[c for c in base.columns if c.startswith("__gr_")])
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: per-language stopword-hit score, argmax
     with lexicographic tie-break. Deterministic and oracle-replicable;

@@ -82,3 +82,32 @@ def test_patterns_are_re2_safe() -> None:
     # no backrefs / lookaround — the portability contract
     for _name, (pat, _repl) in PII_PATTERNS.items():
         assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat
+
+
+def test_gopher_rules_edges(spark) -> None:
+    """Rule-based quality filter: empty text, punctuation blobs, digit
+    dumps, and repeated-word spam all fail with named reasons; normal
+    prose passes every rule."""
+    from dask_snowflake_spark.operators.text import GOPHER_RULES, gopher_rules
+
+    rows = [
+        (0, "the cat sat on the mat and it is a fine day in town"),
+        (1, ""),
+        (2, "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, "12345 67890 11111 22222 33333 44444 55555 66666"),
+        (4, "spam spam spam spam spam spam spam spam spam spam the of"),
+    ]
+    out = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert out[0].passes and out[0].reasons == ""
+    assert not out[1].passes and "word_count" in out[1].reasons
+    assert not out[2].passes and "symbol_ratio" in out[2].reasons
+    assert not out[3].passes and "digit_ratio" in out[3].reasons
+    assert not out[4].passes and "repetition" in out[4].reasons
+    # reasons order is the registry order
+    for r in out.values():
+        names = [x for x in r.reasons.split(",") if x]
+        assert names == [n for n in GOPHER_RULES if n in names]
+    # no internal feature columns leak
+    assert not [c for c in out[0].__fields__ if c.startswith("__gr_")]
