@@ -2747,3 +2747,57 @@ def x50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reasons",
         "passes",
     ).orderBy("doc_id")
+
+
+@query(
+    "x51_semantic_dedup_apply",
+    f"""
+    WITH RECURSIVE {_COSINE_SQL},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_pair_sim_sql()} >= 0.45
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    labels AS (SELECT u, least(u, min(r)) AS cluster_id FROM reach GROUP BY u)
+    SELECT e.vec_id,
+           coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+           (coalesce(l.cluster_id, e.vec_id) = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN labels l ON l.u = e.vec_id
+    ORDER BY e.vec_id
+    """,
+    "semantic dedup APPLICATION (SemDeDup-style): embedding-cosine "
+    "near-dup pairs from cell-bucketed candidates (the cross product "
+    "collapses on the cell key, same plan as ann_embedding_near_dup) -> "
+    "connected-component clusters -> per-vector keep/drop with the "
+    "min-id representative kept; the oracle replays clustering as a "
+    "recursive transitive closure over the same pair SQL",
+    ("similarity", "dedup", "graph", "pipeline"),
+)
+def x51_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    pairs = sim_ops.embedding_near_dup_pairs_bucketed(emb, threshold=0.45)
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed("vertex", "vec_id")
+    cluster = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

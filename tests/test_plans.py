@@ -243,3 +243,16 @@ def test_quality_resample_no_join_no_python(spark, sf_oracle):
     p = plan(df)
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_gopher_rules_is_scan_speed(spark, sf_oracle):
+    """The rule-based quality filter is ONE shuffle-free projection:
+    every flag + the reasons string computes in the scan stage; the only
+    exchange permitted is the final presentation orderBy."""
+    df = registry()["x50_gopher_rules"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # exactly the one range-partitioning exchange for the final sort
+    # (formatted explain prints each node twice: tree + detail section)
+    assert p.count("+- Exchange") == 1 and "rangepartitioning" in p.lower(), p
