@@ -2801,3 +2801,63 @@ def x51_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "x52_skyline_frontier",
+    """
+    WITH g AS (
+        SELECT p_size AS sz, min(p_retailprice) AS pr
+        FROM part GROUP BY p_size
+    ),
+    r AS (
+        SELECT sz, pr,
+               min(pr) OVER (ORDER BY sz DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevbest
+        FROM g
+    ),
+    sky AS (SELECT sz, pr FROM r WHERE prevbest IS NULL OR pr < prevbest)
+    SELECT s.sz AS p_size, s.pr AS best_price,
+           count(*) AS n_parts, min(p.p_partkey) AS min_partkey
+    FROM sky s JOIN part p ON p.p_size = s.sz AND p.p_retailprice = s.pr
+    GROUP BY s.sz, s.pr
+    ORDER BY p_size
+    """,
+    "skyline / Pareto frontier (maximize p_size, minimize "
+    "p_retailprice): dominance collapses to a map-side-combinable "
+    "per-size min + ONE window over the DISTINCT-size table (50 rows, "
+    "never the data) + a broadcast join back for the frontier rows — "
+    "the grid-reduction shape the Spark-SQL skyline literature uses "
+    "for low-dimensional skylines instead of an all-pairs NOT EXISTS",
+    ("window", "aggregation", "analytics"),
+)
+def x52_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    part = t["part"]
+    g = part.groupBy(F.col("p_size").alias("sz")).agg(F.min("p_retailprice").alias("pr"))
+    # window over the distinct-size table only (bounded by the dimension
+    # domain, 50 rows here) — the single-partition sort is deliberate
+    # and size-independent of the corpus
+    w = W.orderBy(F.col("sz").desc()).rowsBetween(W.unboundedPreceding, -1)
+    sky = (
+        g.withColumn("prevbest", F.min("pr").over(w))
+        .filter(F.col("prevbest").isNull() | (F.col("pr") < F.col("prevbest")))
+        .select("sz", "pr")
+    )
+    return (
+        part.join(
+            F.broadcast(sky),
+            (part["p_size"] == sky["sz"]) & (part["p_retailprice"] == sky["pr"]),
+        )
+        .groupBy("sz", "pr")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.min("p_partkey").alias("min_partkey"))
+        .select(
+            F.col("sz").alias("p_size"),
+            F.col("pr").alias("best_price"),
+            "n_parts",
+            "min_partkey",
+        )
+        .orderBy("p_size")
+    )

@@ -82,13 +82,15 @@ def connected_components(
             .groupBy("__u")
             .agg(F.min("__lbl").alias("__cand"))
         )
+        # one materialization per round: frontier and labels are cheap
+        # narrow projections of the checkpointed merge (lineage depth 1)
         merged = labels.join(cand, "__u", "left").localCheckpoint(eager=True)
         frontier = merged.filter(F.col("__cand") < F.col("__lbl")).select(
             "__u", F.col("__cand").alias("__lbl")
-        ).localCheckpoint(eager=True)
+        )
         labels = merged.select(
             "__u", F.least("__lbl", F.coalesce("__cand", F.col("__lbl"))).alias("__lbl")
-        ).localCheckpoint(eager=True)
+        )
     else:
         # all max_iter bodies ran without an early break; the labels are
         # only trustworthy if the LAST round emptied the frontier
