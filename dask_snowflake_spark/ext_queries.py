@@ -2861,3 +2861,66 @@ def x52_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size")
     )
+
+
+@query(
+    "x53_corpus_freq_score",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    n AS (SELECT sum(c) AS total FROM vocab),
+    scored AS (
+        SELECT words.doc_id, count(*) AS n_words,
+               CAST(sum(v.c) AS BIGINT) AS sum_freq
+        FROM words JOIN vocab v USING (w)
+        GROUP BY words.doc_id
+    )
+    SELECT doc_id, n_words,
+           -- integer quantization: sum_freq/(n_words*total) is an exact
+           -- rational; *1e6 with integer floor-div is bit-identical on
+           -- both engines (no float before the final /1e6 display cast)
+           CAST(sum_freq * 1000000 // (n_words * (SELECT total FROM n)) AS BIGINT) / 1e6
+               AS mean_corpus_freq
+    FROM scored
+    ORDER BY doc_id
+    """,
+    "CCNet-style corpus-frequency quality signal: each document scored "
+    "by the mean corpus frequency of its word occurrences (high = "
+    "common-word prose, low = rare-token/garbage text). One map-side-"
+    "combinable vocab aggregation + one word-keyed shuffle join; the "
+    "score is an exact integer-quantized rational so both engines agree "
+    "bit-for-bit. At petabyte scale swap the BIGINT products for "
+    "DECIMAL(38,0) (sum_freq*1e6 approaches int64 range there)",
+    ("text", "quality", "pipeline"),
+)
+def x53_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    words = track_cache(
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = track_cache(words.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    total = vocab.agg(F.sum("c")).collect()[0][0]  # one scalar to the driver
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("c").alias("sum_freq"))
+        .select(
+            "doc_id",
+            "n_words",
+            (F.expr(f"sum_freq * 1000000 div (n_words * {int(total)})") / 1e6).alias(
+                "mean_corpus_freq"
+            ),
+        )
+        .orderBy("doc_id")
+    )

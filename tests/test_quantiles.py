@@ -104,6 +104,23 @@ def test_selection_pass_has_no_cell_collect(spark, sf_smoke) -> None:
     assert "collect_list(__v" not in plan
 
 
+def test_heavy_nonconstant_cell_spills_through_window(spark) -> None:
+    """A hot group whose values are nearly constant but NOT identical
+    (two distinct values inside one coarse bucket) must go through the
+    window-ranked selection path and still be exact."""
+    rows = [("g", 1.0000001)] * 3000 + [("g", 1.0000002)] * 3000 + [("g", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    probs = [0.25, 0.5, 0.75]
+    got = exact_group_quantiles(df, ["g"], "v", probs, buckets=16).collect()[0].quantiles
+    exp = (
+        df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()[0]
+        .p
+    )
+    assert list(got) == pytest.approx(list(exp), abs=1e-12)
+
+
 def test_negative_zero_mixed_values(spark) -> None:
     """The sign-aware log bucketing must stay order-preserving across
     negative / zero / positive values and subnormal magnitudes."""
