@@ -2924,3 +2924,104 @@ def x53_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x54_chunk_overlap",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(w) - 16, 1), 48)) AS start,
+               w
+        FROM words
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           least(64, len(w) - start) AS n_tokens,
+           md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    "RAG/training-style document chunking: fixed 64-token windows with "
+    "16-token overlap (stride 48), emitted as (doc, chunk_idx, hash) — "
+    "pure map-side explode of per-doc start offsets, zero shuffle "
+    "except the presentation sort; chunk content carried as md5 so the "
+    "output stays narrow",
+    ("text", "pipeline"),
+)
+def x54_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    C, O, stride = 64, 16, 48
+    words = t["documents"].select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias("w"),
+    )
+    n = F.size("w")
+    # same start set as DuckDB range(0, greatest(n-O, 1), stride):
+    # sequence's stop is inclusive, so stop at greatest(n-O-1, 0)
+    starts = F.sequence(F.lit(0), F.greatest(n - O - 1, F.lit(0)), F.lit(stride))
+    return (
+        words.select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_idx"),
+            F.least(F.lit(C), F.size("w") - F.col("start")).alias("n_tokens"),
+            F.md5(F.array_join(F.slice("w", F.col("start") + 1, C), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "x55_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN active a USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+    "cohort retention over the event stream: first-activity week per "
+    "user -> distinct active weeks -> (cohort, week-offset) user "
+    "counts; two map-side-combinable aggregations + one user-keyed "
+    "join, week arithmetic exact (day diffs between week-truncated "
+    "timestamps are multiples of 7)",
+    ("events", "aggregation", "analytics"),
+)
+def x55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
