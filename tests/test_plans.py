@@ -256,3 +256,35 @@ def test_gopher_rules_is_scan_speed(spark, sf_oracle):
     # exactly the one range-partitioning exchange for the final sort
     # (formatted explain prints each node twice: tree + detail section)
     assert p.count("+- Exchange") == 1 and "rangepartitioning" in p.lower(), p
+
+
+def test_skyline_matches_definitional_not_exists(spark, sf_oracle):
+    """The grid-reduction skyline must equal the DEFINITIONAL skyline
+    (no dominating point exists) — guards against a shared-logic error
+    between the query and its grid-reduction oracle."""
+    import duckdb
+
+    got = [
+        (r.p_size, r.best_price, r.n_parts, r.min_partkey)
+        for r in registry()["x52_skyline_frontier"].spark_fn(spark, sf_oracle).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf_oracle}/part.parquet')"
+    )
+    exp = con.execute(
+        """
+        WITH sky AS (
+            SELECT p_size, p_retailprice, p_partkey FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+                  AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+            )
+        )
+        SELECT p_size, p_retailprice, count(*), min(p_partkey)
+        FROM sky GROUP BY 1, 2 ORDER BY p_size
+        """
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in exp]
