@@ -3025,3 +3025,57 @@ def x55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "x56_fuzzy_match_blocked",
+    """
+    WITH named AS (
+        SELECT p_partkey, split_part(p_name, ' ', 1) AS block,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part
+    ),
+    d AS (
+        SELECT block, noun, min(p_partkey) AS rep_id, count(*) AS n
+        FROM named GROUP BY block, noun
+    )
+    SELECT a.block AS block, a.noun AS noun_a, b.noun AS noun_b,
+           levenshtein(a.noun, b.noun) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM d a JOIN d b ON a.block = b.block AND a.noun < b.noun
+    WHERE levenshtein(a.noun, b.noun) <= 2
+    ORDER BY 1, 2, 3
+    """,
+    "blocked fuzzy matching (entity-resolution shape): block on the "
+    "first name token, edit-distance verify ONLY within blocks of the "
+    "DISTINCT-name table — candidates bounded by block sizes, the "
+    "corpus-sized table is touched once by a map-side-combinable "
+    "distinct agg; levenshtein(<=2) is integer-exact on both engines",
+    ("join", "dedup", "text"),
+)
+def x56_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    named = t["part"].select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    d = named.groupBy("block", "noun").agg(
+        F.min("p_partkey").alias("rep_id"), F.count(F.lit(1)).alias("n")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.noun"), F.col("b.noun"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.noun") < F.col("b.noun")))
+        .filter(dist <= 2)
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.noun").alias("noun_a"),
+            F.col("b.noun").alias("noun_b"),
+            dist.alias("dist"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .orderBy("block", "noun_a", "noun_b")
+    )
