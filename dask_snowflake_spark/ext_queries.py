@@ -572,12 +572,15 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("streaming",),
 )
 def flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tumb = stream_ops.run_tumbling_stream(spark, sf_dir, "flow_tumbling_out").select(
-        F.lit("tumbling").alias("kind"), "window_start", "event_type", "n"
+    ev = stream_ops._events_stream(spark, sf_dir)
+    tumb_t, slide_t = stream_ops.run_streams_to_tables(
+        [
+            (stream_ops.tumbling_counts(ev), "flow_tumbling_out"),
+            (stream_ops.sliding_counts(ev), "flow_sliding_out"),
+        ]
     )
-    slide = stream_ops.run_stream_to_table(
-        stream_ops.sliding_counts(stream_ops._events_stream(spark, sf_dir)), "flow_sliding_out"
-    ).select(F.lit("sliding").alias("kind"), "window_start", "event_type", "n")
+    tumb = tumb_t.select(F.lit("tumbling").alias("kind"), "window_start", "event_type", "n")
+    slide = slide_t.select(F.lit("sliding").alias("kind"), "window_start", "event_type", "n")
     return tumb.unionByName(slide).orderBy("kind", "window_start", "event_type")
 
 

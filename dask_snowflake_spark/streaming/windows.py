@@ -148,6 +148,31 @@ def streaming_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
     )
 
 
+def run_streams_to_tables(
+    named: list[tuple[DataFrame, str]], output_mode: str = "complete"
+) -> list[DataFrame]:
+    """Drive several bounded streams CONCURRENTLY to completion (start
+    all, then await all) — independent availableNow queries share the
+    clone session's scheduler, so wall time is ~max, not sum."""
+    started = [
+        (
+            df.sparkSession,
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start(),
+            name,
+        )
+        for df, name in named
+    ]
+    out = []
+    for s, q, name in started:
+        q.awaitTermination()
+        out.append(s.table(name))
+    return out
+
+
 def run_tumbling_stream(spark: SparkSession, sf_dir: str, name: str = "stream_tumbling") -> DataFrame:
     return run_stream_to_table(tumbling_counts(_events_stream(spark, sf_dir)), name)
 
