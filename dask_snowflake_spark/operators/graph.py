@@ -69,8 +69,9 @@ def connected_components(
     ).localCheckpoint(eager=True)
     # round-0 information no neighbor has seen yet: every vertex whose
     # label isn't its own id (a self-labeled vertex u has u < all its
-    # neighbors, and each neighbor already took min(self, u) in init)
-    frontier = labels.filter(F.col("__lbl") != F.col("__u")).localCheckpoint(eager=True)
+    # neighbors, and each neighbor already took min(self, u) in init).
+    # Lazy filter of the checkpointed labels — not worth its own job.
+    frontier = labels.filter(F.col("__lbl") != F.col("__u"))
 
     for _ in range(max_iter):
         if frontier.isEmpty():
