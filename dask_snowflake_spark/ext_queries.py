@@ -3082,3 +3082,70 @@ def x56_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block", "noun_a", "noun_b")
     )
+
+
+@query(
+    "x57_shingle_containment",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) c
+        FROM cand p
+        JOIN sh x ON x.doc = p.doc_a
+        JOIN sh y ON y.doc = p.doc_b AND y.shingle = x.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.c * 1000000 // sa.n AS BIGINT) / 1e6 AS contain_a_in_b,
+           CAST(i.c * 1000000 // sb.n AS BIGINT) / 1e6 AS contain_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE i.c * 10 >= sa.n * 9 OR i.c * 10 >= sb.n * 9
+    ORDER BY doc_a, doc_b
+    """,
+    "shingle CONTAINMENT (asymmetric Jaccard |A∩B|/|A|): detects a "
+    "document near-embedded in another (boilerplate wrapping, quote "
+    "expansion) that symmetric-Jaccard dedup misses when sizes differ; "
+    "candidates from the same LSH bands, intersection counted once per "
+    "pair, >=90%% threshold as an integer cross-multiplication, scores "
+    "integer-quantized — no float in filter or output arithmetic",
+    ("dedup", "text"),
+)
+def x57_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    sh = track_cache(dedup_ops.hashed_shingles(docs, "text", "doc_id", 3))
+    sig = dedup_ops.minhash_signatures(sh, num_hashes=16)
+    cand = dedup_ops.lsh_candidate_pairs(dedup_ops.lsh_bands(sig, rows_per_band=2))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sh_b = sh.select(F.col("doc").alias("__db"), F.col("shingle").alias("__shb"))
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("__db")) & (F.col("shingle") == F.col("__shb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("c") * 10 >= F.col("n_a") * 9) | (F.col("c") * 10 >= F.col("n_b") * 9)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.expr("c * 1000000 div n_a") / 1e6).alias("contain_a_in_b"),
+            (F.expr("c * 1000000 div n_b") / 1e6).alias("contain_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
