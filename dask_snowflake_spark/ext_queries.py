@@ -3149,3 +3149,63 @@ def x57_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "x58_split_leakage",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN bkt < 100000 THEN 'test'
+                    WHEN bkt < 900000 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000000 AS bkt
+            FROM documents
+        )
+    )
+    SELECT p.doc_a, p.doc_b, a1.split AS split_a, a2.split AS split_b
+    FROM pairs p
+    JOIN assigned a1 ON a1.doc_id = p.doc_a
+    JOIN assigned a2 ON a2.doc_id = p.doc_b
+    WHERE a1.split <> a2.split
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    "train/test split LEAKAGE detector: near-dup pairs (MinHash+LSH, "
+    "Jaccard >= 0.8) whose endpoints land in DIFFERENT hash-decided "
+    "splits — the eval-contamination QA gate a pipeline runs before "
+    "shipping a split; two broadcast-able joins of the tiny pair set "
+    "against the split assignment",
+    ("dedup", "sampling", "pipeline"),
+)
+def x58_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import split_assign
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup_ops.minhash_near_dup(
+        docs, shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    ).select("doc_a", "doc_b")
+    assigned = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+    a1 = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    a2 = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a1, "doc_a")
+        .join(a2, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    )
