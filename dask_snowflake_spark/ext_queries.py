@@ -3209,3 +3209,58 @@ def x58_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "split_a", "split_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "x59_event_pattern_negation",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c
+    JOIN events p ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+          AND e.ts > c.ts AND e.ts < p.ts
+    )
+    ORDER BY click_id, purchase_id
+    """,
+    "event-sequence pattern with NEGATION (CEP / MATCH_RECOGNIZE "
+    "shape): click followed by a purchase within 1h for the same user "
+    "with NO error event between them — interval join for the positive "
+    "legs, LEFT ANTI range join for the negative leg; both shuffle on "
+    "user_id only, per-user range predicates evaluated within "
+    "co-partitioned rows",
+    ("events", "join", "analytics"),
+)
+def x59_event_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    matched = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    clean = matched.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left_anti",
+    )
+    return clean.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
