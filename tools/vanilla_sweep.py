@@ -8,6 +8,7 @@ compare can't see.
 
 Usage: cd /tmp && python /root/repo/tools/vanilla_sweep.py  (~6 min)
 """
+import os
 import sys
 sys.path.insert(0, "/root/repo")
 import importlib.util
@@ -18,7 +19,7 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo/tests")
 import oracle as oracle_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 con = oracle_mod.duckdb_con(SF_DIR)
 qs, osql = mod.queries(), mod.oracle_sql()
