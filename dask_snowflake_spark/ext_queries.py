@@ -116,10 +116,9 @@ def _minhash_seeds_values() -> str:
     )
 
 
-def _minhash_cand_sql() -> str:
-    """CTEs producing LSH candidate pairs ``cand(doc_a, doc_b)`` from
-    ``sh`` (see ``_SHINGLE_SQL``) — shared by the pair query and the
-    connected-components clustering oracle."""
+def _minhash_bands_sql() -> str:
+    """CTEs producing LSH band keys ``bands(doc, band, band_sig)`` from
+    ``sh`` (see ``_SHINGLE_SQL``)."""
     return f"""
     hashes AS (
         SELECT doc, shingle & 4294967295 AS h32
@@ -134,7 +133,15 @@ def _minhash_cand_sql() -> str:
         SELECT doc, seed // 2 AS band,
                string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
         FROM sig GROUP BY doc, seed // 2
-    ),
+    )
+"""
+
+
+def _minhash_cand_sql() -> str:
+    """CTEs producing LSH candidate pairs ``cand(doc_a, doc_b)`` from
+    ``sh`` (see ``_SHINGLE_SQL``) — shared by the pair query and the
+    connected-components clustering oracle."""
+    return f"""{_minhash_bands_sql()},
     cand AS (
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
         FROM bands a
@@ -3263,4 +3270,272 @@ def x59_event_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clean.select("click_id", "purchase_id", "user_id").orderBy(
         "click_id", "purchase_id"
+    )
+
+
+@query(
+    "x60_dup_span_detect",
+    r"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+    spans AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS span_h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(w) - 7),
+                          i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4],
+                                         w[i+5], w[i+6], w[i+7], w[i+8]))) AS s
+            FROM words WHERE len(w) >= 8)
+    ),
+    dup AS (SELECT span_h FROM spans GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2),
+    per AS (
+        SELECT s.doc_id, count(*) AS n_spans, count(d.span_h) AS n_dup
+        FROM spans s LEFT JOIN dup d ON d.span_h = s.span_h
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.n_dup, 0) * 1000000 // greatest(coalesce(p.n_spans, 0), 1) AS BIGINT) / 1e6 AS dup_frac,
+           (coalesce(p.n_dup, 0) * 10 >= coalesce(p.n_spans, 0) * 3
+            AND coalesce(p.n_spans, 0) > 0) AS flagged
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "exact duplicated-SPAN detection (substring-level dedup, Lee et al. "
+    "2022): every 8-word window hashed map-side (60-bit longs), a span "
+    "is corpus-duplicated when >= 2 distinct docs contain it; per-doc "
+    "duplicated-span fraction + integer-cross-multiplied flag. Catches "
+    "the copied-paragraph-inside-unique-doc case doc-level MinHash "
+    "misses. One groupBy(span_hash) + one equi-join back — O(tokens), "
+    "never all-pairs",
+    ("dedup", "text"),
+)
+def x60_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return dedup_ops.dup_span_stats(
+        t["documents"], span_words=8, dup_num=3, dup_den=10
+    ).orderBy("doc_id")
+
+
+@query(
+    "x61_dedup_incremental",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_bands_sql()},
+    mem AS (
+        SELECT doc_id AS doc,
+               ('0x' || substr(md5('inc:' || doc_id), 1, 15))::BIGINT % 1000000 < 800000 AS in_corpus
+        FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a
+        JOIN mem ma ON ma.doc = a.doc AND NOT ma.in_corpus
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        JOIN mem mb ON mb.doc = b.doc AND mb.in_corpus
+    ),
+    {_JACCARD_CTES},
+    ver AS (
+        SELECT i.doc_a, i.doc_b, round(i.c / (sa.n + sb.n - i.c), 6) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    )
+    SELECT doc_a AS doc_id, min(doc_b) AS dup_of,
+           count(*) AS n_matches, max(j) AS best_jaccard
+    FROM ver GROUP BY doc_a ORDER BY doc_id
+    """,
+    "INCREMENTAL dedup (nightly-ingest pattern): a hash-decided 20%% "
+    "'incoming' batch matched against the 80%% existing corpus only — "
+    "incoming band keys equi-join the corpus band index (cost ~ batch x "
+    "collisions, independent of corpus size beyond the probe; corpus "
+    "pairs never re-checked), exact-Jaccard verify on candidates, min "
+    "corpus id as canonical dup target",
+    ("dedup", "pipeline"),
+)
+def x61_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    incoming = (
+        F.pmod(dedup_ops.portable_hash(F.col("doc_id"), F.lit("inc")), F.lit(1_000_000))
+        >= 800_000
+    )
+    return dedup_ops.incremental_near_dup(docs, incoming, threshold=0.8).orderBy("doc_id")
+
+
+@query(
+    "x62_stratified_sample_exact",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('fix:' || doc_id), 1, 15))::BIGINT % 1000000,
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= 20 ORDER BY lang, rk
+    """,
+    "EXACT-size stratified sampling: exactly min(n, 20) docs per "
+    "language, chosen by hash-ordered row_number (df.sample/limit are "
+    "irreproducible; this is deterministic across engines/retries/"
+    "partitionings and stable per doc as the corpus grows). One window "
+    "per stratum partition — no global sort",
+    ("sampling", "pipeline"),
+)
+def x62_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    h = F.pmod(dedup_ops.portable_hash(F.col("doc_id"), F.lit("fix")), F.lit(1_000_000))
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()))
+    return (
+        t["documents"]
+        .select("doc_id", "lang", rk.alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "x63_bm25_topk",
+    r"""
+    WITH dl AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS dl FROM documents),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        WHERE word IN ('spark', 'window', 'join')
+        GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY word),
+    per_term AS (
+        SELECT t.doc_id, t.word,
+               ln(1 + (st.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * st.n_docs / st.sum_dl))) AS s
+        FROM tf t
+        JOIN dfq d ON d.word = t.word
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN st
+    ),
+    pivoted AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN word = 'join' THEN s END), 0) AS s_join,
+               coalesce(max(CASE WHEN word = 'spark' THEN s END), 0) AS s_spark,
+               coalesce(max(CASE WHEN word = 'window' THEN s END), 0) AS s_window
+        FROM per_term GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id, round(s_join + s_spark + s_window, 6) AS score
+        FROM pivoted
+    )
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM scored
+    QUALIFY rk <= 10
+    ORDER BY rk
+    """,
+    "BM25 relevance search (k1=1.2, b=0.75) for query terms "
+    "{spark, window, join}: tf/df/doclen aggregates + one broadcast "
+    "scalar (n_docs, sum_dl — avgdl derived as a ratio of EXACT integer "
+    "sums, so both engines divide the same integers); per-term scores "
+    "pivoted to fixed columns and added in a FIXED order (float "
+    "addition isn't associative — an agg-order sum would differ by an "
+    "ulp between engines); rank over the 6dp-rounded score, top 10",
+    ("text", "search"),
+)
+def x63_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    terms = ["spark", "window", "join"]
+    dl = docs.select("doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dft"))
+    per_term = (
+        tf.join(F.broadcast(dfq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.log(F.lit(1) + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * (F.col("dl") * F.col("n_docs") / F.col("sum_dl")))
+                )
+            ).alias("s"),
+        )
+    )
+    pivoted = per_term.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("word") == w, F.col("s"))), F.lit(0.0)).alias(
+                f"s_{w}"
+            )
+            for w in ("join", "spark", "window")
+        ]
+    )
+    scored = pivoted.select(
+        "doc_id",
+        F.round(F.col("s_join") + F.col("s_spark") + F.col("s_window"), 6).alias("score"),
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # global sort), then rank the 10 surviving rows: the unpartitioned
+    # row_number window only ever sees k rows, not the corpus
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    rk = F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.select("doc_id", "score", rk.alias("rk")).orderBy("rk")
+
+
+@query(
+    "x64_domain_cap",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS src_total
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, rk, src_total
+    FROM ranked WHERE rk <= 5 ORDER BY source, rk
+    """,
+    "per-DOMAIN document cap (anti-over-representation: web corpora cap "
+    "docs per domain before training): keep the top-5 longest docs per "
+    "source with a deterministic doc_id tie-break, carrying the "
+    "domain's pre-cap total for the audit trail; one row_number + one "
+    "count window over the same partition — a single shuffle on source",
+    ("sampling", "pipeline"),
+)
+def x64_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    p = W.partitionBy("source")
+    return (
+        t["documents"]
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number()
+            .over(p.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+            .alias("rk"),
+            F.count(F.lit(1)).over(p).alias("src_total"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
     )

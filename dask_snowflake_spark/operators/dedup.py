@@ -412,3 +412,144 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_words: int = 8,
+    dup_num: int = 3,
+    dup_den: int = 10,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection (the substring-level dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every ``span_words``-word window of every document is
+    hashed; a span is corpus-duplicated when it occurs in >= 2 distinct
+    documents; each document gets occurrence-level stats plus a
+    ``flagged`` bit when more than ``dup_num/dup_den`` of its spans are
+    duplicated (integer cross-multiplication — no float in the filter).
+
+    Doc-level MinHash misses this case: a unique article quoting a
+    widely-copied paragraph has low doc Jaccard but high span overlap.
+
+    Scale shape: span assembly is map-side (arrays_zip of shifted
+    slices, same kernel as ``hashed_shingles``); spans travel as 60-bit
+    longs; the duplicated-span set comes from one groupBy(span_hash)
+    with a distinct-doc count, and rejoining it to the span stream is an
+    equi-join on the hash. Cost ~ O(total tokens), never all-pairs.
+    Docs shorter than ``span_words`` words contribute zero spans and
+    report n_spans = 0, flagged = false.
+    """
+    w = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        w.alias("w0"),
+        *[
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, span_words)
+        ],
+    )
+    zipped = base.select(
+        "doc",
+        F.posexplode(F.arrays_zip(*[F.col(f"w{j}") for j in range(span_words)])).alias(
+            "pos", "s"
+        ),
+    )
+    cols = [F.col("s").getField(f"w{j}") for j in range(span_words)]
+    # full windows only — no partial tail (a short doc has no spans)
+    spans = track_cache(
+        zipped.filter(cols[-1].isNotNull()).select(
+            "doc", portable_hash(F.concat_ws(" ", *cols)).alias("span_h")
+        )
+    )
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.countDistinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span_h", F.lit(True).alias("__dup"))
+    )
+    per_doc = (
+        spans.join(dup, "span_h", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("__dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.expr(
+                    "coalesce(n_dup_spans, 0) * 1000000 div greatest(coalesce(n_spans, 0), 1)"
+                )
+                / 1e6
+            ).alias("dup_frac"),
+            (
+                (F.coalesce("n_dup_spans", F.lit(0)) * dup_den
+                 >= F.coalesce("n_spans", F.lit(0)) * dup_num)
+                & (F.coalesce("n_spans", F.lit(0)) > 0)
+            ).alias("flagged"),
+        )
+    )
+
+
+def incremental_near_dup(
+    docs: DataFrame,
+    incoming_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: near-dup matches of an INCOMING batch against
+    the EXISTING corpus only (the nightly-ingest pattern — an index of
+    band signatures is kept for the corpus and each new batch joins
+    against it; never re-pairing corpus-vs-corpus).
+
+    ``incoming_filter`` is a boolean Column over ``docs`` marking the
+    incoming rows; the rest is the corpus. Candidates come from an
+    equi-join of incoming band keys against corpus band keys (cost ~
+    O(batch x collisions), independent of corpus size beyond the index
+    probe), then exact-Jaccard verification on candidates only.
+    Returns (doc_id, dup_of, n_matches, best_jaccard): one row per
+    incoming doc that duplicates corpus content, with the smallest
+    matching corpus id as the canonical target.
+    """
+    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n))
+    sig = minhash_signatures(sh, num_hashes, prehashed=True)
+    bands = track_cache(lsh_bands(sig, rows_per_band))
+    mem = docs.select(F.col(id_col).alias("doc"), incoming_filter.alias("__inc"))
+    b_inc = bands.join(mem.filter(F.col("__inc")), "doc").select("doc", "band", "band_sig")
+    b_cor = bands.join(mem.filter(~F.col("__inc")), "doc").select("doc", "band", "band_sig")
+    cand = (
+        b_inc.alias("a")
+        .join(
+            b_cor.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    verified = jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
+    return (
+        verified.groupBy("doc_a")
+        .agg(
+            F.min("doc_b").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .select(
+            F.col("doc_a").alias(id_col), "dup_of", "n_matches", "best_jaccard"
+        )
+    )
