@@ -30,3 +30,66 @@ def test_simhash_stable_under_partitioning(spark, sf_oracle):
     a = dict((r.doc_id, r.simhash) for r in simhash(docs).collect())
     b = dict((r.doc_id, r.simhash) for r in simhash(docs.repartition(11)).collect())
     assert a == b
+
+
+def test_dup_span_stats_matches_bruteforce(spark, sf_oracle):
+    """Span detection == brute-force python recount on a bounded corpus:
+    per-doc span totals, duplicated counts, and flags all agree."""
+    from collections import Counter
+
+    from dask_snowflake_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_oracle)["documents"].filter(F.col("doc_id") < 150)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    span_docs: dict[str, set] = {}
+    per_doc_spans = {}
+    for d, txt in texts.items():
+        w = txt.split()
+        spans = [" ".join(w[i : i + 8]) for i in range(len(w) - 7)]
+        per_doc_spans[d] = spans
+        for s in set(spans):
+            span_docs.setdefault(s, set()).add(d)
+    got = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert set(got) == set(texts)
+    for d, spans in per_doc_spans.items():
+        n_dup = sum(1 for s in spans if len(span_docs[s]) >= 2)
+        assert got[d].n_spans == len(spans), d
+        assert got[d].n_dup_spans == n_dup, d
+        assert got[d].flagged == (len(spans) > 0 and n_dup * 10 >= len(spans) * 3), d
+
+
+def test_dup_span_stats_short_doc_is_spanless(spark):
+    from dask_snowflake_spark.operators.dedup import dup_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "only four words here"), (2, "a b c d e f g h i"), (3, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dup_span_stats(df).collect()}
+    assert rows[1].n_spans == 0 and not rows[1].flagged and rows[1].dup_frac == 0.0
+    # docs 2 and 3 share both of their 8-word spans -> fully duplicated
+    assert rows[2].n_spans == 2 and rows[2].n_dup_spans == 2 and rows[2].flagged
+    assert rows[3].flagged
+
+
+def test_incremental_near_dup_subset_of_full_pairs(spark, sf_oracle):
+    """Incremental matches == exactly the full near-dup pairs that
+    straddle the corpus/incoming boundary (no corpus-corpus or
+    incoming-incoming pair ever surfaces, none is missed)."""
+    from dask_snowflake_spark.operators.dedup import incremental_near_dup, minhash_near_dup
+
+    docs = _t(spark, sf_oracle)["documents"]
+    inc_col = F.pmod(F.col("doc_id"), F.lit(5)) == 0  # every 5th doc "arrives"
+    full = minhash_near_dup(docs, threshold=0.8).collect()
+    inc_ids = {r.doc_id for r in docs.filter(inc_col).select("doc_id").collect()}
+    want = {}
+    for r in full:
+        for inc, cor in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if inc in inc_ids and cor not in inc_ids:
+                cur = want.setdefault(inc, [])
+                cur.append(cor)
+    got = {r.doc_id: r for r in incremental_near_dup(docs, inc_col, threshold=0.8).collect()}
+    assert set(got) == set(want)
+    for d, cors in want.items():
+        assert got[d].dup_of == min(cors), d
+        assert got[d].n_matches == len(cors), d
