@@ -3539,3 +3539,199 @@ def x64_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "x65_training_order_shard",
+    r"""
+    WITH assigned AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\s+')) AS n_tok,
+               ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 8 AS shard,
+               ('0x' || substr(md5('order:' || doc_id), 1, 15))::BIGINT % 1000000 AS ord_h
+        FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, n_tok, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY ord_h, doc_id) AS pos
+        FROM assigned
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min_by(doc_id, pos) AS first_doc,
+           max_by(doc_id, pos) AS last_doc,
+           CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum
+    FROM positioned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    "deterministic training-order SHARDING: every doc hashed to one of "
+    "8 shards, ordered within its shard by a second independent hash — "
+    "the reproducible global-shuffle + shard step an LLM data pipeline "
+    "runs last (RNG shuffles can't be re-derived after a failed run; "
+    "this is a pure function of doc_id). Per-shard audit row carries an "
+    "order checksum (sum of doc_id x position — exact integers, "
+    "order-independent sum, but any reordering changes it), so the "
+    "oracle verifies the ORDER itself, not just membership. One "
+    "shuffle on shard; within-shard row_number streams the sorted "
+    "partition",
+    ("sampling", "pipeline"),
+)
+def x65_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ph = dedup_ops.portable_hash
+    assigned = t["documents"].select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+        F.pmod(ph(F.col("doc_id"), F.lit("shard")), F.lit(8)).alias("shard"),
+        F.pmod(ph(F.col("doc_id"), F.lit("order")), F.lit(1_000_000)).alias("ord_h"),
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.col("ord_h").asc(), F.col("doc_id").asc())
+    )
+    return (
+        assigned.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min_by("doc_id", "pos").alias("first_doc"),
+            F.max_by("doc_id", "pos").alias("last_doc"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "x66_unigram_logprob",
+    r"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+        FROM documents
+    ),
+    vocab AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    -- per-WORD negative log-prob, integer-quantized ONCE at the vocab
+    -- level: per-doc sums are then exact integer arithmetic (a float
+    -- sum over words would differ by engine summation order)
+    nll AS (
+        SELECT v.word,
+               CAST(floor(ln(t.total / v.cnt) * 1000000) AS BIGINT) AS q
+        FROM vocab v CROSS JOIN tot t
+    )
+    SELECT w.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(n.q) AS BIGINT) AS nll_sum_q,
+           CAST(sum(n.q) // count(*) AS BIGINT) / 1e6 AS mean_nll,
+           sum(n.q) > count(*) * 5000000 AS flagged
+    FROM words w JOIN nll n ON n.word = w.word
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    "unigram log-prob quality score (the cheap 'perplexity filter' "
+    "proxy of CCNet/Gopher pipelines, no LM needed): corpus unigram "
+    "distribution -> per-word negative log-prob quantized to integer "
+    "micro-nats ONCE at the vocab level -> per-doc mean NLL as exact "
+    "integer sums (float summation order can't flip anything) -> "
+    "flagged when mean NLL > 5 nats via integer cross-multiplication. "
+    "Vocab is bounded, broadcast into the word stream; everything else "
+    "is map-side + one groupBy(doc)",
+    ("text", "pipeline"),
+)
+def x66_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    words = t["documents"].select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    nll = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.floor(F.log(F.col("total") / F.col("cnt")) * 1_000_000)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        words.join(F.broadcast(nll), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("q").alias("nll_sum_q"),
+            F.expr("CAST(sum(q) div count(1) AS BIGINT)").alias("__m"),
+            (F.sum("q") > F.count(F.lit(1)) * 5_000_000).alias("flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_sum_q",
+            (F.col("__m") / 1e6).alias("mean_nll"),
+            "flagged",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x67_mad_outliers",
+    """
+    WITH pv AS (SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+    med AS (SELECT user_id, round(median(value), 4) AS med FROM pv GROUP BY user_id),
+    dev AS (
+        SELECT p.user_id, m.med, abs(p.value - m.med) AS dev
+        FROM pv p JOIN med m USING (user_id)
+    ),
+    mad AS (SELECT user_id, round(median(dev), 4) AS mad FROM dev GROUP BY user_id)
+    SELECT d.user_id, count(*) AS n, min(d.med) AS med, min(a.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > 5.1891 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (user_id)
+    GROUP BY d.user_id ORDER BY d.user_id
+    """,
+    "robust (MAD-based) outlier detection per user: median and median "
+    "absolute deviation via the SAME bounded-state two-pass exact "
+    "quantile operator q11 uses (never an O(group) agg buffer), outlier "
+    "= deviation > 3.5 sigma-equivalents (3.5 x 1.4826 = 5.1891). "
+    "Unlike the x37 trailing z-score, MAD doesn't let one spike inflate "
+    "its own threshold. Quantiles are 4dp-quantized AT THE STAGE SEAM "
+    "(before the deviation pass), so all downstream arithmetic is "
+    "identical doubles on both engines — no ulp-dependent membership",
+    ("events", "analytics", "quality"),
+)
+def x67_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    pv = track_cache(
+        t["events"].filter(F.col("event_type") == "purchase").select("user_id", "value")
+    )
+    med = exact_group_quantiles(pv, ["user_id"], "value", [0.5]).select(
+        "user_id", F.round(F.col("quantiles")[0], 4).alias("med")
+    )
+    dev = track_cache(
+        pv.join(med, "user_id").select(
+            "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
+    )
+    mad = exact_group_quantiles(dev, ["user_id"], "dev", [0.5]).select(
+        "user_id", F.round(F.col("quantiles")[0], 4).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(5.1891) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
