@@ -288,3 +288,41 @@ def test_skyline_matches_definitional_not_exists(spark, sf_oracle):
     ).fetchall()
     con.close()
     assert got == [tuple(r) for r in exp]
+
+
+def test_span_dedup_no_cartesian(spark, sf_oracle):
+    """x60's duplicated-span set must rejoin the span stream by an
+    equi-join on the span hash — never any nested-loop/cartesian plan."""
+    df = registry()["x60_dup_span_detect"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "Generate posexplode" in p or "posexplode" in p, p
+
+
+def test_bm25_topk_before_rank_window(spark, sf_oracle):
+    """x63 must reduce the corpus with TakeOrderedAndProject BEFORE the
+    unpartitioned rank window, so the single-partition window only ever
+    sees k rows."""
+    p = plan(registry()["x63_bm25_topk"].spark_fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in p, p
+    # the window must consume the take's output (appear above it in the
+    # formatted tree: lower node id)
+    lines = p.splitlines()
+    w = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    t = next(i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln)
+    assert w < t, (w, t)
+
+
+def test_incremental_dedup_band_probe_is_equi_join(spark, sf_oracle):
+    """x61's incoming-vs-corpus candidate probe must be a hash-keyed
+    equi-join on the band signature (SortMergeJoin or ShuffledHashJoin
+    or BroadcastHashJoin) — never a nested loop over the corpus."""
+    p = plan(registry()["x61_dedup_incremental"].spark_fn(spark, sf_oracle))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_unigram_logprob_vocab_is_broadcast(spark, sf_oracle):
+    """x66's per-word NLL table joins the word stream broadcast — the
+    corpus-sized side never shuffles on word."""
+    p = plan(registry()["x66_unigram_logprob"].spark_fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p, p
