@@ -3735,3 +3735,105 @@ def x67_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x68_drift_psi",
+    """
+    WITH pv AS (
+        SELECT CAST(least(floor(value / 20), 19) AS BIGINT) AS bin,
+               day(ts) <= 15 AS base
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    bins AS (SELECT unnest(range(20)) AS bin),
+    agg AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN NOT base THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM pv GROUP BY bin
+    ),
+    counts AS (
+        SELECT b.bin, coalesce(a.n_a, 0) AS n_a, coalesce(a.n_b, 0) AS n_b
+        FROM bins b LEFT JOIN agg a ON a.bin = b.bin
+    ),
+    tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM counts),
+    terms AS (
+        SELECT c.bin, c.n_a, c.n_b,
+               CAST(floor(
+                   (((c.n_a + 1.0) / (t.ta + 20)) - ((c.n_b + 1.0) / (t.tb + 20)))
+                   * ln(((c.n_a + 1.0) * (t.tb + 20)) / ((c.n_b + 1.0) * (t.ta + 20)))
+                   * 1000000000
+               ) AS BIGINT) AS term_q
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT bin, n_a, n_b,
+           term_q / 1e9 AS psi_term,
+           CAST(sum(term_q) OVER () AS BIGINT) / 1e9 AS psi_total
+    FROM terms
+    ORDER BY bin
+    """,
+    "data DRIFT detection via Population Stability Index: purchase-value "
+    "histograms (20 fixed-width bins, dense bin spine so empty bins "
+    "still contribute) for days 1-15 vs 16-31, Laplace-smoothed "
+    "proportions as exact integer rationals, per-bin PSI term "
+    "(p-q)ln(p/q) integer-quantized at 1e-9 BEFORE the cross-bin sum "
+    "(float summation order can't flip the total); the rollout QA gate "
+    "that catches a feature distribution shifting between dataset "
+    "versions. Two map-side-combinable aggs + a 20-row spine join",
+    ("events", "quality", "analytics"),
+)
+def x68_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    pv = (
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            F.least(F.floor(F.col("value") / 20), F.lit(19)).cast("long").alias("bin"),
+            (F.dayofmonth("ts") <= 15).alias("base"),
+        )
+    )
+    bins = spark.range(20).select(F.col("id").alias("bin"))
+    # aggregate BEFORE the spine join: the corpus reduces map-side to
+    # <=20 rows per task, so the 20-key shuffle carries partial counts,
+    # never raw events (a spine-first left join would funnel each bin's
+    # full row stream through one reducer)
+    agg = pv.groupBy("bin").agg(
+        F.sum(F.when(F.col("base"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("base"), 1).otherwise(0)).alias("n_b"),
+    )
+    counts = bins.join(agg, "bin", "left").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.floor(
+            (
+                (F.col("n_a") + 1.0) / (F.col("ta") + 20)
+                - (F.col("n_b") + 1.0) / (F.col("tb") + 20)
+            )
+            * F.log(
+                ((F.col("n_a") + 1.0) * (F.col("tb") + 20))
+                / ((F.col("n_b") + 1.0) * (F.col("ta") + 20))
+            )
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("term_q"),
+    )
+    return (
+        terms.select(
+            "bin",
+            "n_a",
+            "n_b",
+            (F.col("term_q") / 1e9).alias("psi_term"),
+            (F.sum("term_q").over(W.partitionBy()) / 1e9).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
