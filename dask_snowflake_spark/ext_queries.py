@@ -3837,3 +3837,76 @@ def x68_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def _pagerank_iter_sql(iters: int) -> str:
+    """Chained integer-PageRank CTEs pr0..pr{iters} over ``und``/``deg``
+    (the loop unrolled — DuckDB replays exactly the per-round integer
+    arithmetic of ``graph.pagerank_integer``)."""
+    ctes = [
+        """nv AS (SELECT count(*) AS n FROM deg),
+    pbase AS (SELECT CAST((15 * (1000000000000 // n)) // 100 AS BIGINT) AS b FROM nv),
+    pr0 AS (SELECT u, CAST(1000000000000 // n AS BIGINT) AS pr FROM deg CROSS JOIN nv)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pr{k} AS (
+        SELECT e.v AS u, CAST(b.b + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+        FROM und e JOIN pr{k - 1} p ON p.u = e.u JOIN deg d ON d.u = e.u
+        CROSS JOIN pbase b
+        GROUP BY e.v, b.b
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "x69_pagerank_near_dup",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    und AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+    {_pagerank_iter_sql(5)}
+    SELECT u AS doc_id, pr AS pr_q,
+           row_number() OVER (ORDER BY pr DESC, u) AS rk
+    FROM pr5
+    QUALIFY rk <= 20
+    ORDER BY rk
+    """,
+    "graph centrality over the near-dup graph: INTEGER-arithmetic "
+    "PageRank (all state in integer mass units, every op integer "
+    "mul/div/add — float PageRank can't be value-checked because "
+    "incoming-contribution sums depend on aggregation order) ranks the "
+    "HUB documents of boilerplate neighborhoods; 5 rounds, each one "
+    "edge-join + map-side-combinable sum, checkpoint-truncated lineage; "
+    "oracle replays the unrolled rounds as chained CTEs",
+    ("dedup", "graph", "analytics"),
+)
+def x69_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.graph import pagerank_integer
+
+    t = _t(spark, sf_dir)
+    pairs = dedup_ops.minhash_near_dup(
+        t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    pr = pagerank_integer(pairs, "doc_a", "doc_b", iters=5)
+    top = pr.orderBy(F.col("pr_q").desc(), F.col("vertex").asc()).limit(20)
+    rk = F.row_number().over(W.orderBy(F.col("pr_q").desc(), F.col("vertex").asc()))
+    return top.select(
+        F.col("vertex").alias("doc_id"), "pr_q", rk.alias("rk")
+    ).orderBy("rk")

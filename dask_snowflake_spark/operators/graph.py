@@ -103,3 +103,67 @@ def connected_components(
             )
 
     return labels.select(F.col("__u").alias("vertex"), F.col("__lbl").alias("component"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    mass: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Deterministic integer-arithmetic PageRank over the undirected
+    graph ``edges`` — centrality for ranking e.g. which document is the
+    HUB of a boilerplate/near-dup neighborhood.
+
+    Float PageRank cannot be value-checked across engines: each
+    vertex's incoming contributions are summed in aggregation order,
+    and float addition isn't associative. Here ALL state is an integer
+    number of mass units (total mass ``mass``), every operation is
+    integer mul/div/add, so the result is bit-identical across engines,
+    partitionings, and retries. Integer-div truncation loses at most
+    ``deg`` mass units per vertex per round — at mass=1e12 a relative
+    error ~1e-9, irrelevant for ranking, and both engines truncate
+    identically (all values non-negative, so floor == truncate).
+
+    Scale shape: per-iteration cost is one equi-join of the edge list
+    (carrying the source degree) with the current rank vector plus a
+    map-side-combinable sum keyed by destination — the same join+agg
+    round as ``connected_components``; lineage is checkpoint-truncated
+    per round. Undirected edges mean every vertex has incoming mass, so
+    there are no dangling-mass corrections. Returns ``(vertex, pr_q)``
+    with ``pr_q`` in mass units.
+    """
+    und = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+        .distinct()
+    )
+    deg = und.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
+    # edge list annotated once with the source degree; reused every round
+    und_deg = und.join(deg, "__u").localCheckpoint(eager=True)
+    n_row = deg.agg(F.count(F.lit(1)).alias("__n"))
+    base_num = damping_den - damping_num
+    base_row = n_row.select(
+        F.expr(f"({base_num} * ({mass} div __n)) div {damping_den}").alias("__base")
+    )
+    pr = deg.crossJoin(F.broadcast(n_row)).select(
+        "__u", F.expr(f"{mass} div __n").alias("__pr")
+    )
+    for _ in range(iters):
+        pr = (
+            und_deg.join(pr, "__u")
+            .select("__v", F.expr("__pr div __deg").alias("__sh"))
+            .groupBy("__v")
+            .agg(F.sum("__sh").alias("__s"))
+            .crossJoin(F.broadcast(base_row))
+            .select(
+                F.col("__v").alias("__u"),
+                F.expr(f"__base + ({damping_num} * __s) div {damping_den}").alias("__pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("__u").alias("vertex"), F.col("__pr").alias("pr_q"))

@@ -116,3 +116,22 @@ def test_session_conf_untouched(spark) -> None:
         spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"), "a", "b"
     ).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_pagerank_integer_known_graph_and_stability(spark):
+    """Path graph a-b-c: the middle vertex must rank highest; results
+    are identical under repartitioning (integer arithmetic has no
+    order dependence); total mass stays within truncation loss."""
+    from dask_snowflake_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    pr = {r.vertex: r.pr_q for r in pagerank_integer(edges, "a", "b", iters=8).collect()}
+    assert pr[2] > pr[1] == pr[3], pr
+    total = sum(pr.values())
+    # mass conserved up to integer-div truncation (<= deg per vertex per round)
+    assert 0.99e12 < total <= 1_000_000_000_000, total
+    pr2 = {
+        r.vertex: r.pr_q
+        for r in pagerank_integer(edges.repartition(7), "a", "b", iters=8).collect()
+    }
+    assert pr == pr2
