@@ -3910,3 +3910,129 @@ def x69_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.col("vertex").alias("doc_id"), "pr_q", rk.alias("rk")
     ).orderBy("rk")
+
+
+@query(
+    "x70_pit_dimension_join",
+    """
+    WITH p AS (
+        SELECT user_id, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 20 = 0
+    ),
+    d AS (SELECT user_id, ts, value FROM p WHERE rn = 1),
+    dim AS (
+        SELECT user_id, round(value, 2) AS dim_value,
+               ts AS valid_from, lead(ts) OVER w AS valid_to
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND user_id % 20 = 0
+    )
+    SELECT c.event_id AS click_id, c.user_id, m.dim_value, m.valid_from
+    FROM clicks c
+    JOIN dim m ON m.user_id = c.user_id
+     AND c.ts >= m.valid_from
+     AND (m.valid_to IS NULL OR c.ts < m.valid_to)
+    ORDER BY click_id
+    """,
+    "point-in-time (AS OF) dimension join: facts joined to the SCD-2 "
+    "validity interval in force at their event time (the x35 history "
+    "build consumed downstream — how a warehouse resolves 'what was "
+    "the dimension value WHEN this happened'). Equi-join on the "
+    "dimension key with the interval predicate evaluated inside the "
+    "co-partitioned rows: each fact matches exactly one interval, no "
+    "row multiplication",
+    ("cdc", "join", "events"),
+)
+def x70_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    dim = p.select(
+        "user_id",
+        F.round("value", 2).alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") % 20 == 0)
+    ).select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+    return (
+        clicks.join(
+            dim,
+            (clicks["user_id"] == dim["user_id"])
+            & (F.col("c_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("c_ts") < F.col("valid_to"))),
+        )
+        .select("click_id", clicks["user_id"].alias("user_id"), "dim_value", "valid_from")
+        .orderBy("click_id")
+    )
+
+
+@query(
+    "x71_percentile_length_gate",
+    """
+    WITH thr AS (
+        SELECT lang, round(quantile_cont(n_chars, 0.10), 4) AS p10
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars > t.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           sum(CASE WHEN d.n_chars > t.p10 THEN 1 ELSE 0 END) * 1000000 // count(*) / 1e6 AS kept_frac,
+           min(t.p10) AS p10
+    FROM documents d JOIN thr t ON t.lang = d.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    "percentile-threshold quality gate: drop each language's shortest "
+    "10%% of documents — the threshold comes from the bounded-state "
+    "exact-quantile operator (per-language p10), 4dp-quantized at the "
+    "stage seam, broadcast back into the corpus scan; integer counts "
+    "vs a quantized threshold, so membership is engine-exact. The "
+    "per-stratum relative cut a fixed global length filter can't "
+    "express",
+    ("text", "quality", "pipeline"),
+)
+def x71_percentile_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    thr = exact_group_quantiles(docs, ["lang"], "n_chars", [0.10]).select(
+        "lang", F.round(F.col("quantiles")[0], 4).alias("p10")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("n_chars") > F.col("p10"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.expr(
+                    "sum(CASE WHEN n_chars > p10 THEN 1 ELSE 0 END) * 1000000 div count(1)"
+                )
+                / 1e6
+            ).alias("kept_frac"),
+            F.min("p10").alias("p10"),
+        )
+        .orderBy("lang")
+    )
