@@ -114,6 +114,7 @@ def pagerank_integer(
     damping_num: int = 85,
     damping_den: int = 100,
     mass: int = 1_000_000_000_000,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Deterministic integer-arithmetic PageRank over the undirected
     graph ``edges`` — centrality for ranking e.g. which document is the
@@ -132,10 +133,14 @@ def pagerank_integer(
     Scale shape: per-iteration cost is one equi-join of the edge list
     (carrying the source degree) with the current rank vector plus a
     map-side-combinable sum keyed by destination — the same join+agg
-    round as ``connected_components``; lineage is checkpoint-truncated
-    per round. Undirected edges mean every vertex has incoming mass, so
-    there are no dangling-mass corrections. Returns ``(vertex, pr_q)``
-    with ``pr_q`` in mass units.
+    round as ``connected_components``. Lineage grows LINEARLY in rounds
+    (each round reads the previous rank vector once), so short fixed
+    loops run as ONE job with overlapping stages; every
+    ``checkpoint_interval`` rounds the state is ``localCheckpoint``ed
+    to bound plan depth for long runs without paying a materialization
+    job per round. Undirected edges mean every vertex has incoming
+    mass, so there are no dangling-mass corrections. Returns
+    ``(vertex, pr_q)`` with ``pr_q`` in mass units.
     """
     und = (
         edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
@@ -145,25 +150,32 @@ def pagerank_integer(
     deg = und.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
     # edge list annotated once with the source degree; reused every round
     und_deg = und.join(deg, "__u").localCheckpoint(eager=True)
-    n_row = deg.agg(F.count(F.lit(1)).alias("__n"))
-    base_num = damping_den - damping_num
-    base_row = n_row.select(
-        F.expr(f"({base_num} * ({mass} div __n)) div {damping_den}").alias("__base")
+    # vertex count and teleport base are SCALARS — one bounded driver
+    # pull turns them into plan literals; leaving them as one-row
+    # DataFrames re-broadcasts (and re-computes) the subtree each round
+    n = und_deg.select("__u").distinct().count()
+    if n == 0:
+        return und_deg.select(
+            F.col("__u").alias("vertex"), F.col("__deg").cast("long").alias("pr_q")
+        )
+    # python // == SQL div here: every operand is non-negative
+    base = ((damping_den - damping_num) * (mass // n)) // damping_den
+    pr = und_deg.select("__u").distinct().select(
+        "__u", F.lit(mass // n).alias("__pr")
     )
-    pr = deg.crossJoin(F.broadcast(n_row)).select(
-        "__u", F.expr(f"{mass} div __n").alias("__pr")
-    )
-    for _ in range(iters):
+    for i in range(iters):
         pr = (
             und_deg.join(pr, "__u")
             .select("__v", F.expr("__pr div __deg").alias("__sh"))
             .groupBy("__v")
             .agg(F.sum("__sh").alias("__s"))
-            .crossJoin(F.broadcast(base_row))
             .select(
                 F.col("__v").alias("__u"),
-                F.expr(f"__base + ({damping_num} * __s) div {damping_den}").alias("__pr"),
+                (F.lit(base) + F.expr(f"({damping_num} * __s) div {damping_den}")).alias(
+                    "__pr"
+                ),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select(F.col("__u").alias("vertex"), F.col("__pr").alias("pr_q"))
