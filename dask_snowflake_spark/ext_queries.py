@@ -4036,3 +4036,159 @@ def x71_percentile_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x72_growth_accounting",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    daily AS (
+        SELECT d.day,
+               count(*) AS dau,
+               CAST(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY d.day
+    )
+    SELECT day, dau, new_users,
+           dau - new_users AS returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily ORDER BY day
+    """,
+    "growth accounting: daily active users split into new (first-seen "
+    "that day) vs returning, plus cumulative acquired users — the "
+    "product-analytics daily rollup. Two user-keyed aggs + one join; "
+    "the cumulative window runs over one row PER DAY (bounded by the "
+    "calendar, not the corpus), so the unpartitioned frame is safe at "
+    "any scale",
+    ("events", "analytics"),
+)
+def x72_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    d = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    daily = (
+        d.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    return daily.select(
+        "day",
+        "dau",
+        "new_users",
+        (F.col("dau") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_users"),
+    ).orderBy("day")
+
+
+@query(
+    "x73_ab_test_proportions",
+    """
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM arms
+    )
+    , zq AS (
+        SELECT *,
+               CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
+                    ELSE CAST(floor(
+                        ((conv_a * 1.0 / n_a) - (conv_b * 1.0 / n_b))
+                        / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                               * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b))
+                        * 1000000
+                    ) AS BIGINT) END AS z_q
+        FROM agg
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           conv_a * 1000000 // n_a / 1e6 AS rate_a,
+           conv_b * 1000000 // n_b / 1e6 AS rate_b,
+           z_q / 1e6 AS z,
+           abs(z_q) > 1960000 AS significant
+    FROM zq
+    """,
+    "A/B experiment readout: hash-decided arm assignment (deterministic "
+    "— the same user always lands in the same arm), per-arm conversion "
+    "counts as exact integers, two-sample pooled-proportion z-statistic "
+    "computed from those integers (identical doubles on both engines — "
+    "sqrt is IEEE-exact), quantized at 1e-6, significance as an INTEGER "
+    "compare against 1.96e6. One user-keyed agg + one 4-counter "
+    "combine; scan-speed at any corpus size",
+    ("events", "analytics", "sampling"),
+)
+def x73_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    arm = F.when(
+        F.pmod(dedup_ops.portable_hash(F.col("user_id"), F.lit("ab")), F.lit(2)) == 0, "A"
+    ).otherwise("B")
+    arms = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    agg = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z_raw = (
+        (F.col("conv_a") * 1.0 / F.col("n_a")) - (F.col("conv_b") * 1.0 / F.col("n_b"))
+    ) / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # degenerate pools (all or none converted) have an undefined z;
+    # define 0 rather than divide by zero (ANSI mode raises)
+    zq = (
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") == 0)
+            | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(0),
+        )
+        .otherwise(F.floor(z_raw * 1_000_000))
+        .cast("long")
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.expr("conv_a * 1000000 div n_a") / 1e6).alias("rate_a"),
+        (F.expr("conv_b * 1000000 div n_b") / 1e6).alias("rate_b"),
+        (zq / 1e6).alias("z"),
+        (F.abs(zq) > 1_960_000).alias("significant"),
+    )
