@@ -93,3 +93,11 @@ def test_incremental_near_dup_subset_of_full_pairs(spark, sf_oracle):
     for d, cors in want.items():
         assert got[d].dup_of == min(cors), d
         assert got[d].n_matches == len(cors), d
+
+
+def test_incremental_near_dup_no_incoming(spark, sf_oracle):
+    """An all-corpus batch (empty incoming side) yields zero matches."""
+    from dask_snowflake_spark.operators.dedup import incremental_near_dup
+
+    docs = _t(spark, sf_oracle)["documents"].filter(F.col("doc_id") < 60)
+    assert incremental_near_dup(docs, F.lit(False)).count() == 0

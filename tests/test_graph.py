@@ -135,3 +135,10 @@ def test_pagerank_integer_known_graph_and_stability(spark):
         for r in pagerank_integer(edges.repartition(7), "a", "b", iters=8).collect()
     }
     assert pr == pr2
+
+
+def test_pagerank_integer_empty_edges(spark):
+    from dask_snowflake_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([], "a long, b long")
+    assert pagerank_integer(edges, "a", "b", iters=3).count() == 0
