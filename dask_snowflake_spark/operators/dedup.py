@@ -111,7 +111,9 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
-def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, *, hash_fn: str = "md5"
+) -> DataFrame:
     """Distinct word n-gram shingles per document as 60-bit hashes
     (``portable_hash``, seed 0): the text -> hash projection is
     map-side, so the per-doc distinct and every downstream join/shuffle
@@ -120,7 +122,17 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     over shingles up to md5 collisions, and the oracle hashes with the
     IDENTICAL md5 expression, so the value compare stays exact even in
     a collision. The low 32 bits are the MinHash base hash (same bits
-    ``minhash_signatures`` derives), so no second md5 pass is needed."""
+    ``minhash_signatures`` derives), so no second md5 pass is needed.
+
+    ``hash_fn="xxhash64"`` is the PRODUCTION fast path: Spark's native
+    codegen'd 64-bit hash (no hex round-trip, ~an order of magnitude
+    cheaper per shingle than md5). Pair/cluster results are identical
+    up to hash collisions — only the bucket assignment changes — but
+    DuckDB has no xxhash64, so oracle-checked queries stay on md5 (the
+    engine-portability price is paid once, in the shingle projection).
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     w = F.split(F.col(text_col), r"\s+")
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -135,9 +147,15 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
         F.posexplode(F.arrays_zip(*[F.col(f"w{j}") for j in range(n)])).alias("pos", "s"),
     )
     cols = [F.col("s").getField(f"w{j}") for j in range(n)]
+    joined = F.concat_ws(" ", *cols)
+    if hash_fn == "xxhash64":
+        # 60-bit like portable_hash so downstream band math is unchanged
+        h = F.xxhash64(F.lit("0:"), joined).bitwiseAND(F.lit((1 << 60) - 1))
+    else:
+        h = portable_hash(joined)
     return (
         zipped.filter(cols[-1].isNotNull() | (F.col("pos") == 0))
-        .select("doc", portable_hash(F.concat_ws(" ", *cols)).alias("shingle"))
+        .select("doc", h.alias("shingle"))
         .dropDuplicates(["doc", "shingle"])
     )
 
@@ -274,16 +292,20 @@ def minhash_near_dup(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     threshold: float = 0.85,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
     The scale path: cost ~ O(docs * shingles * k) map-side + shuffles on
     (doc,seed), band_sig, and shingle for the verify step restricted to
     candidates — all shingle traffic as 60-bit hashes, never raw
-    strings. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    strings. Returns (doc_a, doc_b, jaccard >= threshold).
+    ``hash_fn="xxhash64"`` switches the shingle projection to the
+    native fast path (see ``hashed_shingles``) for production runs that
+    don't need the cross-engine oracle."""
     # cached: the shingle set feeds the signature path AND the verify
     # path — without it Spark re-parses every document per subtree
-    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n))
+    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n, hash_fn=hash_fn))
     sig = minhash_signatures(sh, num_hashes, prehashed=True)
     # the band self-join reads both sides; caching the (tiny, one row
     # per doc x bands) band keys stops the k-min signature aggregation

@@ -101,3 +101,24 @@ def test_incremental_near_dup_no_incoming(spark, sf_oracle):
 
     docs = _t(spark, sf_oracle)["documents"].filter(F.col("doc_id") < 60)
     assert incremental_near_dup(docs, F.lit(False)).count() == 0
+
+
+def test_minhash_xxhash64_fast_path_same_pairs(spark, sf_oracle):
+    """The xxhash64 production path must find the same verified
+    near-dup PAIRS as the oracle-portable md5 path (hashing only moves
+    bucket assignments; the exact-Jaccard verify decides membership) —
+    and measurably not fewer."""
+    from dask_snowflake_spark.operators.dedup import minhash_near_dup
+
+    docs = _t(spark, sf_oracle)["documents"]
+    md5_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(docs, threshold=0.8).select("doc_a", "doc_b").collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(docs, threshold=0.8, hash_fn="xxhash64")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert md5_pairs == xx_pairs, (len(md5_pairs), len(xx_pairs))
