@@ -4192,3 +4192,59 @@ def x73_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (zq / 1e6).alias("z"),
         (F.abs(zq) > 1_960_000).alias("significant"),
     )
+
+
+@query(
+    "x74_mm_phash_near_dup",
+    """
+    WITH sized AS (
+        SELECT doc_id, text, length(text) AS n,
+               greatest(length(text) // 60, 1) AS stride
+        FROM documents
+        WHERE length(text) > 0
+    ),
+    samples AS (
+        SELECT doc_id, js.j,
+               ascii(substr(text, ((js.j * stride) % n) + 1, 1)) AS c
+        FROM sized CROSS JOIN (SELECT unnest(range(60)) AS j) js
+    ),
+    stats AS (SELECT doc_id, sum(c) AS s FROM samples GROUP BY doc_id),
+    fps AS (
+        SELECT sa.doc_id,
+               CAST(sum(CASE WHEN sa.c * 60 > st.s THEN (1::BIGINT << sa.j) ELSE 0 END) AS BIGINT) AS ahash
+        FROM samples sa JOIN stats st USING (doc_id)
+        GROUP BY sa.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, ahash, bs.b AS band, (ahash >> (bs.b * 15)) & 32767 AS val
+        FROM fps CROSS JOIN (SELECT unnest(range(4)) AS b) bs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.ahash AS sa, b2.doc_id AS doc_b, b2.ahash AS sb
+        FROM bands a
+        JOIN bands b2 ON a.band = b2.band AND a.val = b2.val AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    "multimodal asset near-dup via PERCEPTUAL hash: 60-bit aHash per "
+    "binary asset computed in the Arrow-batched mapInPandas kernel "
+    "(evenly-strided sample bytes, integer-cross-multiplied mean "
+    "threshold — a real deployment hashes the decoded luma plane with "
+    "identical packing), then the SAME banded-hamming equi-join as the "
+    "SimHash text path (pigeonhole: hamming<=3 agrees on one of 4 "
+    "15-bit bands). The oracle replays the kernel in SQL over the "
+    "synthetic ASCII payloads (byte == codepoint), so the whole "
+    "Python-kernel path is value-checked",
+    ("multimodal", "dedup"),
+)
+def x74_mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    assets = mm_ops.attach_binary_assets(t["documents"].filter(F.length("text") > 0))
+    return (
+        mm_ops.ahash_near_dup(assets, "asset", "doc_id", max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -392,24 +392,47 @@ def simhash_near_dup(
     Survives corpus scale the same way the MinHash LSH path does; the
     final bit_count(xor) verify touches only candidates.
     """
-    n_bands = max_hamming + 1
-    if bits % n_bands:
-        raise ValueError(f"bits={bits} must divide into {n_bands} equal bands")
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
     # persist the fingerprints (one small row per doc): the band
     # self-join references them on BOTH sides and Spark recomputes
     # shared subtrees — without this the word-explode + 60-counter
     # aggregation runs twice
     fp = track_cache(simhash(docs, text_col, id_col, bits=bits))
+    return banded_hamming_pairs(
+        fp, "simhash", "doc_id", bits=bits, max_hamming=max_hamming
+    )
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    *,
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits of each other over any packed
+    fingerprint column (SimHash, perceptual aHash, SRP sketches).
+
+    Banded candidate generation (pigeonhole): the ``bits``-bit
+    fingerprint splits into ``max_hamming + 1`` equal bands, and any
+    pair within the hamming budget must agree EXACTLY on at least one
+    band — so candidates come from an equi-join on (band_index,
+    band_value), O(colliding pairs), never an all-pairs cross product;
+    the final bit_count(xor) verify touches only candidates. Returns
+    (doc_a, doc_b, hamming)."""
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must divide into {n_bands} equal bands")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
     band_vals = F.array(
         *[
-            F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")
+            F.expr(f"shiftright(`{fp_col}`, {b * band_bits}) & {mask}")
             for b in range(n_bands)
         ]
     )
     bands = fp.select(
-        F.col("doc_id"), F.col("simhash"), F.posexplode(band_vals).alias("band", "val")
+        F.col(id_col), F.col(fp_col), F.posexplode(band_vals).alias("band", "val")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -418,13 +441,13 @@ def simhash_near_dup(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sb"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"a.{fp_col}").alias("sa"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"b.{fp_col}").alias("sb"),
         )
         .distinct()
     )
