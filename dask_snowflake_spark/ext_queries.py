@@ -4248,3 +4248,49 @@ def x74_mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "x75_recursive_hierarchy",
+    """
+    WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS u FROM events),
+    tree(u, root, depth) AS (
+        SELECT u, u, 0 FROM nodes WHERE u < 2
+        UNION ALL
+        SELECT n.u, t.root, t.depth + 1
+        FROM nodes n JOIN tree t ON t.u = n.u // 2
+        WHERE n.u >= 2
+    )
+    SELECT depth, count(*) AS n_nodes, min(u) AS min_id, max(u) AS max_id,
+           CAST(sum(u) AS BIGINT) AS sum_ids
+    FROM tree GROUP BY depth ORDER BY depth
+    """,
+    "RECURSIVE CTE hierarchy traversal (org chart / BOM expansion "
+    "shape): a synthetic binary hierarchy over the event users "
+    "(parent = id div 2) walked root-down with WITH RECURSIVE — "
+    "Spark 4's recursive CTE executes it as iterated joins, each level "
+    "one equi-join of the remaining nodes against the frontier (the "
+    "same delta-iteration shape as operators/graph.py, but declared in "
+    "pure SQL); per-depth rollup with an id checksum",
+    ("sql", "graph"),
+)
+def x75_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query import sql as run_sql
+
+    return run_sql(
+        spark,
+        """
+        WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        tree(u, root, depth) AS (
+            SELECT u, u, 0 FROM nodes WHERE u < 2
+            UNION ALL
+            SELECT n.u, t.root, t.depth + 1
+            FROM nodes n JOIN tree t ON t.u = n.u div 2
+            WHERE n.u >= 2
+        )
+        SELECT depth, count(*) AS n_nodes, min(u) AS min_id, max(u) AS max_id,
+               sum(u) AS sum_ids
+        FROM tree GROUP BY depth ORDER BY depth
+        """,
+        sf_dir=sf_dir,
+    )
