@@ -293,6 +293,7 @@ def minhash_near_dup(
     rows_per_band: int = 2,
     threshold: float = 0.85,
     hash_fn: str = "md5",
+    max_shingle_df: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -302,10 +303,33 @@ def minhash_near_dup(
     strings. Returns (doc_a, doc_b, jaccard >= threshold).
     ``hash_fn="xxhash64"`` switches the shingle projection to the
     native fast path (see ``hashed_shingles``) for production runs that
-    don't need the cross-engine oracle."""
+    don't need the cross-engine oracle.
+
+    ``max_shingle_df`` (e.g. ``0.001``) drops shingles present in more
+    than that fraction of documents BEFORE signatures and verification
+    — the boilerplate cap for web corpora, where a site-wide footer
+    shingle otherwise lands in every band bucket and inflates both the
+    candidate join and the verify join. Changes semantics (Jaccard is
+    then over the informative shingles only), so it is opt-in and off
+    for every oracle-checked query."""
     # cached: the shingle set feeds the signature path AND the verify
     # path — without it Spark re-parses every document per subtree
-    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n, hash_fn=hash_fn))
+    sh = hashed_shingles(docs, text_col, id_col, shingle_n, hash_fn=hash_fn)
+    if max_shingle_df is not None:
+        if not 0.0 < max_shingle_df <= 1.0:
+            raise ValueError(f"max_shingle_df must be in (0, 1], got {max_shingle_df}")
+        n_docs = docs.count()
+        cap = max(1, int(n_docs * max_shingle_df))
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cap)
+            .select("shingle")
+        )
+        # anti-join against the (small) hot set: broadcast-able because
+        # shingles over the df cap are by definition few distinct values
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = track_cache(sh)
     sig = minhash_signatures(sh, num_hashes, prehashed=True)
     # the band self-join reads both sides; caching the (tiny, one row
     # per doc x bands) band keys stops the k-min signature aggregation

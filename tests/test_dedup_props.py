@@ -122,3 +122,33 @@ def test_minhash_xxhash64_fast_path_same_pairs(spark, sf_oracle):
         .collect()
     }
     assert md5_pairs == xx_pairs, (len(md5_pairs), len(xx_pairs))
+
+
+def test_minhash_df_cap_off_equals_full(spark, sf_oracle):
+    """max_shingle_df=1.0 (cap above every df) must change nothing; a
+    tight cap still finds the genuinely-duplicate pairs (their
+    informative shingles survive)."""
+    from dask_snowflake_spark.operators.dedup import minhash_near_dup
+
+    docs = _t(spark, sf_oracle)["documents"]
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(docs, threshold=0.8).select("doc_a", "doc_b").collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(docs, threshold=0.8, max_shingle_df=1.0)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert base == uncapped
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(docs, threshold=0.8, max_shingle_df=0.05)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    # exact-duplicate pairs share ALL shingles, so any survivor set
+    # still has jaccard 1; the capped run must keep every base pair
+    # whose docs are identical and may add near-misses — never empty
+    assert capped, "df cap wiped out all pairs"
