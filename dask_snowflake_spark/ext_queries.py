@@ -4294,3 +4294,67 @@ def x75_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         sf_dir=sf_dir,
     )
+
+
+def _morton_sql(u: str, d: str, shift_op: bool) -> str:
+    """16-bit × 16-bit Morton interleave as a sum of bit extracts —
+    pure integer ops, identical value on both engines. ``shift_op``
+    picks the dialect: DuckDB's ``<<``/``>>`` operators vs Spark SQL's
+    ``shiftleft``/``shiftright`` functions."""
+    terms = []
+    for j in range(16):
+        if shift_op:
+            terms.append(f"((({u} >> {j}) & 1) << {2 * j + 1})")
+            terms.append(f"((({d} >> {j}) & 1) << {2 * j})")
+        else:
+            terms.append(f"shiftleft(shiftright({u}, {j}) & 1, {2 * j + 1})")
+            terms.append(f"shiftleft(shiftright({d}, {j}) & 1, {2 * j})")
+    return " + ".join(terms)
+
+
+@query(
+    "x76_zorder_layout",
+    f"""
+    WITH pts AS (
+        SELECT user_id & 65535 AS u, day(ts) AS d
+        FROM events
+    ),
+    coded AS (
+        SELECT u, d, ({_morton_sql('u', 'd', True)}) AS morton
+        FROM pts
+    )
+    SELECT morton // 64 AS bucket,
+           count(*) AS n,
+           min(u) AS min_u, max(u) AS max_u,
+           min(d) AS min_d, max(d) AS max_d
+    FROM coded
+    GROUP BY morton // 64
+    ORDER BY bucket
+    """,
+    "Z-ORDER (Morton-code) layout clustering: interleave the bits of "
+    "(user_id, day) so sorting by one integer key co-locates rows that "
+    "are close in BOTH dimensions — the data-layout trick behind "
+    "multi-dimensional file pruning (Delta/Iceberg OPTIMIZE ZORDER): a "
+    "scan filtered on either dimension touches few Morton buckets. "
+    "Pure integer bit arithmetic (engine-exact); the per-bucket min/max "
+    "spans ARE the file-skipping statistics a writer would persist",
+    ("layout", "events"),
+)
+def x76_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    pts = t["events"].select(
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("u"),
+        F.dayofmonth("ts").alias("d"),
+    )
+    coded = pts.select("u", "d", F.expr(_morton_sql("u", "d", False)).alias("morton"))
+    return (
+        coded.groupBy(F.expr("morton div 64").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("min_u"),
+            F.max("u").alias("max_u"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+        .orderBy("bucket")
+    )
