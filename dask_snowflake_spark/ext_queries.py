@@ -4358,3 +4358,74 @@ def x76_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "x77_last_touch_attribution",
+    """
+    WITH touches0 AS (
+        SELECT user_id, ts, event_type AS channel, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    touches AS (SELECT user_id, ts, channel FROM touches0 WHERE rn = 1),
+    attributed AS (
+        SELECT p.event_id, p.value,
+               coalesce(
+                   (SELECT t.channel FROM touches t
+                    WHERE t.user_id = p.user_id
+                      AND t.ts <= p.ts
+                      AND t.ts >= p.ts - INTERVAL 24 HOUR
+                    ORDER BY t.ts DESC LIMIT 1),
+                   'direct') AS channel
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT channel, count(*) AS n_conversions, round(sum(value), 2) AS revenue
+    FROM attributed GROUP BY channel ORDER BY channel
+    """,
+    "LAST-TOUCH marketing attribution: each purchase credited to the "
+    "user's most recent click/view within a 24h lookback (unattributed "
+    "-> 'direct'), rolled up to channel conversions + revenue. The "
+    "as-of union-window operator does the heavy lifting — one shuffle "
+    "on user_id, no correlated per-row probing (the oracle's LIMIT-1 "
+    "subquery is the semantics statement, not the plan)",
+    ("events", "analytics", "asof"),
+)
+def x77_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("channel"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_ops.asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["channel"],
+        direction="backward",
+        tolerance_seconds=86400,
+    )
+    return (
+        j.select(F.coalesce("channel_asof", F.lit("direct")).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
