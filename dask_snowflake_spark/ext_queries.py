@@ -4429,3 +4429,59 @@ def x77_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "x78_weighted_sample_topk",
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5('es:' || doc_id), 1, 15))::BIGINT % 1000000 AS b
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(floor(ln((b + 1) / 1000000.0) / n_chars * 1000000000) AS BIGINT) AS key_q
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, key_q,
+           row_number() OVER (PARTITION BY lang ORDER BY key_q DESC, doc_id) AS rk
+    FROM scored
+    QUALIFY rk <= 10
+    ORDER BY lang, rk
+    """,
+    "WEIGHTED sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "per-item key ln(u)/w with u hash-decided (not RNG — the sample is "
+    "reproducible across engines/retries and stable per item), top-10 "
+    "per language by key = a w-weighted uniform draw without "
+    "replacement; the reservoir-sampling primitive behind quality-"
+    "weighted corpus subsetting. Key quantized at 1e-9 from identical "
+    "integer inputs; one window per stratum",
+    ("sampling", "pipeline"),
+)
+def x78_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    b = F.pmod(dedup_ops.portable_hash(F.col("doc_id"), F.lit("es")), F.lit(1_000_000))
+    scored = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.floor(F.log((b + 1) / 1000000.0) / F.col("n_chars") * 1_000_000_000)
+            .cast("long")
+            .alias("key_q"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("key_q").desc(), F.col("doc_id").asc())
+    )
+    return (
+        scored.select("lang", "doc_id", "n_chars", "key_q", rk.alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
+    )
