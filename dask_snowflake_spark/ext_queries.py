@@ -4485,3 +4485,45 @@ def x78_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "x79_flow_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_purchases,
+           round(sum(p.value), 2) AS revenue
+    FROM events p JOIN customer c ON c.c_custkey = p.user_id
+    WHERE p.event_type = 'purchase'
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+    "STREAM-STATIC enrichment join (the third streaming join shape "
+    "after stream-stream inner and left-outer): the purchase stream "
+    "joined against the static customer dimension — broadcast per "
+    "micro-batch, NO join state kept (only the aggregation holds "
+    "state), which is why stream-static is the preferred enrichment "
+    "pattern at scale — then a complete-mode segment rollup; the batch "
+    "oracle is the time-complete result",
+    ("streaming", "join"),
+)
+def x79_flow_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_table
+
+    ev = stream_ops._events_stream(spark, sf_dir)
+    clone = stream_ops._stream_session(spark)
+    dim = load_table(clone, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    out = stream_ops.run_stream_to_table(
+        enriched, "stream_static_enrich", output_mode="complete"
+    )
+    return out.orderBy("segment")
