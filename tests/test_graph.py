@@ -142,3 +142,50 @@ def test_pagerank_integer_empty_edges(spark):
 
     edges = spark.createDataFrame([], "a long, b long")
     assert pagerank_integer(edges, "a", "b", iters=3).count() == 0
+
+
+def test_pagerank_integer_matches_python_replica(spark):
+    """Exact equality against a pure-python integer replica on a batch
+    of structured random graphs — the integer formulation has ONE
+    correct answer, so the distributed rounds must reproduce it
+    bit-for-bit."""
+    import random
+
+    from dask_snowflake_spark.operators.graph import pagerank_integer
+
+    def replica(edges, iters, mass=1_000_000_000_000):
+        und = set()
+        for a, b in edges:
+            und.add((a, b))
+            und.add((b, a))
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, []).append(b)
+        n = len(adj)
+        base = (15 * (mass // n)) // 100
+        pr = {u: mass // n for u in adj}
+        for _ in range(iters):
+            contrib = {}
+            for u, nbrs in adj.items():
+                share = pr[u] // len(nbrs)
+                for v in nbrs:
+                    contrib[v] = contrib.get(v, 0) + share
+            pr = {v: base + (85 * s) // 100 for v, s in contrib.items()}
+        return pr
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_edges = 30 + trial * 25
+        edges = list(
+            {
+                (rng.randrange(40), rng.randrange(40))
+                for _ in range(n_edges)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.vertex: r.pr_q for r in pagerank_integer(df, "a", "b", iters=4).collect()
+        }
+        want = replica(edges, 4)
+        assert got == want, f"trial {trial}: {len(got)} vs {len(want)} vertices"
