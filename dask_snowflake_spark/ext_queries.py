@@ -4527,3 +4527,88 @@ def x79_flow_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched, "stream_static_enrich", output_mode="complete"
     )
     return out.orderBy("segment")
+
+
+@query(
+    "x80_pmi_cooccurrence",
+    r"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, w AS word
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+        WHERE w <> ''
+    ),
+    vocab AS (
+        SELECT word, count(*) AS c_w,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS vrk
+        FROM words GROUP BY word
+        QUALIFY vrk <= 20
+    ),
+    inc AS (SELECT w.doc_id, w.word, v.c_w FROM words w JOIN vocab v USING (word)),
+    nd AS (SELECT count(*) AS n FROM documents),
+    pairs AS (
+        SELECT a.word AS word_a, b.word AS word_b,
+               min(a.c_w) AS c_a, min(b.c_w) AS c_b, count(*) AS c_ab
+        FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+    )
+    SELECT word_a, word_b, c_a, c_b, c_ab,
+           CAST(floor(ln((c_ab * n * 1.0) / (c_a * c_b)) * 1000000) AS BIGINT) / 1e6 AS pmi,
+           row_number() OVER (
+               ORDER BY CAST(floor(ln((c_ab * n * 1.0) / (c_a * c_b)) * 1000000) AS BIGINT) DESC,
+                        word_a, word_b
+           ) AS rk
+    FROM pairs CROSS JOIN nd
+    QUALIFY rk <= 15
+    ORDER BY rk
+    """,
+    "word CO-OCCURRENCE statistics (pointwise mutual information) over "
+    "the corpus head: document-level incidence restricted to the top-20 "
+    "vocabulary (broadcast — caps the within-doc pair explosion at "
+    "C(20,2) per doc regardless of corpus size), doc-frequency and "
+    "co-occurrence counts as exact integers, PMI = ln(N*c_ab/(c_a*c_b)) "
+    "quantized at 1e-6 from identical integer ratios; top-15 "
+    "associations. The collocation/topic-signal pass of a corpus "
+    "analysis pipeline",
+    ("text", "analytics"),
+)
+def x80_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .dropDuplicates(["doc_id", "word"])
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .withColumn(
+            "vrk",
+            F.row_number().over(W.orderBy(F.col("c_w").desc(), F.col("word").asc())),
+        )
+        .filter(F.col("vrk") <= 20)
+        .select("word", "c_w")
+    )
+    inc = words.join(F.broadcast(vocab), "word")
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    a = inc.select("doc_id", F.col("word").alias("word_a"), F.col("c_w").alias("ca"))
+    b = inc.select("doc_id", F.col("word").alias("word_b"), F.col("c_w").alias("cb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.min("ca").alias("c_a"), F.min("cb").alias("c_b"), F.count(F.lit(1)).alias("c_ab"))
+    )
+    pmi_q = F.floor(
+        F.log((F.col("c_ab") * F.col("n") * 1.0) / (F.col("c_a") * F.col("c_b"))) * 1_000_000
+    ).cast("long")
+    scored = pairs.crossJoin(F.broadcast(nd)).select(
+        "word_a", "word_b", "c_a", "c_b", "c_ab", pmi_q.alias("__q")
+    )
+    top = scored.orderBy(F.col("__q").desc(), "word_a", "word_b").limit(15)
+    rk = F.row_number().over(W.orderBy(F.col("__q").desc(), "word_a", "word_b"))
+    return top.select(
+        "word_a", "word_b", "c_a", "c_b", "c_ab", (F.col("__q") / 1e6).alias("pmi"), rk.alias("rk")
+    ).orderBy("rk")
