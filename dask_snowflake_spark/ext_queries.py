@@ -4612,3 +4612,190 @@ def x80_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "word_a", "word_b", "c_a", "c_b", "c_ab", (F.col("__q") / 1e6).alias("pmi"), rk.alias("rk")
     ).orderBy("rk")
+
+
+@query(
+    "x81_conversion_latency",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+        SELECT c.user_id, c.ts AS c_ts,
+               (SELECT min(p.ts) FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.ts > c.ts) AS p_ts
+        FROM clicks c
+    ),
+    lat AS (
+        -- exact microsecond diff / 1e6 on BOTH engines: date_diff('second')
+        -- counts boundary crossings in DuckDB but floor-truncates in Spark
+        SELECT user_id % 5 AS cohort,
+               date_diff('microsecond', c_ts, p_ts) / 1e6 AS sec
+        FROM conv WHERE p_ts IS NOT NULL
+    )
+    SELECT cohort,
+           count(*) AS n_conversions,
+           round(median(sec), 4) AS p50_sec,
+           round(quantile_cont(sec, 0.90), 4) AS p90_sec
+    FROM lat GROUP BY cohort ORDER BY cohort
+    """,
+    "conversion LATENCY distribution: click -> next purchase gap in "
+    "seconds per user cohort, p50/p90 via the bounded-state exact "
+    "quantile operator (third consumer after q11/x67) — the ops metric "
+    "a funnel count can't express. The next-purchase lookup is the "
+    "as-of union-window shape (one shuffle on user_id), not a "
+    "correlated probe; quantiles 4dp-seam-rounded",
+    ("events", "analytics", "quality"),
+)
+def x81_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    # forward as-of: smallest purchase ts strictly after the click
+    nxt = (
+        clicks.join(purchases, "user_id")
+        .filter(F.col("p_ts") > F.col("ts"))
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    lat = nxt.select(
+        F.pmod(F.col("user_id"), F.lit(5)).alias("cohort"),
+        (F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("p_ts")) / 1e6).alias("sec"),
+    )
+    q = exact_group_quantiles(lat, ["cohort"], "sec", [0.5, 0.90])
+    n = lat.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_conversions"))
+    return (
+        n.join(q, "cohort")
+        .select(
+            "cohort",
+            "n_conversions",
+            F.round(F.col("quantiles")[0], 4).alias("p50_sec"),
+            F.round(F.col("quantiles")[1], 4).alias("p90_sec"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "x82_session_bounce",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) / 1e6 AS bounce_rate,
+           CAST(max(n_events) AS BIGINT) AS longest_session
+    FROM per_session
+    """,
+    "session BOUNCE rate: gaps-and-islands sessionization (30-min "
+    "inactivity boundary, deterministic event_id tie-break) -> "
+    "single-event-session fraction as an integer-quantized ratio — the "
+    "engagement metric on top of the same sessionization flow_sessions "
+    "verifies against streaming session_window; two windows + one agg, "
+    "all partitioned by user",
+    ("events", "analytics"),
+)
+def x82_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t["events"].select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("__prev")
+    )
+    new_s = F.when(
+        F.col("__prev").isNull()
+        | (F.timestamp_diff("MICROSECOND", F.col("__prev"), F.col("ts")) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum(new_s)
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("session_id"),
+    )
+    per = sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long").alias("n_bounces"),
+        (
+            F.expr("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 div count(1)") / 1e6
+        ).alias("bounce_rate"),
+        F.max("n_events").alias("longest_session"),
+    )
+
+
+@query(
+    "x83_referential_audit",
+    """
+    SELECT 'lineitem_without_order' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'order_without_customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_without_nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier_without_nation',
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY check_name
+    """,
+    "referential-integrity AUDIT across the star schema: orphan counts "
+    "for each foreign-key edge via LEFT ANTI joins (the data-quality "
+    "gate a warehouse load runs post-ingest); each check is one "
+    "broadcast-or-shuffle anti-join, zero row multiplication, results "
+    "tagged and unioned into one report",
+    ("quality", "join"),
+)
+def x83_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+
+    def orphans(name, left, lk, right, rk):
+        return (
+            left.join(right.select(F.col(rk).alias(lk)), lk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("check_name"), "n_orphans")
+        )
+
+    checks = [
+        orphans("lineitem_without_order", t["lineitem"].select("l_orderkey"), "l_orderkey", t["orders"], "o_orderkey"),
+        orphans("order_without_customer", t["orders"].select("o_custkey"), "o_custkey", t["customer"], "c_custkey"),
+        orphans("customer_without_nation", t["customer"].select("c_nationkey"), "c_nationkey", t["nation"], "n_nationkey"),
+        orphans("supplier_without_nation", t["supplier"].select("s_nationkey"), "s_nationkey", t["nation"], "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
