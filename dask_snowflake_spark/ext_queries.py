@@ -4653,22 +4653,30 @@ def x81_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     ev = t["events"]
+    # forward as-of via the union-window operator (one shuffle on
+    # user_id — never a per-user clicks x purchases product); the
+    # strictly-after semantics come from probing at ts + 1 microsecond,
+    # since forward as-of includes ties
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("probe_ts"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
-    )
-    # forward as-of: smallest purchase ts strictly after the click
-    nxt = (
-        clicks.join(purchases, "user_id")
-        .filter(F.col("p_ts") > F.col("ts"))
-        .groupBy("event_id", "user_id", "ts")
-        .agg(F.min("p_ts").alias("p_ts"))
-    )
+        "user_id", "ts"
+    ).dropDuplicates(["user_id", "ts"])
+    nxt = asof_ops.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="probe_ts",
+        right_ts="ts",
+        direction="forward",
+    ).filter(F.col("ts_asof").isNotNull())
     lat = nxt.select(
         F.pmod(F.col("user_id"), F.lit(5)).alias("cohort"),
-        (F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("p_ts")) / 1e6).alias("sec"),
+        (F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("ts_asof")) / 1e6).alias("sec"),
     )
     q = exact_group_quantiles(lat, ["cohort"], "sec", [0.5, 0.90])
     n = lat.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_conversions"))
