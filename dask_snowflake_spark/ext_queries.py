@@ -4807,3 +4807,123 @@ def x83_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@query(
+    "x84_metric_correlation",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    )
+    SELECT n, sx, sy,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0
+                ELSE CAST(floor(
+                    (n * sxy - sx * sy) * 1.0
+                    / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                    * 1000000
+                ) AS BIGINT) END / 1e6 AS pearson_r
+    FROM s
+    """,
+    "metric CORRELATION (Pearson r between per-user click and purchase "
+    "counts) from EXACT integer moment sums — corr() aggregates float "
+    "partial states in nondeterministic order and can't be hash-"
+    "compared; the five integer moments are order-independent, the "
+    "final r is one double expression over identical integers on both "
+    "engines, 1e-6-quantized, degenerate variance guarded to 0. Two "
+    "map-side-combinable aggs total",
+    ("events", "analytics"),
+)
+def x84_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r_q = F.when((vx == 0) | (vy == 0), F.lit(0)).otherwise(
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / F.sqrt(vx * 1.0 * vy)
+            * 1_000_000
+        )
+    ).cast("long")
+    return s.select("n", "sx", "sy", (r_q / 1e6).alias("pearson_r"))
+
+
+@query(
+    "x85_journey_paths",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ordered WHERE rn <= 5
+        GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users,
+           row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+    FROM paths
+    GROUP BY path
+    QUALIFY rk <= 10
+    ORDER BY rk
+    """,
+    "user JOURNEY paths (product analytics): each user's first five "
+    "events in time order compressed to a path string, top-10 most "
+    "common journeys — the behavioral-funnel exploration query. One "
+    "user-partitioned window (rn <= 5 prunes early), ordered "
+    "string_agg == collect_list sorted by position, TakeOrdered top-k",
+    ("events", "analytics"),
+)
+def x85_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ordered = t["events"].select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type")))["event_type"],
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(10)
+    rk = F.row_number().over(W.orderBy(F.col("n_users").desc(), F.col("path").asc()))
+    return top.select("path", "n_users", rk.alias("rk")).orderBy("rk")
