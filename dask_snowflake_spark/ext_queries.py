@@ -4927,3 +4927,117 @@ def x85_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(10)
     rk = F.row_number().over(W.orderBy(F.col("n_users").desc(), F.col("path").asc()))
     return top.select("path", "n_users", rk.alias("rk")).orderBy("rk")
+
+
+@query(
+    "x86_embed_dim_stats",
+    """
+    WITH vals AS (
+        -- CAST to DOUBLE first: DuckDB would otherwise multiply in
+        -- single precision (FLOAT * INT -> FLOAT) where Spark promotes
+        -- to double, flooring to different integers on some values
+        SELECT u.dim - 1 AS dim,
+               CAST(floor(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        FROM (
+            SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ) u
+    )
+    SELECT dim,
+           count(*) AS n,
+           CAST(sum(vq) AS BIGINT) AS sum_q,
+           CAST(sum(vq) // count(*) AS BIGINT) / 1e6 AS mean,
+           min(vq) / 1e6 AS min_v,
+           max(vq) / 1e6 AS max_v
+    FROM vals GROUP BY dim ORDER BY dim
+    """,
+    "per-DIMENSION embedding statistics (the whitening/standardization "
+    "pre-pass a vector pipeline runs before PQ or PCA): each float32 "
+    "component integer-quantized at 1e-6 AT THE SOURCE so the per-dim "
+    "sums are exact and order-independent (a float mean() would differ "
+    "by engine summation order); mean via integer division, min/max "
+    "exact. One posexplode + one map-side-combinable agg over 64 "
+    "fixed-dimension keys",
+    ("similarity", "quality"),
+)
+def x86_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    vals = t["embeddings"].select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.floor(F.col("v").cast("double") * 1_000_000).cast("long").alias("vq"))
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vq").alias("sum_q"),
+            F.expr("CAST(sum(vq) div count(1) AS BIGINT)").alias("__m"),
+            F.min("vq").alias("__mn"),
+            F.max("vq").alias("__mx"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_q",
+            (F.col("__m") / 1e6).alias("mean"),
+            (F.col("__mn") / 1e6).alias("min_v"),
+            (F.col("__mx") / 1e6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "x87_behavior_entropy",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    totals AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY user_id),
+    terms AS (
+        SELECT c.user_id,
+               CAST(floor((c.c * 1.0 / t.n) * ln(t.n * 1.0 / c.c) * 1000000000) AS BIGINT) AS term_q
+        FROM counts c JOIN totals t USING (user_id)
+    )
+    SELECT user_id,
+           CAST(sum(term_q) AS BIGINT) / 1e9 AS entropy_nats,
+           CAST((SELECT n FROM totals t WHERE t.user_id = terms.user_id) AS BIGINT) AS n_events
+    FROM terms
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "behavioral diversity: Shannon entropy of each user's event-type "
+    "distribution — p ln(1/p) computed per (user, type) from exact "
+    "integer counts and quantized at 1e-9 BEFORE the cross-type sum "
+    "(at most 5 terms, but their float-sum order still differs per "
+    "engine), so the per-user total is exact integer addition. The "
+    "bot-vs-human behavioral signal; two map-side-combinable aggs + "
+    "one user-keyed join",
+    ("events", "analytics", "quality"),
+)
+def x87_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    counts = t["events"].groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    terms = counts.join(totals, "user_id").select(
+        "user_id",
+        "n",
+        F.floor(
+            (F.col("c") * 1.0 / F.col("n"))
+            * F.log(F.col("n") * 1.0 / F.col("c"))
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("term_q"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            (F.sum("term_q") / 1e9).alias("entropy_nats"),
+            F.min("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
