@@ -3681,7 +3681,10 @@ def x66_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x67_mad_outliers",
     """
-    WITH pv AS (SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+    WITH pv AS (
+        SELECT user_id, value FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
     med AS (SELECT user_id, round(median(value), 4) AS med FROM pv GROUP BY user_id),
     dev AS (
         SELECT p.user_id, m.med, abs(p.value - m.med) AS dev
@@ -3708,8 +3711,13 @@ def x67_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import track_cache
 
     t = _t(spark, sf_dir)
+    # NULL values dropped on BOTH sides: the quantile operator emits no
+    # row for an all-NULL group, so an unfiltered oracle would keep a
+    # user the Spark side drops
     pv = track_cache(
-        t["events"].filter(F.col("event_type") == "purchase").select("user_id", "value")
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("user_id", "value")
     )
     med = exact_group_quantiles(pv, ["user_id"], "value", [0.5]).select(
         "user_id", F.round(F.col("quantiles")[0], 4).alias("med")
@@ -4674,9 +4682,15 @@ def x81_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         direction="forward",
     ).filter(F.col("ts_asof").isNotNull())
-    lat = nxt.select(
-        F.pmod(F.col("user_id"), F.lit(5)).alias("cohort"),
-        (F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("ts_asof")) / 1e6).alias("sec"),
+    from .session import track_cache
+
+    # cached: the as-of subtree feeds BOTH the quantile pass and the
+    # count aggregation below
+    lat = track_cache(
+        nxt.select(
+            F.pmod(F.col("user_id"), F.lit(5)).alias("cohort"),
+            (F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("ts_asof")) / 1e6).alias("sec"),
+        )
     )
     q = exact_group_quantiles(lat, ["cohort"], "sec", [0.5, 0.90])
     n = lat.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_conversions"))
@@ -4696,7 +4710,7 @@ def x81_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x82_session_bounce",
     """
     WITH ordered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                          OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
@@ -4704,7 +4718,7 @@ def x81_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         FROM ordered
     ),
     per_session AS (

@@ -126,10 +126,14 @@ def hashed_shingles(
 
     ``hash_fn="xxhash64"`` is the PRODUCTION fast path: Spark's native
     codegen'd 64-bit hash (no hex round-trip, ~an order of magnitude
-    cheaper per shingle than md5). Pair/cluster results are identical
-    up to hash collisions — only the bucket assignment changes — but
-    DuckDB has no xxhash64, so oracle-checked queries stay on md5 (the
-    engine-portability price is paid once, in the shingle projection).
+    cheaper per shingle than md5). Exact-duplicate pairs (identical
+    shingle sets -> identical signatures under any hash family) are
+    found identically; borderline pairs near the threshold may differ
+    by LSH band recall — each family independently misses a j-similar
+    pair with probability (1 - j^2)^n_bands, so which few borderline
+    pairs slip differs per family. DuckDB has no xxhash64, so
+    oracle-checked queries stay on md5 (the engine-portability price
+    is paid once, in the shingle projection).
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
