@@ -5055,3 +5055,68 @@ def x87_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x88_dedup_report",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    labels AS (SELECT u, least(u, min(r)) AS cluster_id FROM reach GROUP BY u),
+    csize AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+           CAST(sum(sz - 1) * 1000000 // min(nd.n_docs) AS BIGINT) / 1e6 AS removal_rate
+    FROM csize CROSS JOIN nd
+    GROUP BY sz
+    ORDER BY cluster_size
+    """,
+    "dedup REPORT (the QA summary a dedup run ships): near-dup cluster "
+    "SIZE distribution + per-size docs-removed counts + integer-"
+    "quantized corpus removal rate — the number a data lead reads "
+    "before approving a dedup config. Reuses the full LSH -> frontier-"
+    "CC pipeline; the report itself is two bounded aggs over one row "
+    "per cluster",
+    ("dedup", "quality", "graph"),
+)
+def x88_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup_ops.minhash_near_dup(
+        docs, shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        csize.crossJoin(F.broadcast(nd))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("sz") - 1).alias("docs_removed"),
+            (F.expr("sum(sz - 1) * 1000000 div min(n_docs)") / 1e6).alias("removal_rate"),
+        )
+        .orderBy("cluster_size")
+    )
