@@ -326,3 +326,29 @@ def test_unigram_logprob_vocab_is_broadcast(spark, sf_oracle):
     corpus-sized side never shuffles on word."""
     p = plan(registry()["x66_unigram_logprob"].spark_fn(spark, sf_oracle))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_pmi_vocab_is_broadcast(spark, sf_oracle):
+    """x80's top-20 vocabulary must broadcast into the incidence stream
+    — the corpus-sized word list never shuffles on the join key."""
+    p = plan(registry()["x80_pmi_cooccurrence"].spark_fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_zorder_is_scan_speed(spark, sf_oracle):
+    """x76's Morton interleave is a pure projection + one partial-agg
+    shuffle: no join, no window, no python."""
+    p = plan(registry()["x76_zorder_layout"].spark_fn(spark, sf_oracle))
+    assert "Join" not in p and "Window" not in p, p
+    assert "partial_count" in p or "partial" in p.lower(), p
+    assert "Python" not in p, p
+
+
+def test_correlation_two_aggs_no_join(spark, sf_oracle):
+    """x84 is exactly two cascaded aggregations over one scan — the
+    five moments come map-side-combined, never via corr()'s float
+    partials or any join."""
+    p = plan(registry()["x84_metric_correlation"].spark_fn(spark, sf_oracle))
+    assert "Join" not in p, p
+    assert "corr" not in p.lower(), p
