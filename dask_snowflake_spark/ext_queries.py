@@ -5120,3 +5120,47 @@ def x88_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "x89_dedup_threshold_sweep",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    ver AS (
+        SELECT round(i.c / (sa.n + sb.n - i.c), 6) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+    )
+    SELECT count(*) AS n_candidates,
+           CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_070,
+           CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_080,
+           CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_090,
+           CAST(sum(CASE WHEN j >= 0.999999 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+    FROM ver
+    """,
+    "dedup threshold SENSITIVITY sweep (config tuning): exact Jaccard "
+    "computed ONCE for every LSH candidate pair, then pair counts at "
+    "thresholds 0.7/0.8/0.9/exact as conditional aggregates — the "
+    "one-pass table a data lead reads before choosing a dedup cutoff "
+    "(x88 reports the consequences of the chosen one). Same bucketed "
+    "candidate pipeline; the sweep itself adds zero extra passes",
+    ("dedup", "quality"),
+)
+def x89_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    sh = track_cache(dedup_ops.hashed_shingles(t["documents"], "text", "doc_id", 3))
+    sig = dedup_ops.minhash_signatures(sh, 16, prehashed=True)
+    cand = dedup_ops.lsh_candidate_pairs(dedup_ops.lsh_bands(sig, 2))
+    jac = dedup_ops.jaccard(sh, cand)
+    return jac.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0)).cast("long").alias("n_at_070"),
+        F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).cast("long").alias("n_at_080"),
+        F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0)).cast("long").alias("n_at_090"),
+        F.sum(F.when(F.col("jaccard") >= 0.999999, 1).otherwise(0)).cast("long").alias("n_exact"),
+    )
