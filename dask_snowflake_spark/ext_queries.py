@@ -5164,3 +5164,99 @@ def x89_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0)).cast("long").alias("n_at_090"),
         F.sum(F.when(F.col("jaccard") >= 0.999999, 1).otherwise(0)).cast("long").alias("n_exact"),
     )
+
+
+@query(
+    "x90_ivfpq_recall",
+    None,  # iterative float training (coarse k-means + residual PQ)
+    "IVF-PQ combined index (the faiss IndexIVFPQ shape — THE standard "
+    "billion-vector layout): coarse k-means cells as inverted lists, "
+    "PQ codes of the RESIDUAL per cell (residual encoding keeps small "
+    "codebooks accurate after the coarse quantizer removes most "
+    "variance), search probes nprobe=2 cells via an equi-join on the "
+    "cell key (scan capped at nprobe/k_coarse of the corpus) and "
+    "scores candidates as m table lookups; recall@10 and scanned "
+    "fraction vs the exact ground truth measured in-query. Isotropic "
+    "test vectors bound any quantizer's recall (see x41) — the "
+    "mechanism is the deliverable; rows-only by design",
+    ("similarity",),
+)
+def x90_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.sampling import deterministic_sample
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    emb = track_cache(t["embeddings"].select("vec_id", "embedding"))
+    coarse = sim_ops.kmeans_fit(emb, k=8, iters=2)
+
+    # residual training set: a deterministic 20% sample, residualized
+    # against each vector's own cell centroid
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    assigned = sim_ops.assign_cells(emb, coarse, vec_col="embedding", out_col="cell")
+    resid_df = track_cache(
+        assigned.withColumn(
+            "resid",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(cents, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+    train = deterministic_sample(resid_df, "vec_id", 0.2, salt="ivfpq-train")
+    books = sim_ops.pq_fit(train, m=4, k=16, iters=1, vec_col="resid")
+
+    index = track_cache(
+        sim_ops.ivf_pq_index(
+            emb.filter(F.col("vec_id") >= 5), coarse, books
+        )
+    )
+    qbase = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = sim_ops.ivf_pq_topk(
+        qbase, index, coarse, books, k=10, nprobe=2
+    ).select("q_id", "vec_id")
+
+    # exact euclidean ground truth + per-query scanned-list size
+    scored = (
+        emb.filter(F.col("vec_id") >= 5)
+        .join(F.broadcast(qbase))
+        .select(
+            "q_id", "vec_id", sim_ops._l2sq(F.col("q_vec"), F.col("embedding")).alias("d2")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+    hits = truth.join(approx, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("hits_at_10")
+    )
+    probed_cells = sim_ops.assign_cells(
+        qbase, coarse, vec_col="q_vec", out_col="cell", nprobe=2
+    ).select("q_id", "cell")
+    scanned = (
+        probed_cells.join(
+            index.groupBy("cell").agg(F.count(F.lit(1)).alias("__n")), "cell"
+        )
+        .groupBy("q_id")
+        .agg(F.sum("__n").alias("n_scanned"))
+    )
+    n_corpus = index.count()
+    return (
+        qbase.select("q_id")
+        .join(hits, "q_id", "left")
+        .join(scanned, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("hits_at_10", F.lit(0)).alias("hits_at_10"),
+            F.coalesce("n_scanned", F.lit(0)).alias("n_scanned"),
+            F.lit(n_corpus).alias("n_corpus"),
+        )
+        .orderBy("q_id")
+    )

@@ -34,4 +34,5 @@ def test_every_query_has_oracle_or_documented_rows_only():
         "x41_pq_adc_recall",
         "x44_hll_mergeable_sketches",
         "x45_heavy_hitters",
+        "x90_ivfpq_recall",
     }, rows_only
