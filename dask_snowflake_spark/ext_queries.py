@@ -5260,3 +5260,74 @@ def x90_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@query(
+    "x91_quality_ensemble",
+    r"""
+    WITH feat AS (
+        SELECT doc_id, lang, n_chars,
+               len(list_distinct(regexp_split_to_array(text, '\s+'))) * 1000000
+                   // greatest(len(regexp_split_to_array(text, '\s+')), 1) AS ttr_q,
+               length(replace(text, ' ', '')) * 1000000
+                   // greatest(len(regexp_split_to_array(text, '\s+')), 1) AS mwl_q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r_len,
+               row_number() OVER (PARTITION BY lang ORDER BY ttr_q DESC, doc_id) AS r_ttr,
+               row_number() OVER (PARTITION BY lang ORDER BY mwl_q DESC, doc_id) AS r_mwl
+        FROM feat
+    )
+    SELECT lang, doc_id, r_len, r_ttr, r_mwl,
+           r_len + r_ttr + r_mwl AS borda,
+           row_number() OVER (PARTITION BY lang ORDER BY r_len + r_ttr + r_mwl, doc_id) AS rk
+    FROM ranked
+    QUALIFY rk <= 5
+    ORDER BY lang, rk
+    """,
+    "quality ENSEMBLE ranking (Borda count): three signals — length, "
+    "type-token ratio, mean word length (both integer-quantized "
+    "ratios) — each ranked per language with a doc_id tie-break, "
+    "combined by integer rank SUM (rank aggregation sidesteps "
+    "incomparable signal scales AND float determinism entirely); "
+    "top-5 per language. All windows partitioned by language — no "
+    "global sort at any corpus size",
+    ("text", "quality", "pipeline"),
+)
+def x91_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    words = F.split(F.col("text"), r"\s+")
+    feat = t["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "size(array_distinct(split(text, '\\\\s+'))) * 1000000"
+            " div greatest(size(split(text, '\\\\s+')), 1)"
+        ).alias("ttr_q"),
+        F.expr(
+            "length(replace(text, ' ', '')) * 1000000"
+            " div greatest(size(split(text, '\\\\s+')), 1)"
+        ).alias("mwl_q"),
+    )
+    p = W.partitionBy("lang")
+    ranked = feat.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(p.orderBy(F.col("n_chars").desc(), "doc_id")).alias("r_len"),
+        F.row_number().over(p.orderBy(F.col("ttr_q").desc(), "doc_id")).alias("r_ttr"),
+        F.row_number().over(p.orderBy(F.col("mwl_q").desc(), "doc_id")).alias("r_mwl"),
+    )
+    borda = (F.col("r_len") + F.col("r_ttr") + F.col("r_mwl")).alias("borda")
+    rk = F.row_number().over(
+        p.orderBy(F.col("r_len") + F.col("r_ttr") + F.col("r_mwl"), F.col("doc_id"))
+    )
+    return (
+        ranked.select("lang", "doc_id", "r_len", "r_ttr", "r_mwl", borda, rk.alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
