@@ -5331,3 +5331,50 @@ def x91_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "x92_k_anonymity",
+    """
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS grp_sz
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN grp_sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(sum(CASE WHEN grp_sz < 5 THEN grp_sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(sum(CASE WHEN grp_sz < 5 THEN grp_sz ELSE 0 END) * 1000000
+                // sum(grp_sz) AS BIGINT) / 1e6 AS risk_fraction,
+           min(grp_sz) AS min_group
+    FROM groups
+    """,
+    "K-ANONYMITY audit (data governance, alongside PII redaction): "
+    "group sizes over the quasi-identifier tuple (nation, market "
+    "segment) — any group smaller than k=5 re-identifies its members; "
+    "reports violating-group and at-risk-row counts with an integer-"
+    "quantized risk fraction. The pre-release privacy gate for any "
+    "shared dataset; two map-side-combinable aggregations",
+    ("quality", "governance"),
+)
+def x92_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    groups = (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("grp_sz"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_sz") < 5, 1).otherwise(0)).cast("long").alias("n_violating"),
+        F.sum(F.when(F.col("grp_sz") < 5, F.col("grp_sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        (
+            F.expr(
+                "sum(CASE WHEN grp_sz < 5 THEN grp_sz ELSE 0 END) * 1000000 div sum(grp_sz)"
+            )
+            / 1e6
+        ).alias("risk_fraction"),
+        F.min("grp_sz").alias("min_group"),
+    )
