@@ -192,6 +192,41 @@ def x46_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x93_jaccard_prefix_join",
+    f"""
+    WITH {_SHINGLE_SQL},
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    ),
+    {_JACCARD_CTES}
+    SELECT i.doc_a, i.doc_b, round(i.c / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE i.c * 5 >= (sa.n + sb.n - i.c) * 4
+    ORDER BY doc_a, doc_b
+    """,
+    "EXACT Jaccard similarity join at scale via prefix filtering "
+    "(PPJoin candidate generation): each document exposes only its "
+    "n - ceil(0.8n) + 1 RAREST shingles (global rarest-first order), "
+    "candidates come from an equi-join on those prefixes plus a "
+    "length filter, survivors get an exact intersection-count verify "
+    "with the 0.8 threshold as an integer cross-multiplication. Same "
+    "answer as the quarantined all-pairs baseline (the oracle computes "
+    "it exhaustively) but cost is O(rare-token collisions), never "
+    "O(n^2) — this is the scale-correct path for EXACT near-dup, "
+    "complementing the approximate MinHash+LSH path",
+    ("dedup",),
+)
+def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return dedup_ops.jaccard_prefix_pairs(
+        t["documents"], shingle_n=3, threshold=(4, 5)
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
     "dedup_simhash",
     """
     WITH words AS (

@@ -369,6 +369,112 @@ def ngram_jaccard_pairs(
     return _jaccard_from_intersections(sh, inter).filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """EXACT n-gram Jaccard >= threshold via prefix filtering (the
+    PPJoin family's candidate generation) — same answer set as the
+    all-pairs ``ngram_jaccard_pairs`` but scale-correct: candidates
+    come from joining only each document's RAREST tokens.
+
+    Prefix-filtering principle: under any global total order on
+    tokens, if ``|A∩B| >= α`` then the ``(|A|-α+1)``-prefix of A and
+    the ``(|B|-α+1)``-prefix of B share a token (if the prefixes were
+    disjoint, WLOG every common token sitting in A's prefix would have
+    to sit past B's prefix max — but it is smaller than A's prefix max
+    <= B's, contradiction; so A∩B fits inside A's (α-1)-suffix).
+    Jaccard >= t implies α = ceil(t·|X|) per set, so each document
+    only exposes its first ``n - ceil(t·n) + 1`` tokens, ordered by
+    ascending document frequency (rarest first, ties by token hash):
+    frequent boilerplate shingles never generate candidates, which is
+    exactly the blow-up that makes the naive shared-shingle join
+    quadratic. A pair must also satisfy the length filter
+    ``t·max(|A|,|B|) <= min(|A|,|B|)`` or its Jaccard can't reach t.
+    Survivors are verified with the exact intersection count and the
+    threshold applied as an integer cross-multiplication (no float
+    membership flips).
+
+    ``threshold`` is an exact rational (numerator, denominator) — the
+    default (4, 5) is 0.8. Cost: one df-count aggregation + one window
+    over docs + an equi-join on rare prefix tokens; O(candidates),
+    never O(n²) and never proportional to boilerplate collisions.
+    """
+    tn, td = threshold
+    if not (0 < tn <= td):
+        raise ValueError(f"threshold must be a rational in (0, 1], got {tn}/{td}")
+    sh = track_cache(hashed_shingles(docs, text_col, id_col, shingle_n))
+    # document frequency as a window over the shingle key (reuses the
+    # one exchange; no df-table join), then per-doc prefix selection as
+    # an in-memory array sort+slice (state O(doc shingles) — a bound
+    # the doc itself already satisfies) instead of a global window sort
+    # of the whole (doc, shingle) table
+    with_df = sh.select(
+        "doc", "shingle", F.count(F.lit(1)).over(W.partitionBy("shingle")).alias("df")
+    )
+    per_doc = with_df.groupBy("doc").agg(
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+    )
+    # prefix length n - ceil(t*n) + 1, computed in exact integer math;
+    # cached: the self-join below consumes it twice, and it is the
+    # small end of the pipeline (rare tokens only)
+    n = F.size("toks")
+    alpha = F.floor((n * tn + (td - 1)) / td).cast("int")
+    prefix = track_cache(
+        per_doc.select(
+            "doc",
+            n.alias("n"),
+            F.explode(F.slice("toks", F.lit(1), n - alpha + 1)).alias("t"),
+        ).select("doc", "n", F.col("t.shingle").alias("shingle"))
+    )
+    a = prefix.select(F.col("doc").alias("doc_a"), "shingle", F.col("n").alias("n_a"))
+    b = prefix.select(F.col("doc").alias("doc_b"), "shingle", F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t * max <= min, exact cross-multiplication
+            & (F.greatest("n_a", "n_b") * tn <= F.least("n_a", "n_b") * td)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verify on candidates only; threshold as integer cross-mult
+    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common") * td >= (F.col("n_a") + F.col("n_b") - F.col("n_common")) * tn
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

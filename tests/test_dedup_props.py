@@ -161,3 +161,59 @@ def test_minhash_df_cap_off_equals_full(spark, sf_oracle):
     # still has jaccard 1; the capped run must keep every base pair
     # whose docs are identical and may add near-misses — never empty
     assert capped, "df cap wiped out all pairs"
+
+
+def _exhaustive_jaccard_pairs(spark, docs, tn, td, shingle_n=3):
+    """Ground truth for the prefix-filter join: ALL pairs sharing >= 1
+    shingle, exact intersection counts, integer-cross-mult threshold —
+    brute force in python over collected shingle sets."""
+    from dask_snowflake_spark.operators.dedup import hashed_shingles
+
+    sets: dict = {}
+    for r in hashed_shingles(docs, "text", "doc_id", shingle_n).collect():
+        sets.setdefault(r.doc, set()).add(r.shingle)
+    out = set()
+    for a, b in combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b])
+        if c and c * td >= (len(sets[a]) + len(sets[b]) - c) * tn:
+            out.add((a, b))
+    return out
+
+
+def test_jaccard_prefix_join_lossless_vs_bruteforce(spark, sf_oracle):
+    """Prefix filtering must find EXACTLY the brute-force answer set —
+    the candidate prefix join is provably lossless, this pins the
+    implementation to the proof (at two thresholds with different
+    prefix lengths)."""
+    from dask_snowflake_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_oracle)["documents"].filter(F.col("doc_id") < 200)
+    for tn, td in ((4, 5), (7, 10)):
+        want = _exhaustive_jaccard_pairs(spark, docs, tn, td)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_prefix_pairs(docs, threshold=(tn, td)).collect()
+        }
+        assert got == want, (tn, td, len(got), len(want))
+
+
+def test_jaccard_prefix_join_exact_duplicates_only(spark):
+    """threshold (1,1) keeps only identical shingle sets; short docs
+    (< n words -> single partial shingle) are handled."""
+    from dask_snowflake_spark.operators.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma delta zeta"),
+            (4, "hi"),
+            (5, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_pairs(df, threshold=(1, 1)).collect()
+    }
+    assert got == {(1, 2, 1.0), (4, 5, 1.0)}
