@@ -3956,6 +3956,57 @@ def x69_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x94_triangle_census",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+    s AS (
+        SELECT count(*) AS n_nodes,
+               CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e ab JOIN e bc ON bc.u = ab.v JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT s.n_nodes, s.n_edges, s.n_wedges, tri.n_triangles,
+           CASE WHEN s.n_wedges = 0 THEN 0.0
+                ELSE CAST(3 * tri.n_triangles * 1000000 // s.n_wedges AS BIGINT) / 1e6
+           END AS global_cc
+    FROM s, tri
+    """,
+    "triangle census of the near-dup graph (degree-ordered orientation, "
+    "the O(m^1.5) compact-forward algorithm: orient each edge toward "
+    "its higher-degree endpoint so wedge enumeration is bounded by "
+    "sqrt(m) out-degrees, close wedges with one semi-join) — node/edge/"
+    "wedge/triangle counts and the integer-quantized global clustering "
+    "coefficient; triangles measure how clique-like duplicate clusters "
+    "are, complementing PageRank hubs (x69) and CC clusters",
+    ("dedup", "graph", "analytics"),
+)
+def x94_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_stats
+
+    t = _t(spark, sf_dir)
+    pairs = dedup_ops.minhash_near_dup(
+        t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    return triangle_stats(pairs, "doc_a", "doc_b")
+
+
+@query(
     "x70_pit_dimension_join",
     """
     WITH p AS (

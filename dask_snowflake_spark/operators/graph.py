@@ -179,3 +179,91 @@ def pagerank_integer(
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
             pr = pr.localCheckpoint(eager=True)
     return pr.select(F.col("__u").alias("vertex"), F.col("__pr").alias("pr_q"))
+
+
+def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Every triangle of the undirected graph ``edges``, each exactly
+    once, as ``(a, b, c)`` — the classic degree-ordered orientation
+    ("compact-forward"): orient each edge from its (degree, id)-smaller
+    endpoint to the larger, enumerate wedges from each source's
+    oriented out-edges, and close them with a semi-join against the
+    canonical edge set. Orienting by degree bounds every out-degree by
+    O(sqrt(m)), so the wedge join materializes O(m^1.5) rows worst
+    case instead of sum(deg^2) — the difference between a power-law
+    hub exploding the join and not. All equi-joins; no cross product.
+    """
+    from ..session import track_cache
+
+    e = (
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") < F.col("v"))  # drops self-loops
+        .distinct()
+    )
+    e = track_cache(e)
+    und = e.union(e.select(F.col("v"), F.col("u")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg.select("u", F.col("deg").alias("du")), "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    a_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    orient = track_cache(
+        ed.select(
+            F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(a_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+    )
+    x = orient.select("a", F.col("b").alias("b1"), F.col("db").alias("d1"))
+    y = orient.select("a", F.col("b").alias("b2"), F.col("db").alias("d2"))
+    wedges = x.join(y, "a").filter(
+        (F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    return (
+        wedges.select(
+            "a",
+            "b1",
+            "b2",
+            F.least("b1", "b2").alias("u"),
+            F.greatest("b1", "b2").alias("v"),
+        )
+        .join(e, ["u", "v"], "left_semi")
+        .select(F.col("a"), F.col("b1").alias("b"), F.col("b2").alias("c"))
+    )
+
+
+def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One-row global triangle census of the undirected graph:
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_cc)`` where
+    ``n_wedges = sum(deg*(deg-1)/2)`` and ``global_cc`` is the global
+    clustering coefficient ``3*triangles/wedges``, integer-quantized
+    (``* 1e6 div wedges / 1e6``) so both engines emit the identical
+    double. Two bounded aggregations plus the ``triangles`` join."""
+    e = (
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("v"), F.col("u")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(sum(deg) div 2 AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)").alias("n_wedges"),
+    )
+    tric = triangles(edges, src, dst).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        stats.withColumn("__k", F.lit(1))
+        .join(tric.withColumn("__k", F.lit(1)), "__k")
+        .drop("__k")
+        .withColumn(
+            "global_cc",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0.0 "
+                "ELSE CAST(3 * n_triangles * 1000000 div n_wedges AS BIGINT) / 1e6 END"
+            ),
+        )
+    )

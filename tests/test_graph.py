@@ -189,3 +189,50 @@ def test_pagerank_integer_matches_python_replica(spark):
         }
         want = replica(edges, 4)
         assert got == want, f"trial {trial}: {len(got)} vs {len(want)} vertices"
+
+
+def test_triangles_match_bruteforce(spark):
+    """Degree-ordered triangle enumeration == brute-force recount on
+    random graphs; each triangle appears exactly once."""
+    import random
+
+    from dask_snowflake_spark.operators.graph import triangle_stats, triangles
+
+    rng = random.Random(11)
+    for trial in range(3):
+        edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60 + 30 * trial)})
+        edges = [(a, b) for a, b in edges if a != b]
+        adj: dict = {}
+        canon = {(min(a, b), max(a, b)) for a, b in edges}
+        for a, b in canon:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {
+            tuple(sorted((a, b, c)))
+            for a, b in canon
+            for c in adj[a] & adj[b]
+        }
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = [tuple(sorted((r.a, r.b, r.c))) for r in triangles(df, "a", "b").collect()]
+        assert len(got) == len(set(got)), "a triangle was emitted twice"
+        assert set(got) == want, f"trial {trial}"
+        stats = triangle_stats(df, "a", "b").collect()[0]
+        degs = {v: len(ns) for v, ns in adj.items()}
+        assert stats.n_nodes == len(degs)
+        assert stats.n_edges == len(canon)
+        assert stats.n_wedges == sum(d * (d - 1) // 2 for d in degs.values())
+        assert stats.n_triangles == len(want)
+
+
+def test_triangle_stats_clique_and_path(spark):
+    """K5 has C(5,3)=10 triangles and cc=1; a path has none (cc=0)."""
+    from itertools import combinations
+
+    from dask_snowflake_spark.operators.graph import triangle_stats
+
+    k5 = spark.createDataFrame(list(combinations(range(5), 2)), "a long, b long")
+    s = triangle_stats(k5, "a", "b").collect()[0]
+    assert (s.n_nodes, s.n_edges, s.n_triangles, s.global_cc) == (5, 10, 10, 1.0)
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)], "a long, b long")
+    s = triangle_stats(path, "a", "b").collect()[0]
+    assert s.n_triangles == 0 and s.global_cc == 0.0
