@@ -5464,3 +5464,121 @@ def x92_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("risk_fraction"),
         F.min("grp_sz").alias("min_group"),
     )
+
+
+@query(
+    "x95_l_diversity",
+    """
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS grp_sz,
+               count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000)
+                   AS l_div
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(sum(CASE WHEN l_div < 3 THEN grp_sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(sum(CASE WHEN l_div < 3 THEN grp_sz ELSE 0 END) * 1000000
+                // sum(grp_sz) AS BIGINT) / 1e6 AS risk_fraction,
+           min(l_div) AS min_l
+    FROM groups
+    """,
+    "L-DIVERSITY audit (data governance, the step after k-anonymity): "
+    "within each quasi-identifier group (nation, market segment), how "
+    "many DISTINCT values does the sensitive attribute take — here the "
+    "account-balance $1000 band, derived through exact integer cents "
+    "with a positive offset so floor division agrees across engines. A "
+    "k-anonymous group whose members all share one sensitive value "
+    "still leaks it; groups with l < 3 are flagged with at-risk row "
+    "counts and an integer-quantized risk fraction. Two map-side-"
+    "combinable aggregations",
+    ("quality", "governance"),
+)
+def x95_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    bucket = F.expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+    groups = (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("grp_sz"),
+            F.countDistinct(bucket).alias("l_div"),
+        )
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0)).cast("long").alias("n_violating"),
+        F.sum(F.when(F.col("l_div") < 3, F.col("grp_sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        (
+            F.expr(
+                "sum(CASE WHEN l_div < 3 THEN grp_sz ELSE 0 END) * 1000000 div sum(grp_sz)"
+            )
+            / 1e6
+        ).alias("risk_fraction"),
+        F.min("l_div").alias("min_l"),
+    )
+
+
+@query(
+    "x96_inverted_index",
+    """
+    WITH words AS (
+        SELECT doc_id, lower(u.w) AS w
+        FROM documents, LATERAL unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+        WHERE u.w != ''
+    ),
+    tf AS (SELECT w, doc_id, count(*) AS tf FROM words GROUP BY w, doc_id)
+    SELECT w AS term,
+           count(*) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS corpus_freq,
+           array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings_head
+    FROM tf
+    GROUP BY w
+    ORDER BY doc_freq DESC, term
+    LIMIT 25
+    """,
+    "inverted-index build (the search-engine / retrieval artifact "
+    "behind BM25): term -> document-frequency, corpus-frequency, and "
+    "the posting list head (10 smallest doc ids, comma-joined). The "
+    "posting head comes from a rank-window top-10 per term BEFORE any "
+    "list materialization, so per-task state stays bounded even for "
+    "stopword terms whose full posting list is corpus-sized; "
+    "per-term totals ride the same single shuffle as window "
+    "aggregates. Top-25 terms by doc_freq, term tie-break",
+    ("text", "analytics"),
+)
+def x96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.lower("w").alias("term"))
+    )
+    tf = words.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    wterm = W.partitionBy("term")
+    ranked = tf.select(
+        "term",
+        "doc_id",
+        F.count(F.lit(1)).over(wterm).alias("doc_freq"),
+        F.sum("tf").over(wterm).cast("long").alias("corpus_freq"),
+        F.row_number().over(wterm.orderBy("doc_id")).alias("rn"),
+    ).filter(F.col("rn") <= 10)
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.first("doc_freq").alias("doc_freq"),
+            F.first("corpus_freq").alias("corpus_freq"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings_head"
+            ),
+        )
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(25)
+    )
