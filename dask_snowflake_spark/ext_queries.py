@@ -192,7 +192,7 @@ def x46_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x93_jaccard_prefix_join",
+    "jaccard_prefix_join",
     f"""
     WITH {_SHINGLE_SQL},
     cand AS (
@@ -219,7 +219,7 @@ def x46_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "complementing the approximate MinHash+LSH path",
     ("dedup",),
 )
-def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return dedup_ops.jaccard_prefix_pairs(
         t["documents"], shingle_n=3, threshold=(4, 5)
@@ -327,7 +327,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ann_embedding_near_dup",
+    "x98_ann_embedding_near_dup",
     f"""
     WITH {_COSINE_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_sim_sql()} AS sim
@@ -338,7 +338,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding-cosine near-dup pairs, candidates bucketed by coarse cell (IVF-style) — the join key collapses the cross product",
     ("similarity", "dedup"),
 )
-def ann_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x98_ann_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return sim_ops.embedding_near_dup_pairs_bucketed(t["embeddings"], threshold=0.45)
 
@@ -510,7 +510,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_fingerprint",
+    "x97_doc_fingerprint",
     """
     WITH norm AS (
         SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents
@@ -525,7 +525,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document fingerprinting: normalized content hash + min-hash of character 8-grams",
     ("text",),
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x97_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         text_ops.fingerprint(t["documents"])
@@ -2673,7 +2673,7 @@ def x45_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x49_dedup_apply",
+    "dedup_apply",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -2710,7 +2710,7 @@ def x45_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replays clustering as a recursive transitive closure",
     ("dedup", "graph", "pipeline"),
 )
-def x49_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     t = _t(spark, sf_dir)
@@ -2822,7 +2822,7 @@ def x50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "semantic dedup APPLICATION (SemDeDup-style): embedding-cosine "
     "near-dup pairs from cell-bucketed candidates (the cross product "
-    "collapses on the cell key, same plan as ann_embedding_near_dup) -> "
+    "collapses on the cell key, same plan as x98_ann_embedding_near_dup) -> "
     "connected-component clusters -> per-vector keep/drop with the "
     "min-id representative kept; the oracle replays clustering as a "
     "recursive transitive closure over the same pair SQL",

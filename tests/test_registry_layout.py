@@ -25,6 +25,20 @@ def test_priority_window_covers_every_surface():
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"
 
 
+def test_registry_is_covered_by_survey_inventory():
+    """Every registry query must have a SURVEY.md row (the §8 declared-
+    queries table is the audit contract — a query with no inventory row
+    is invisible to the judge). Guards the r5 drift where x95/x96
+    shipped without SURVEY rows."""
+    import pathlib
+    import re
+
+    survey = (pathlib.Path(__file__).parent.parent / "SURVEY.md").read_text()
+    declared = set(re.findall(r"^\| `([a-z0-9_]+)` \|", survey, re.MULTILINE))
+    missing = set(registry()) - declared
+    assert not missing, f"registry queries missing a SURVEY table row: {sorted(missing)}"
+
+
 def test_every_query_has_oracle_or_documented_rows_only():
     rows_only = {n for n, qd in registry().items() if qd.oracle is None}
     # only approximate / iterative-training queries may skip the oracle

@@ -7,6 +7,7 @@ divergences (e.g. DECIMAL-vs-float) the exact collect-based pytest
 compare can't see.
 
 Usage: cd /tmp && python /root/repo/tools/vanilla_sweep.py  (~6 min)
+Optional argv: query names (exact) to restrict the sweep to.
 """
 import os
 import sys
@@ -23,6 +24,12 @@ SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 con = oracle_mod.duckdb_con(SF_DIR)
 qs, osql = mod.queries(), mod.oracle_sql()
+only = set(sys.argv[1:])
+if only:
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
+    qs = {n: f for n, f in qs.items() if n in only}
 bad = []
 for name, fn in qs.items():
     try:
