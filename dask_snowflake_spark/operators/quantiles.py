@@ -32,10 +32,19 @@ Degenerate cells: pass 1 also records per-cell min/max, so a cell whose
 values are all identical (the one case finer bucketing cannot split —
 e.g. a group dominated by a single repeated value; all zeros land in
 bucket 0 regardless of resolution) short-circuits to that value with no
-selection read at all. Non-constant heavy cells go through the window
-sort, which spills to disk instead of materializing the cell as one
-in-memory array. NaNs are not handled (filter them like nulls before
-calling).
+selection read at all.
+
+Hot cells: a non-constant candidate cell whose pass-1 count exceeds
+``max_cell_rows`` (many DISTINCT values packed inside one log-bucket,
+e.g. heavy mass in [1.0, 1.0443) at the default resolution) would
+window-sort in a single task — spillable, but serialized. Those cells
+take one extra bounded refinement pass instead: their rows (only
+theirs) are re-bucketed LINEARLY inside the cell's [min, max] span into
+R sub-cells sized from the cell count, the target rank is re-located in
+the sub-cell histogram, and only the landing sub-cell is rank-sorted.
+The branch is gated on an ``isEmpty`` probe of the tiny cached
+candidates table, so the common all-small plan is unchanged. NaNs are
+not handled (filter them like nulls before calling).
 """
 
 from __future__ import annotations
@@ -73,6 +82,7 @@ def exact_group_quantiles(
     probs: list[float],
     *,
     buckets: int = 1024,
+    max_cell_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact ``quantile_cont`` per group for each probability.
 
@@ -80,7 +90,10 @@ def exact_group_quantiles(
     ordered like ``probs`` (plus the group columns). NULL values are
     ignored (SQL aggregate semantics); a group with zero non-null
     values produces no row. ``buckets`` tunes histogram resolution
-    (``buckets/16`` sub-buckets per octave).
+    (``buckets/16`` sub-buckets per octave). ``max_cell_rows`` bounds
+    the number of rows any single selection task may sort: candidate
+    cells larger than this take one extra linear-refinement pass (see
+    module docstring) so the bound holds even when a log-bucket is hot.
     """
     if not probs:
         raise ValueError("probs must name at least one quantile")
@@ -165,6 +178,7 @@ def exact_group_quantiles(
             "__role",
             "__b",
             (F.col("__rank") - F.col("__before")).alias("__lr"),
+            "__c",
             "__bmin",
             "__bmax",
         )
@@ -176,8 +190,13 @@ def exact_group_quantiles(
     const_picks = cand.filter(F.col("__bmin") == F.col("__bmax")).select(
         *group_cols, "__pi", "__frac", "__role", F.col("__bmin").alias("__v")
     )
-    var_cand = cand.filter(F.col("__bmin") != F.col("__bmax")).select(
+    var_cand = cand.filter(
+        (F.col("__bmin") != F.col("__bmax")) & (F.col("__c") <= max_cell_rows)
+    ).select(
         *group_cols, "__pi", "__frac", "__role", "__b", F.col("__lr").cast("int").alias("__lr")
+    )
+    hot_cand = cand.filter(
+        (F.col("__bmin") != F.col("__bmax")) & (F.col("__c") > max_cell_rows)
     )
 
     # Pass 2: re-read ONLY non-constant candidate cells; a row_number
@@ -191,6 +210,16 @@ def exact_group_quantiles(
     var_picks = ranked.join(var_cand, [*group_cols, "__b", "__lr"]).select(
         *group_cols, "__pi", "__frac", "__role", "__v"
     )
+
+    # Hot cells (count > max_cell_rows): one extra bounded refinement
+    # pass instead of a single-task sort. The gate is an isEmpty probe
+    # of the tiny cached candidates table (G×P×2 rows, never the data),
+    # so the common all-small plan gains no stages.
+    if not hot_cand.isEmpty():
+        var_picks = var_picks.unionByName(
+            _refined_hot_picks(vals, group_cols, hot_cand, max_cell_rows)
+        )
+
     per_prob = (
         var_picks.unionByName(const_picks)
         .groupBy(*group_cols, "__pi")
@@ -209,3 +238,90 @@ def exact_group_quantiles(
     return per_prob.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(F.struct("__pi", "__q")))["__q"].alias("quantiles")
     )
+
+
+def _refined_hot_picks(
+    vals: DataFrame,
+    group_cols: list[str],
+    hot_cand: DataFrame,
+    max_cell_rows: int,
+) -> DataFrame:
+    """Adaptive re-split of hot candidate cells (count > max_cell_rows).
+
+    Log-refinement cannot split a cell whose values sit in a narrow
+    interval, so the refinement is LINEAR inside the cell's pass-1
+    [min, max] span: R sub-cells with R sized from the cell count
+    (16 × ceil(c / bound), clamped), giving ~bound/16 expected rows per
+    sub-cell on even mass. One histogram aggregation over hot-cell rows
+    only re-locates each target rank inside its sub-cell; constant
+    sub-cells short-circuit like pass-1 constant cells, the rest
+    rank-sort a sub-cell each — every sort task bounded. Rows are read
+    from the already-cached ``vals`` twice (histogram + selection),
+    exactly the small path's read discipline.
+    """
+    cells = hot_cand.select(*group_cols, "__b", "__bmin", "__bmax", "__c").distinct()
+    cells = cells.withColumn(
+        "__r",
+        F.least(
+            F.greatest(F.ceil(F.col("__c") / max_cell_rows) * 16, F.lit(256)),
+            F.lit(65536),
+        ).cast("long"),
+    )
+    rows = vals.join(F.broadcast(cells), [*group_cols, "__b"]).withColumn(
+        "__b2",
+        F.least(
+            F.floor(
+                (F.col("__v") - F.col("__bmin"))
+                / (F.col("__bmax") - F.col("__bmin"))
+                * F.col("__r")
+            ).cast("long"),
+            F.col("__r") - 1,
+        ),
+    )
+    rows = track_cache(rows.select(*group_cols, "__b", "__b2", "__v"))
+
+    counts2 = rows.groupBy(*group_cols, "__b", "__b2").agg(
+        F.count(F.lit(1)).alias("__c2"),
+        F.min("__v").alias("__bmin2"),
+        F.max("__v").alias("__bmax2"),
+    )
+    wcum2 = (
+        W.partitionBy(*group_cols, "__b")
+        .orderBy("__b2")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum2 = counts2.withColumn("__before2", F.coalesce(F.sum("__c2").over(wcum2), F.lit(0)))
+
+    t2 = (
+        hot_cand.select(*group_cols, "__pi", "__frac", "__role", "__b", "__lr")
+        .join(cum2, [*group_cols, "__b"])
+        .filter(
+            (F.col("__lr") > F.col("__before2"))
+            & (F.col("__lr") <= F.col("__before2") + F.col("__c2"))
+        )
+        .select(
+            *group_cols,
+            "__pi",
+            "__frac",
+            "__role",
+            "__b",
+            "__b2",
+            (F.col("__lr") - F.col("__before2")).cast("int").alias("__lr2"),
+            "__bmin2",
+            "__bmax2",
+        )
+    )
+    const2 = t2.filter(F.col("__bmin2") == F.col("__bmax2")).select(
+        *group_cols, "__pi", "__frac", "__role", F.col("__bmin2").alias("__v")
+    )
+    var2 = t2.filter(F.col("__bmin2") != F.col("__bmax2")).select(
+        *group_cols, "__pi", "__frac", "__role", "__b", "__b2", "__lr2"
+    )
+    need2 = var2.select(*group_cols, "__b", "__b2").distinct()
+    ranked2 = rows.join(F.broadcast(need2), [*group_cols, "__b", "__b2"]).withColumn(
+        "__lr2", F.row_number().over(W.partitionBy(*group_cols, "__b", "__b2").orderBy("__v"))
+    )
+    picks2 = ranked2.join(var2, [*group_cols, "__b", "__b2", "__lr2"]).select(
+        *group_cols, "__pi", "__frac", "__role", "__v"
+    )
+    return picks2.unionByName(const2)

@@ -121,6 +121,110 @@ def test_heavy_nonconstant_cell_spills_through_window(spark) -> None:
     assert list(got) == pytest.approx(list(exp), abs=1e-12)
 
 
+def test_hot_cell_adaptive_resplit_is_exact(spark) -> None:
+    """Many DISTINCT values packed inside one log-bucket (the shape the
+    constant-cell fast path can't catch) with ``max_cell_rows`` forced
+    tiny: the adaptive linear re-split must activate and still return
+    the exact percentile() answers."""
+    rows = [("g", 1.0 + i * 1e-5) for i in range(2000)] + [
+        ("g", 9.0),
+        ("h", 2.0),
+        ("h", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {
+        r.g: list(r.quantiles)
+        for r in exact_group_quantiles(
+            df, ["g"], "v", probs, buckets=1024, max_cell_rows=50
+        ).collect()
+    }
+    exp = {
+        r.g: list(r.p)
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
+def test_hot_cell_sort_cardinality_is_bounded(spark) -> None:
+    """The re-split's guarantee: after one linear refinement no
+    selection sort task sees more than ``max_cell_rows`` rows. Replicates
+    the operator's sub-bucketing (same Spark expressions) over a hot
+    log-bucket and asserts every sub-cell count stays under the bound."""
+    from dask_snowflake_spark.operators.quantiles import _log_bucket
+
+    bound = 50
+    rows = [("g", 1.0 + i * 1e-5) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "v"]).withColumn(
+        "__b", _log_bucket(F.col("v"), 64)
+    )
+    cells = (
+        df.groupBy("g", "__b")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("bmin"), F.max("v").alias("bmax"))
+        .filter(F.col("c") > bound)
+    )
+    assert cells.count() >= 1, "fixture must contain at least one hot cell"
+    refined = (
+        df.join(cells, ["g", "__b"])
+        .withColumn(
+            "__r",
+            F.least(
+                F.greatest(F.ceil(F.col("c") / bound) * 16, F.lit(256)), F.lit(65536)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__b2",
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("bmin")) / (F.col("bmax") - F.col("bmin")) * F.col("__r")
+                ).cast("long"),
+                F.col("__r") - 1,
+            ),
+        )
+        .groupBy("g", "__b", "__b2")
+        .count()
+    )
+    max_subcell = refined.agg(F.max("count")).collect()[0][0]
+    assert max_subcell <= bound, f"sub-cell of {max_subcell} rows exceeds the {bound} bound"
+
+
+def test_hot_cell_resplit_property(spark) -> None:
+    """Seeded multi-distribution property check of the refinement path:
+    uniform-in-a-bucket, two-sided clusters, heavy ties plus distinct
+    tail — each with max_cell_rows small enough to force re-splitting —
+    must all match percentile() exactly."""
+    import random
+
+    rng = random.Random(60_601)
+    cases = {
+        "uniform_packed": [1.0 + rng.random() * 0.01 for _ in range(1500)],
+        "two_clusters": [1.0 + rng.random() * 1e-6 for _ in range(700)]
+        + [1.01 + rng.random() * 1e-6 for _ in range(700)],
+        "ties_plus_tail": [1.0] * 900 + [1.0 + i * 1e-7 for i in range(600)],
+        "negative_packed": [-2.0 - rng.random() * 0.02 for _ in range(1200)],
+    }
+    rows = [(name, v) for name, vs in cases.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(16)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {
+        r.g: list(r.quantiles)
+        for r in exact_group_quantiles(df, ["g"], "v", probs, max_cell_rows=64).collect()
+    }
+    exp = {
+        r.g: list(r.p)
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
 def test_negative_zero_mixed_values(spark) -> None:
     """The sign-aware log bucketing must stay order-preserving across
     negative / zero / positive values and subnormal magnitudes."""
