@@ -119,29 +119,46 @@ def exact_group_quantiles(
     )
     wg = W.partitionBy(*group_cols)
     wcum = wg.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
-    cum = track_cache(
-        counts.withColumn("__n", F.sum("__c").over(wg)).withColumn(
-            "__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0))
-        )
+    cum = counts.withColumn("__n", F.sum("__c").over(wg)).withColumn(
+        "__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0))
     )
 
     # 0-based position p*(n-1); ranks are 1-based row_numbers. Each
     # probability needs two ranks (floor/ceil of the position), emitted
-    # as tagged rows so a single pivot aggregation recovers both — no
-    # lo/hi self-joins.
-    targets = (
-        cum.select(*group_cols, "__n")
-        .distinct()
-        .select(
+    # as tagged rows. Both the target ranks AND their locating bucket
+    # are derived directly on the cum rows (every row carries its
+    # group's __n), so no distinct / self-join over the histogram is
+    # needed: explode G×B rows by P probs × 2 roles, keep the row whose
+    # (before, before+c] interval contains the rank — the intervals
+    # partition [1, n], so exactly one row survives per (group, p, role).
+    #
+    # cand is tiny (two rows per probability per group) but its subtree
+    # contains the whole histogram pass — it feeds the candidate-bucket
+    # filter, the hot-cell probe, and the final rank lookup, and each
+    # materialization would re-run the pass uncached.
+    cand = track_cache(
+        cum.select(
             *group_cols,
+            "__b",
+            "__c",
+            "__bmin",
+            "__bmax",
+            "__before",
             "__n",
             F.posexplode(F.array(*[F.lit(float(p)) for p in probs])).alias("__pi", "__p"),
         )
         .withColumn("__pos", F.col("__p") * (F.col("__n") - 1))
+        .withColumn("__frac", F.col("__pos") - F.floor("__pos"))
         .select(
             *group_cols,
+            "__b",
+            "__c",
+            "__bmin",
+            "__bmax",
+            "__before",
+            "__n",
             "__pi",
-            (F.col("__pos") - F.floor("__pos")).alias("__frac"),
+            "__frac",
             F.explode(
                 F.array(
                     F.struct(
@@ -157,27 +174,17 @@ def exact_group_quantiles(
                 )
             ).alias("__t"),
         )
-        .select(*group_cols, "__pi", "__frac", "__t.__rank", "__t.__role")
-    )
-
-    # cand is tiny (two rows per probability per group) but its subtree
-    # contains the whole histogram pass — it feeds BOTH the
-    # candidate-bucket filter and the final rank lookup, and each
-    # broadcast materialization is a separate Spark job that would
-    # re-run the pass uncached.
-    cand = track_cache(
-        targets.join(cum, group_cols)
         .filter(
-            (F.col("__rank") > F.col("__before"))
-            & (F.col("__rank") <= F.col("__before") + F.col("__c"))
+            (F.col("__t.__rank") > F.col("__before"))
+            & (F.col("__t.__rank") <= F.col("__before") + F.col("__c"))
         )
         .select(
             *group_cols,
             "__pi",
             "__frac",
-            "__role",
+            F.col("__t.__role").alias("__role"),
             "__b",
-            (F.col("__rank") - F.col("__before")).alias("__lr"),
+            (F.col("__t.__rank") - F.col("__before")).alias("__lr"),
             "__c",
             "__bmin",
             "__bmax",
@@ -220,24 +227,28 @@ def exact_group_quantiles(
             _refined_hot_picks(vals, group_cols, hot_cand, max_cell_rows)
         )
 
-    per_prob = (
-        var_picks.unionByName(const_picks)
-        .groupBy(*group_cols, "__pi")
-        .agg(
-            F.min(F.when(F.col("__role") == 0, F.col("__v"))).alias("__vlo"),
-            F.min(F.when(F.col("__role") == 1, F.col("__v"))).alias("__vhi"),
-            F.first("__frac").alias("__frac"),
-        )
-        # Spark Percentile.getPercentile's formula: lo + (hi-lo)*frac
-        .select(
-            *group_cols,
-            "__pi",
-            (F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.col("__frac")).alias("__q"),
-        )
+    # Final assembly in ONE aggregation: per group there are exactly
+    # 2 pick rows per probability (role 0 = rank floor, role 1 = rank
+    # ceil), so collect_list holds <= 2P structs — bounded state — and
+    # the quantiles array is pure expression arithmetic over it
+    # (Spark Percentile.getPercentile's formula: lo + (hi-lo)*frac).
+    picks = var_picks.unionByName(const_picks).groupBy(*group_cols).agg(
+        F.collect_list(F.struct("__pi", "__role", "__frac", "__v")).alias("__t")
     )
-    return per_prob.groupBy(*group_cols).agg(
-        F.array_sort(F.collect_list(F.struct("__pi", "__q")))["__q"].alias("quantiles")
-    )
+
+    def _pick(i: int, role: int) -> Column:
+        return F.filter(
+            F.col("__t"),
+            lambda x: (x["__pi"] == F.lit(i)) & (x["__role"] == F.lit(role)),
+        )[0]
+
+    quantile_exprs = []
+    for i in range(len(probs)):
+        lo, hi = _pick(i, 0), _pick(i, 1)
+        quantile_exprs.append(
+            lo["__v"] + (hi["__v"] - lo["__v"]) * lo["__frac"]
+        )
+    return picks.select(*group_cols, F.array(*quantile_exprs).alias("quantiles"))
 
 
 def _refined_hot_picks(
