@@ -41,7 +41,13 @@ def main() -> None:
     for name in tables:
         spark.sql(f"SELECT count(*) FROM {name}").collect()
 
-    ordered = sorted(registry().items())
+    # x46 is the deliberately-quadratic all-pairs verification BASELINE
+    # (kept property-checked in tests/test_dedup_props.py); the
+    # scale-correct exact join (jaccard_prefix_join) proves the same
+    # answers in the bench set, so the anti-scale plan doesn't burn
+    # bench wall-clock.
+    excluded = {"x46_dedup_ngram_jaccard"}
+    ordered = [(n, qd) for n, qd in sorted(registry().items()) if n not in excluded]
     # Full warmup pass: run the first query end-to-end INCLUDING the noop
     # write before the timed loop.  count(*)-only warmup left the first
     # measured query absorbing codegen/shuffle/noop-writer first-touch
@@ -49,14 +55,23 @@ def main() -> None:
     warm_name, warm_qd = ordered[0]
     warm_qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Per-query Spark job counts ride along with the wall times: the
+    # scheduler's job-id counter delta is NOISE-FREE (deterministic per
+    # plan), so fixed-overhead regressions stay attributable even when
+    # the shared host's ±2x wall-clock variance masks them.
+    sched = spark.sparkContext._jsc.sc().dagScheduler()
+
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     runs: list[dict[str, float]] = []
+    jobs: dict[str, int] = {}
     for _ in range(max(1, n_passes)):
         pass_times: dict[str, float] = {}
         for name, qd in ordered:
             t0 = time.perf_counter()
+            j0 = sched.nextJobId()
             df = qd.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            jobs[name] = sched.nextJobId() - j0
             pass_times[name] = round(time.perf_counter() - t0, 2)
         runs.append(pass_times)
     timings = {name: min(r[name] for r in runs) for name in runs[0]}
@@ -75,6 +90,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "spread": spread,
+        "jobs": jobs,
     }
     # The driver captures a bounded TAIL of stdout, so a single long line
     # gets its FRONT truncated and never parses (r1+r2 both hit this).

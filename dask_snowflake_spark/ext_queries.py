@@ -4209,20 +4209,22 @@ def x72_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     , zq AS (
         SELECT *,
                CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
-                    ELSE CAST(floor(
+                    ELSE CAST(floor(abs(
                         ((conv_a * 1.0 / n_a) - (conv_b * 1.0 / n_b))
                         / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
                                * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
                                * (1.0 / n_a + 1.0 / n_b))
-                        * 1000000
-                    ) AS BIGINT) END AS z_q
+                    ) * 1000000) AS BIGINT) END AS z_mag_q,
+               CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
+                    ELSE CAST(sign((conv_a * 1.0 / n_a) - (conv_b * 1.0 / n_b)) AS BIGINT)
+               END AS z_sign
         FROM agg
     )
     SELECT n_a, conv_a, n_b, conv_b,
            conv_a * 1000000 // n_a / 1e6 AS rate_a,
            conv_b * 1000000 // n_b / 1e6 AS rate_b,
-           z_q / 1e6 AS z,
-           abs(z_q) > 1960000 AS significant
+           z_sign * z_mag_q / 1e6 AS z,
+           z_mag_q > 1960000 AS significant
     FROM zq
     """,
     "A/B experiment readout: hash-decided arm assignment (deterministic "
@@ -4266,16 +4268,18 @@ def x73_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("conv_a") * 1.0 / F.col("n_a")) - (F.col("conv_b") * 1.0 / F.col("n_b"))
     ) / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
     # degenerate pools (all or none converted) have an undefined z;
-    # define 0 rather than divide by zero (ANSI mode raises)
-    zq = (
-        F.when(
-            (F.col("conv_a") + F.col("conv_b") == 0)
-            | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
-            F.lit(0),
-        )
-        .otherwise(F.floor(z_raw * 1_000_000))
-        .cast("long")
+    # define 0 rather than divide by zero (ANSI mode raises). The
+    # MAGNITUDE is quantized (floor(abs(z)*1e6)) with the sign carried
+    # separately — flooring the signed value would move negative z
+    # away from zero, making the significance cut asymmetric between
+    # arms.
+    degenerate = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
     )
+    z_mag_q = (
+        F.when(degenerate, F.lit(0)).otherwise(F.floor(F.abs(z_raw) * 1_000_000)).cast("long")
+    )
+    z_sign = F.when(degenerate, F.lit(0)).otherwise(F.signum(z_raw)).cast("long")
     return agg.select(
         "n_a",
         "conv_a",
@@ -4283,8 +4287,8 @@ def x73_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         (F.expr("conv_a * 1000000 div n_a") / 1e6).alias("rate_a"),
         (F.expr("conv_b * 1000000 div n_b") / 1e6).alias("rate_b"),
-        (zq / 1e6).alias("z"),
-        (F.abs(zq) > 1_960_000).alias("significant"),
+        (z_sign * z_mag_q / 1e6).alias("z"),
+        (z_mag_q > 1_960_000).alias("significant"),
     )
 
 
@@ -4293,7 +4297,7 @@ def x73_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sized AS (
         SELECT doc_id, text, length(text) AS n,
-               greatest(length(text) // 60, 1) AS stride
+               (length(text) + 59) // 60 AS stride
         FROM documents
         WHERE length(text) > 0
     ),

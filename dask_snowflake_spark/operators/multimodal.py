@@ -252,7 +252,10 @@ def ahash60(
                     ids.append(doc)
                     hs.append(0)
                     continue
-                stride = max(n // 60, 1)
+                # ceiling stride so the 60 samples span the WHOLE
+                # payload (a floor stride of 1 for 60 < n < 120 would
+                # sample only the first 60 bytes and ignore the tail)
+                stride = (n + 59) // 60
                 samples = [b[(j * stride) % n] for j in range(60)]
                 s = sum(samples)
                 h = 0

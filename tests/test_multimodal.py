@@ -67,3 +67,18 @@ def test_kernel_validation(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, asset binary")
     with pytest.raises(ValueError, match="kernel"):
         mm.decode_metadata(df, kernel="ffmpeg")
+
+
+def test_ahash60_samples_span_whole_payload(spark):
+    """Ceiling stride: for 60 < n < 120 the 60 samples must reach the
+    payload TAIL (a floor stride of 1 sampled only the first 60 bytes,
+    so a tail-only difference was invisible to the fingerprint)."""
+    base = bytes([0x10]) * 61
+    tail_changed = base[:-1] + bytes([0xFF])
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(tail_changed))],
+        "doc_id long, asset binary",
+    )
+    hs = {r.doc_id: r.ahash for r in mm.ahash60(df).collect()}
+    assert hs[1] == 0  # constant payload: no sample exceeds the mean
+    assert hs[2] != hs[1], "tail byte must influence the fingerprint"
