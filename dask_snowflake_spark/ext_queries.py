@@ -5586,3 +5586,122 @@ def x96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "term")
         .limit(25)
     )
+
+
+@query(
+    "x99_bucketed_colocated_join",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > DATE '1995-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "BUCKETED co-located join — the pre-shuffle pattern for a join "
+    "repeated across a 100 TB pipeline: both fact tables are written "
+    "once with bucketBy(8, orderkey) (hash-partitioned into fixed "
+    "buckets AT WRITE TIME), and the sort-merge join then reads bucket "
+    "i against bucket i with NO exchange on either side — the join "
+    "shuffle is paid once at layout time, not per query. The merge "
+    "hint pins SMJ so the demonstration can't degrade to a broadcast "
+    "at small SF; tests/test_plans.py pins SelectedBucketsCount in the "
+    "scan and the absence of a hashpartitioning exchange on the join "
+    "keys. At production scale the bucket count scales with the data "
+    "(e.g. 4096), amortizing every downstream orderkey join/agg",
+    ("relational", "layout", "performance"),
+)
+def x99_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _scratch_dir
+
+    t = _t(spark, sf_dir)
+    li_tbl, od_tbl = "x99_li_bucketed", "x99_od_bucketed"
+    for tbl in (li_tbl, od_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _scratch_dir("x99_li"))
+        .saveAsTable(li_tbl)
+    )
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _scratch_dir("x99_od"))
+        .saveAsTable(od_tbl)
+    )
+    li, od = spark.table(li_tbl), spark.table(od_tbl)
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-01-01").cast("date"))
+        .hint("merge")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "xa0_bpe_merge_candidates",
+    r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w, count(*) AS cnt FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, i.i::INTEGER, 2) AS pair, cnt
+        FROM vocab, LATERAL unnest(range(1, length(w))) AS i(i)
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    "BPE tokenizer-induction round 1 (Sennrich et al. 2016): exact "
+    "corpus-weighted counts of adjacent symbol pairs, emitted as the "
+    "top-20 merge candidates. The scale trick is counting over the "
+    "VOCABULARY (distinct words x their corpus frequency) instead of "
+    "the token stream — pair extraction touches each distinct word "
+    "once, and the explode is bounded by vocabulary size x word "
+    "length, not corpus size. Exact integer counts; unique (count, "
+    "pair) ordering. Subsequent BPE rounds iterate the same "
+    "count->merge->re-pair shape on the shrinking symbolized vocab",
+    ("text", "pipeline"),
+)
+def xa0_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    vocab = (
+        t["documents"]
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )

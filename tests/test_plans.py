@@ -352,3 +352,32 @@ def test_correlation_two_aggs_no_join(spark, sf_oracle):
     p = plan(registry()["x84_metric_correlation"].spark_fn(spark, sf_oracle))
     assert "Join" not in p, p
     assert "corr" not in p.lower(), p
+
+
+def test_bucketed_join_avoids_exchange(spark, sf_oracle):
+    """x99: both sides written bucketBy(8, orderkey), so the sort-merge
+    join must read bucket i against bucket i — bucketed scans in the
+    plan and NO hashpartitioning exchange on the join keys (the one
+    shuffle a repeated fact-fact join would otherwise pay per query)."""
+    df = registry()["x99_bucketed_colocated_join"].spark_fn(spark, sf_oracle)
+    p = plan(df)
+    assert "SortMergeJoin" in p, p
+    assert "SelectedBucketsCount" in p, p
+    assert "hashpartitioning(l_orderkey" not in p, p
+    assert "hashpartitioning(o_orderkey" not in p, p
+
+
+def test_bpe_pairs_counted_over_vocab_not_stream(spark, sf_oracle):
+    """xa0's pair explode runs over the aggregated vocabulary (distinct
+    word + count), never the raw token stream: the plan aggregates
+    words BEFORE the pair explode (generator sits above the first
+    partial/final agg), and the top-20 is TakeOrdered, not a full
+    sort."""
+    p = plan(registry()["xa0_bpe_merge_candidates"].spark_fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in p, p
+    gen_pos = p.find("Generate")
+    assert gen_pos != -1, p
+    # formatted explain prints root-first: an agg TEXTUALLY AFTER the
+    # generator is executed BEFORE it — the vocab aggregation must sit
+    # below the pair explode in the tree
+    assert "HashAggregate" in p[gen_pos:], "vocab agg must feed the pair explode"
