@@ -55,11 +55,19 @@ def connected_components(
     fixpoint (one-hop hash-min needs O(diameter) rounds, so a component
     with diameter > max_iter would otherwise be silently mislabeled).
     """
-    und = (
+    from ..session import track_cache
+
+    # The edge list is the BIG static table of the loop; persisting it
+    # pre-partitioned on the per-round join key keeps its partitioning
+    # visible to Catalyst (localCheckpoint's LogicalRDD drops it), so
+    # when the frontier is too large to broadcast the sort-merge join
+    # reads the cached edges with NO exchange — the edge list never
+    # re-shuffles, round after round. One repartition at init buys it.
+    und = track_cache(
         edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
         .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("__v")
     )
 
     # initial label: min over self and direct neighbors — equivalently
@@ -142,14 +150,22 @@ def pagerank_integer(
     mass, so there are no dangling-mass corrections. Returns
     ``(vertex, pr_q)`` with ``pr_q`` in mass units.
     """
+    from ..session import track_cache
+
     und = (
         edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
         .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
         .distinct()
     )
     deg = und.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
-    # edge list annotated once with the source degree; reused every round
-    und_deg = und.join(deg, "__u").localCheckpoint(eager=True)
+    # edge list annotated once with the source degree; reused every
+    # round. Persisted PRE-PARTITIONED on the per-round join key so the
+    # cached partitioning is visible to Catalyst: when the rank vector
+    # is too big to broadcast, the per-round sort-merge join reads the
+    # cached edges exchange-free — and the rank vector itself arrives
+    # partitioned by the same key from the previous round's groupBy, so
+    # the round's ONLY full shuffle is the destination-keyed mass sum.
+    und_deg = track_cache(und.join(deg, "__u").repartition("__u"))
     # vertex count and teleport base are SCALARS — one bounded driver
     # pull turns them into plan literals; leaving them as one-row
     # DataFrames re-broadcasts (and re-computes) the subtree each round
