@@ -5705,3 +5705,145 @@ def xa0_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "xa1_dedup_quality_representative",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    labels AS (SELECT u, least(u, min(r)) AS cluster_id FROM reach GROUP BY u),
+    assign AS (
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               length(trim(d.text)) AS quality
+        FROM documents d LEFT JOIN labels l ON l.u = d.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+        ) AS rn
+        FROM assign
+    )
+    SELECT doc_id, cluster_id, quality, (rn = 1) AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+    "QUALITY-AWARE dedup representative selection: near-dup clusters "
+    "(MinHash+LSH -> connected components) keep the HIGHEST-quality "
+    "member instead of dedup_apply's min-id — the policy production "
+    "pipelines actually want (min-id discards the best copy of "
+    "boilerplate families). Quality here is the integer trimmed length "
+    "(deterministic stand-in for the doc_stats composite); the "
+    "per-cluster argmax is a row_number window with (quality DESC, "
+    "doc_id) unique ordering, one shuffle over the assignment table. "
+    "Oracle replays clustering as a recursive transitive closure",
+    ("dedup", "graph", "pipeline", "quality"),
+)
+def xa1_dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.graph import connected_components
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup_ops.minhash_near_dup(
+        docs, shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("vertex", "doc_id")
+    assign = (
+        docs.select("doc_id", F.length(F.trim("text")).alias("quality"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            "quality",
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    )
+    return assign.select("doc_id", "cluster_id", "quality", (rn == 1).alias("kept")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "xa2_compaction_plan",
+    """
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               count(*) * 512 AS size_bytes
+        FROM events GROUP BY day, event_type
+    ),
+    planned AS (
+        SELECT day, event_type, size_bytes,
+               coalesce(sum(size_bytes) OVER (
+                   ORDER BY day, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 262144 AS bin
+        FROM files
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           min(day) AS first_day,
+           max(day) AS last_day
+    FROM planned GROUP BY bin ORDER BY bin
+    """,
+    "small-file COMPACTION planning (the Iceberg/Delta binPack "
+    "maintenance shape): the per-(day, event_type) file inventory with "
+    "simulated 512 B/row sizes is packed into ~256 KiB target bins by "
+    "exclusive-prefix-sum division in layout order — file i lands in "
+    "bin floor(cum_before / target), preserving sort order so "
+    "compacted files keep data-skipping locality. The plan runs over "
+    "file STATS (metadata-scale, thousands of rows for a 100 TB "
+    "table), never the data; the single unpartitioned window is "
+    "bounded by the inventory size. Integer sizes end-to-end",
+    ("layout", "maintenance", "events"),
+)
+def xa2_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    files = (
+        t["events"]
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg((F.count(F.lit(1)) * 512).alias("size_bytes"))
+    )
+    before = F.coalesce(
+        F.sum("size_bytes").over(
+            W.orderBy("day", "event_type").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        files.withColumn("bin", F.floor(before / 262144).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").cast("long").alias("total_bytes"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("bin")
+    )
