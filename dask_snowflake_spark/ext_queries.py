@@ -5847,3 +5847,53 @@ def xa2_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "xa3_binaryfile_ingest",
+    """
+    SELECT doc_id,
+           length(text) + 1 AS payload_bytes,
+           md5(text || chr(10)) AS payload_md5
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    "binaryFile-source ingest — Spark's built-in path for loading raw "
+    "multimodal assets (images/audio) as binary columns straight from "
+    "a file listing: documents are materialized one file per doc_id "
+    "partition directory (text sink + partitionBy), read back with "
+    "format('binaryFile') which yields (path, modificationTime, "
+    "length, content), the owning doc_id recovered from the partition "
+    "path, and the binary payload verified by length + md5 against "
+    "the source table. At 100 TB this scan parallelizes over the file "
+    "listing with binary contents never passing through the driver; "
+    "maxPartitionBytes bounds task input as for any FileScan",
+    ("sources", "multimodal"),
+)
+def xa3_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _scratch_dir
+
+    t = _t(spark, sf_dir)
+    path = _scratch_dir("xa3_binfiles")
+    # one directory per doc (partitionBy) holding exactly one text file
+    # whose content is the document text + trailing newline (text sink
+    # contract) — a stand-in for an image/audio asset directory tree
+    # bounded demo corpus: the point is the source path, not a
+    # 5000-directory tree churned twice per bench pass
+    t["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    ).repartition("doc_id").write.mode("overwrite").partitionBy("doc_id").text(path)
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return (
+        binf.select(
+            F.regexp_extract(F.col("path"), r"doc_id=(\d+)/", 1).cast("long").alias("doc_id"),
+            F.col("length").alias("payload_bytes"),
+            F.md5(F.col("content")).alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
