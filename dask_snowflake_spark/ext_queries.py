@@ -5897,3 +5897,97 @@ def xa3_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "xa4_fused_metric_quantiles",
+    r"""
+    WITH m AS (
+        SELECT lang, 'n_chars' AS metric, CAST(length(text) AS DOUBLE) AS v
+        FROM documents
+        UNION ALL
+        SELECT lang, 'n_tokens' AS metric,
+               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS v
+        FROM documents WHERE trim(text) != ''
+    )
+    SELECT lang, metric,
+           round(quantile_cont(v, 0.5), 4) AS p50,
+           round(quantile_cont(v, 0.9), 4) AS p90
+    FROM m GROUP BY lang, metric
+    ORDER BY lang, metric
+    """,
+    "FUSED multi-metric exact quantiles: per-language p50/p90 of BOTH "
+    "n_chars and n_tokens in ONE bounded-state histogram pass — the "
+    "metric name is folded into the GROUP KEY (union-explode to "
+    "(lang, metric, value) rows), so the existing exact-quantile "
+    "operator fuses any number of value columns with zero new API: "
+    "one scan, one histogram aggregation, one selection pass for all "
+    "metrics. The Spark-first answer to 'extend the operator to "
+    "multiple value columns'. 4dp stage-seam rounding as q11/x67",
+    ("text", "quality", "analytics"),
+)
+def xa4_fused_metric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    m = (
+        docs.select(
+            "lang", F.lit("n_chars").alias("metric"), F.length("text").cast("double").alias("v")
+        )
+    ).unionByName(
+        docs.filter(F.trim("text") != "").select(
+            "lang",
+            F.lit("n_tokens").alias("metric"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("v"),
+        )
+    )
+    q = exact_group_quantiles(m, ["lang", "metric"], "v", [0.5, 0.9])
+    return q.select(
+        "lang",
+        "metric",
+        F.round(F.col("quantiles")[0], 4).alias("p50"),
+        F.round(F.col("quantiles")[1], 4).alias("p90"),
+    ).orderBy("lang", "metric")
+
+
+@query(
+    "xa5_salted_skew_join",
+    """
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    "SALTED broadcast join under a skewed key: the customer->nation "
+    "dimension join runs through salted_broadcast_join (dimension "
+    "replicated once per salt, fact joins on (key, salt)) so a hot "
+    "nation key can never stall one reducer — the big side is NEVER "
+    "shuffled at all (broadcast join on the composite key). Result is "
+    "provably identical to the plain join (the oracle IS the plain "
+    "join); complements agg_skew_salted (salted AGGREGATION) with the "
+    "join-side skew defense from operators/skew.py",
+    ("relational", "skew", "performance"),
+)
+def xa5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_broadcast_join
+
+    t = _t(spark, sf_dir)
+    cust_nation = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    joined = salted_broadcast_join(
+        t["orders"], cust_nation, on="o_custkey", how="inner", num_salts=8
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
