@@ -99,6 +99,8 @@ def exact_group_quantiles(
         raise ValueError("probs must name at least one quantile")
     if any(not 0.0 <= p <= 1.0 for p in probs):
         raise ValueError(f"probs must be in [0, 1], got {probs}")
+    if max_cell_rows < 1:
+        raise ValueError(f"max_cell_rows must be >= 1, got {max_cell_rows}")
     sub_octave = max(1, buckets // 16)
     g = [F.col(c) for c in group_cols]
 
