@@ -152,20 +152,29 @@ def pagerank_integer(
     """
     from ..session import track_cache
 
+    from pyspark.sql.window import Window as W
+
     und = (
         edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
         .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
         .distinct()
     )
-    deg = und.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
-    # edge list annotated once with the source degree; reused every
-    # round. Persisted PRE-PARTITIONED on the per-round join key so the
-    # cached partitioning is visible to Catalyst: when the rank vector
-    # is too big to broadcast, the per-round sort-merge join reads the
-    # cached edges exchange-free — and the rank vector itself arrives
-    # partitioned by the same key from the previous round's groupBy, so
-    # the round's ONLY full shuffle is the destination-keyed mass sum.
-    und_deg = track_cache(und.join(deg, "__u").repartition("__u"))
+    # edge list annotated once with the source degree and reused every
+    # round. The degree comes from a WINDOW count (one scan, one
+    # shuffle) instead of a groupBy + self-join, which would evaluate
+    # the upstream edge pipeline twice during the cache fill. The
+    # window leaves the output hash-partitioned by __u and the cache
+    # preserves that partitioning for Catalyst, so the per-round join
+    # is exchange-free on BOTH sides when the rank vector outgrows
+    # broadcast: edges read cached-partitioned, and the rank vector
+    # arrives partitioned by the same key from the previous round's
+    # groupBy (alias-traced through the __v -> __u rename). The
+    # round's ONLY full shuffle is the destination-keyed mass sum.
+    und_deg = track_cache(
+        und.select(
+            "__u", "__v", F.count(F.lit(1)).over(W.partitionBy("__u")).alias("__deg")
+        )
+    )
     # vertex count and teleport base are SCALARS — one bounded driver
     # pull turns them into plan literals; leaving them as one-row
     # DataFrames re-broadcasts (and re-computes) the subtree each round
