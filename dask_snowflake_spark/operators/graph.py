@@ -37,6 +37,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _both_directions(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u,v) and (v,u) rows from ONE scan of ``edges`` (explode of two
+    structs) — a self-union would evaluate the upstream edge pipeline
+    (often a whole LSH candidate generation) twice in the same plan."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("__u"), F.col(dst).alias("__v")),
+                F.struct(F.col(dst).alias("__u"), F.col(src).alias("__v")),
+            )
+        ).alias("__e")
+    ).select("__e.__u", "__e.__v")
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -64,10 +78,7 @@ def connected_components(
     # reads the cached edges with NO exchange — the edge list never
     # re-shuffles, round after round. One repartition at init buys it.
     und = track_cache(
-        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-        .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
-        .distinct()
-        .repartition("__v")
+        _both_directions(edges, src, dst).distinct().repartition("__v")
     )
 
     # initial label: min over self and direct neighbors — equivalently
@@ -154,11 +165,7 @@ def pagerank_integer(
 
     from pyspark.sql.window import Window as W
 
-    und = (
-        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-        .union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
-        .distinct()
-    )
+    und = _both_directions(edges, src, dst).distinct()
     # edge list annotated once with the source degree and reused every
     # round. The degree comes from a WINDOW count (one scan, one
     # shuffle) instead of a groupBy + self-join, which would evaluate
@@ -206,7 +213,20 @@ def pagerank_integer(
     return pr.select(F.col("__u").alias("vertex"), F.col("__pr").alias("pr_q"))
 
 
-def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Cached canonical (u < v) distinct edge set — the shared base the
+    triangle operators reuse so the upstream edge pipeline (often LSH
+    pair generation) is evaluated exactly once."""
+    from ..session import track_cache
+
+    return track_cache(
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") < F.col("v"))  # drops self-loops
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame, src: str, dst: str, *, _e: DataFrame | None = None) -> DataFrame:
     """Every triangle of the undirected graph ``edges``, each exactly
     once, as ``(a, b, c)`` — the classic degree-ordered orientation
     ("compact-forward"): orient each edge from its (degree, id)-smaller
@@ -219,12 +239,7 @@ def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """
     from ..session import track_cache
 
-    e = (
-        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
-        .filter(F.col("u") < F.col("v"))  # drops self-loops
-        .distinct()
-    )
-    e = track_cache(e)
+    e = _canonical_edges(edges, src, dst) if _e is None else _e
     und = e.union(e.select(F.col("v"), F.col("u")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg.select("u", F.col("deg").alias("du")), "u").join(
@@ -265,11 +280,7 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     clustering coefficient ``3*triangles/wedges``, integer-quantized
     (``* 1e6 div wedges / 1e6``) so both engines emit the identical
     double. Two bounded aggregations plus the ``triangles`` join."""
-    e = (
-        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
-        .filter(F.col("u") < F.col("v"))
-        .distinct()
-    )
+    e = _canonical_edges(edges, src, dst)
     und = e.union(e.select(F.col("v"), F.col("u")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     stats = deg.agg(
@@ -277,7 +288,7 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
         F.expr("CAST(sum(deg) div 2 AS BIGINT)").alias("n_edges"),
         F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)").alias("n_wedges"),
     )
-    tric = triangles(edges, src, dst).agg(
+    tric = triangles(edges, src, dst, _e=e).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     return (
