@@ -31,16 +31,26 @@ from pyspark.sql import functions as F
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
+_STREAM_CLONES: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = None  # type: ignore[assignment]
+
+
 def _stream_session(spark: SparkSession) -> SparkSession:
     """A per-driver-session clone (shared SparkContext, OWN SQLConf)
     right-sized for bounded stream runs. State-store instances = shuffle
     partitions and their setup cost dominates a bounded smoke run
     (6s -> 2.7s at 32 -> 8 partitions locally); sizing the clone keeps
     the width-8 setting invisible to every query on the caller's
-    session. Memoized so all streams of one driver session share a
-    catalog (stream-stream joins, memory-sink tables). A long-lived
-    production stream sizes this to its key cardinality instead."""
-    clone = getattr(spark, "_dss_stream_session", None)
+    session. Memoized in a module-level weak mapping (never mutating
+    the caller's session object) so all streams of one driver session
+    share a catalog (stream-stream joins, memory-sink tables); the
+    entry dies with the owning session. A long-lived production stream
+    sizes this to its key cardinality instead."""
+    global _STREAM_CLONES
+    if _STREAM_CLONES is None:
+        import weakref
+
+        _STREAM_CLONES = weakref.WeakKeyDictionary()
+    clone = _STREAM_CLONES.get(spark)
     if clone is None:
         from ..session import _ensure_runtime_confs
 
@@ -49,7 +59,7 @@ def _stream_session(spark: SparkSession) -> SparkSession:
         width = clone.conf.get("spark.sql.shuffle.partitions")
         if width.isdigit() and int(width) > 8:
             clone.conf.set("spark.sql.shuffle.partitions", "8")
-        spark._dss_stream_session = clone
+        _STREAM_CLONES[spark] = clone
     return clone
 
 
