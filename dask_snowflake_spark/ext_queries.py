@@ -227,7 +227,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_simhash",
+    "xa6_dedup_simhash",
     """
     WITH words AS (
         SELECT DISTINCT doc_id AS doc, w
@@ -250,7 +250,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SimHash 60-bit fingerprint per document (majority vote of word-hash bits)",
     ("dedup",),
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xa6_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return dedup_ops.simhash(t["documents"], bits=60).orderBy("doc_id")
 
@@ -714,7 +714,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mm_frame_sample",
+    "xa7_mm_frame_sample",
     """
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
     fr AS (SELECT doc_id, n, unnest(range(0, 1 + n % 8, 2)) AS frame_idx FROM b)
@@ -726,7 +726,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "video-style frame sampling plumbing: 1->N mapInPandas over binary assets (stub frames)",
     ("multimodal",),
 )
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xa7_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     assets = mm_ops.attach_binary_assets(t["documents"])
     frames = mm_ops.frame_sample(assets, every_n=2)
@@ -5589,7 +5589,7 @@ def x96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x99_bucketed_colocated_join",
+    "file_bucketed_join",
     """
     SELECT o_orderstatus,
            count(*) AS n_items,
@@ -5612,7 +5612,7 @@ def x96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(e.g. 4096), amortizing every downstream orderkey join/agg",
     ("relational", "layout", "performance"),
 )
-def x99_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def file_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _scratch_dir
 
     t = _t(spark, sf_dir)
@@ -5708,7 +5708,7 @@ def xa0_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xa1_dedup_quality_representative",
+    "dedup_quality_representative",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -5757,7 +5757,7 @@ def xa0_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle replays clustering as a recursive transitive closure",
     ("dedup", "graph", "pipeline", "quality"),
 )
-def xa1_dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators.graph import connected_components

@@ -355,11 +355,11 @@ def test_correlation_two_aggs_no_join(spark, sf_oracle):
 
 
 def test_bucketed_join_avoids_exchange(spark, sf_oracle):
-    """x99: both sides written bucketBy(8, orderkey), so the sort-merge
+    """file_bucketed_join: both sides written bucketBy(8, orderkey), so the sort-merge
     join must read bucket i against bucket i — bucketed scans in the
     plan and NO hashpartitioning exchange on the join keys (the one
     shuffle a repeated fact-fact join would otherwise pay per query)."""
-    df = registry()["x99_bucketed_colocated_join"].spark_fn(spark, sf_oracle)
+    df = registry()["file_bucketed_join"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "SortMergeJoin" in p, p
     assert "SelectedBucketsCount" in p, p
