@@ -5991,3 +5991,121 @@ def xa5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "xa8_pipeline_llm_corpus",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    labels AS (SELECT u, least(u, min(r)) AS cluster_id FROM reach GROUP BY u),
+    shw AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+4], ' ') AS shingle
+        FROM words, LATERAL unnest(range(greatest(len(w) - 3, 1))) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM shw WHERE doc_id % 50 = 0),
+    tr_sh AS (SELECT * FROM shw WHERE doc_id % 50 != 0),
+    per_doc AS (SELECT doc_id, count(*) AS n_sh FROM tr_sh GROUP BY doc_id),
+    hits AS (
+        SELECT tr_sh.doc_id, count(*) AS n_ov
+        FROM tr_sh JOIN ev USING (shingle) GROUP BY tr_sh.doc_id
+    ),
+    corpus AS (
+        SELECT d.doc_id, d.lang,
+               len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+        FROM documents d
+        JOIN per_doc p ON p.doc_id = d.doc_id
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
+        LEFT JOIN labels l ON l.u = d.doc_id
+        WHERE d.doc_id % 50 != 0
+          AND coalesce(l.cluster_id, d.doc_id) = d.doc_id
+          AND length(trim(d.text)) >= 50
+          AND coalesce(h.n_ov, 0) * 100 <= p.n_sh
+    ),
+    assigned AS (
+        SELECT lang, n_tokens,
+               CASE WHEN bkt < 100000 THEN 'test'
+                    WHEN bkt < 900000 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM (SELECT *,
+                     ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM corpus)
+    )
+    SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    "the END-TO-END LLM corpus-prep pipeline as ONE query — the "
+    "composition a reference user actually ships: (1) MinHash+LSH "
+    "near-dup clustering keeps the min-id representative per cluster "
+    "(near-dups of EVAL docs get dropped here too — dedup doubles as "
+    "fuzzy decontamination); (2) quality floor (>= 50 trimmed chars); "
+    "(3) benchmark decontamination — train docs with > 1% word-4-gram "
+    "overlap against the eval set (doc_id % 50 = 0 stand-in) dropped "
+    "via integer cross-multiplication; (4) hash-decided 80/10/10 "
+    "train/val/test split (rows never migrate as the corpus grows). "
+    "Emits per-(split, lang) doc and exact token counts. Every stage "
+    "reuses a driver-green operator (dedup CC, ngram_overlap, "
+    "split_assign); the oracle replays the chain with the same proven "
+    "CTEs",
+    ("pipeline", "dedup", "decontam", "sampling", "quality"),
+)
+def xa8_pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import ngram_overlap
+    from .operators.graph import connected_components
+    from .operators.sampling import split_assign
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    # (1) near-dup clusters over the WHOLE corpus: representatives are
+    # chosen globally, so a training doc whose cluster min-id is an
+    # eval doc stays dropped — it duplicates benchmark material
+    pairs = dedup_ops.minhash_near_dup(
+        docs, shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("vertex", "doc_id")
+    # (3) contamination stats: train-side docs vs eval 4-grams
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    overlap = ngram_overlap(train, evalset, n=4).withColumnRenamed("doc", "doc_id")
+    corpus = (
+        train.join(overlap, "doc_id")
+        .join(cc, "doc_id", "left")
+        .filter(
+            (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+            & (F.length(F.trim("text")) >= 50)
+            & (F.col("n_overlap") * 100 <= F.col("n_shingles"))
+        )
+        .select(
+            "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        )
+    )
+    assigned = split_assign(
+        corpus, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
