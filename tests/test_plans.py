@@ -381,3 +381,13 @@ def test_bpe_pairs_counted_over_vocab_not_stream(spark, sf_oracle):
     # generator is executed BEFORE it — the vocab aggregation must sit
     # below the pair explode in the tree
     assert "HashAggregate" in p[gen_pos:], "vocab agg must feed the pair explode"
+
+
+def test_pipeline_corpus_broadcasts_eval_side(spark, sf_oracle):
+    """xa8: the decontamination stage must broadcast the eval n-gram
+    set into the training-corpus shingle stream (the corpus never
+    shuffles for the contamination join) and no stage may degrade to a
+    cartesian product."""
+    p = plan(registry()["xa8_pipeline_llm_corpus"].spark_fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
