@@ -6109,3 +6109,94 @@ def xa8_pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "xa9_pipeline_product_analytics",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ),
+    tagged AS (
+        SELECT *,
+               first_value(event_type) OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS entry_type
+        FROM sessions
+    ),
+    per_session AS (
+        SELECT user_id, session_id, entry_type,
+               count(*) AS n_events,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS revenue
+        FROM tagged GROUP BY user_id, session_id, entry_type
+    )
+    SELECT entry_type,
+           count(*) AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) / 1e6 AS bounce_rate,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           sum(converted) * 1000000 // count(*) / 1e6 AS conv_rate,
+           round(sum(revenue), 2) AS revenue
+    FROM per_session GROUP BY entry_type ORDER BY entry_type
+    """,
+    "the product-analytics composition in ONE query (the events-side "
+    "mirror of xa8): gaps-and-islands sessionization (30-min boundary, "
+    "microsecond-exact diffs, event_id tiebreak) -> per-session entry "
+    "event type, bounce flag, conversion flag, purchase revenue -> "
+    "per-entry-type funnel readout with integer-quantized bounce and "
+    "conversion rates. All windows partitioned by user; the rollup is "
+    "one bounded agg over one row per session",
+    ("events", "analytics", "pipeline"),
+)
+def xa9_pipeline_product_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t["events"].select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.lag("ts").over(w).alias("__prev"),
+    )
+    new_s = F.when(
+        F.col("__prev").isNull()
+        | (F.timestamp_diff("MICROSECOND", F.col("__prev"), F.col("ts")) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = marked.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "session_id"
+        ),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    tagged = sessions.withColumn("entry_type", F.first("event_type").over(ws))
+    per = tagged.groupBy("user_id", "session_id", "entry_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("revenue"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            (F.expr("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 div count(1)") / 1e6).alias("bounce_rate"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            (F.expr("sum(converted) * 1000000 div count(1)") / 1e6).alias("conv_rate"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .orderBy("entry_type")
+    )
