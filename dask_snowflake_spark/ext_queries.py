@@ -6200,3 +6200,46 @@ def xa9_pipeline_product_analytics(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("entry_type")
     )
+
+
+@query(
+    "xaa_variant_semistructured",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "Spark 4 VARIANT semi-structured path (the successor to string "
+    "get_json_object that q21 covers): try_parse_json -> open VARIANT "
+    "column, typed extraction via variant_get('$.k', 'bigint') with "
+    "engine-native shredding, try_variant_get on an absent path "
+    "yielding NULL (counted, provably zero). VARIANT keeps the parsed "
+    "binary representation through the plan, so repeated path "
+    "extractions don't re-parse the JSON text per access — the right "
+    "semi-structured shape for wide event payloads at scale",
+    ("functions", "json"),
+)
+def xaa_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    v = F.try_parse_json("props")
+    ev = t["events"].select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.when(F.col("missing").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
