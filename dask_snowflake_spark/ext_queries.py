@@ -3162,8 +3162,14 @@ def x57_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     docs = t["documents"]
     sh = track_cache(dedup_ops.hashed_shingles(docs, "text", "doc_id", 3))
-    sig = dedup_ops.minhash_signatures(sh, num_hashes=16)
-    cand = dedup_ops.lsh_candidate_pairs(dedup_ops.lsh_bands(sig, rows_per_band=2))
+    # prehashed=True is CORRECTNESS-relevant, not just speed: the oracle
+    # builds its bands from the hashed shingle longs, so re-hashing here
+    # would put Spark on a different LSH family — a different candidate
+    # superset that only happens to contain the same verified pairs.
+    # Bands cached: the candidate self-join reads both sides.
+    sig = dedup_ops.minhash_signatures(sh, num_hashes=16, prehashed=True)
+    bands = track_cache(dedup_ops.lsh_bands(sig, rows_per_band=2))
+    cand = dedup_ops.lsh_candidate_pairs(bands)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sh_b = sh.select(F.col("doc").alias("__db"), F.col("shingle").alias("__shb"))
     inter = (
@@ -5245,7 +5251,8 @@ def x89_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     sh = track_cache(dedup_ops.hashed_shingles(t["documents"], "text", "doc_id", 3))
     sig = dedup_ops.minhash_signatures(sh, 16, prehashed=True)
-    cand = dedup_ops.lsh_candidate_pairs(dedup_ops.lsh_bands(sig, 2))
+    bands = track_cache(dedup_ops.lsh_bands(sig, 2))
+    cand = dedup_ops.lsh_candidate_pairs(bands)
     jac = dedup_ops.jaccard(sh, cand)
     return jac.agg(
         F.count(F.lit(1)).alias("n_candidates"),
