@@ -6250,3 +6250,76 @@ def xaa_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "xab_equidepth_bucketize",
+    """
+    WITH pv AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    qs AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS q1,
+               round(quantile_cont(value, 0.50), 4) AS q2,
+               round(quantile_cont(value, 0.75), 4) AS q3
+        FROM pv GROUP BY event_type
+    ),
+    binned AS (
+        SELECT p.event_type,
+               CASE WHEN p.value <= q.q1 THEN 0
+                    WHEN p.value <= q.q2 THEN 1
+                    WHEN p.value <= q.q3 THEN 2
+                    ELSE 3 END AS bin,
+               p.value
+        FROM pv p JOIN qs q USING (event_type)
+    )
+    SELECT event_type, bin, count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM binned GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+    "equi-depth feature bucketing (ML discretization): per-event-type "
+    "quartile boundaries from the bounded-state EXACT quantile "
+    "operator, rounded 4dp AT THE STAGE SEAM (so both engines bin "
+    "against identical doubles), then every value assigned its "
+    "quartile bin by broadcast of the tiny boundary table into the "
+    "scan — per-(type, bin) counts and value spans. The quantile "
+    "operator's 4th composition (after MAD, latency percentiles, "
+    "percentile gates); bucketize is one broadcast join + codegen "
+    "CASE, scan-speed at any corpus size",
+    ("events", "quality", "analytics"),
+)
+def xab_equidepth_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    pv = track_cache(
+        t["events"].filter(F.col("value").isNotNull()).select("event_type", "value")
+    )
+    q = exact_group_quantiles(pv, ["event_type"], "value", [0.25, 0.5, 0.75]).select(
+        "event_type",
+        F.round(F.col("quantiles")[0], 4).alias("q1"),
+        F.round(F.col("quantiles")[1], 4).alias("q2"),
+        F.round(F.col("quantiles")[2], 4).alias("q3"),
+    )
+    binned = pv.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "value",
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
