@@ -6323,3 +6323,61 @@ def xab_equidepth_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+@query(
+    "xac_window_distribution_funcs",
+    """
+    WITH ranked AS (
+        SELECT c_nationkey,
+               c_acctbal,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_nationkey, quartile,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           min(pr) AS min_pr,
+           max(pr) AS max_pr,
+           max(cd) AS max_cd
+    FROM ranked GROUP BY c_nationkey, quartile
+    ORDER BY c_nationkey, quartile
+    """,
+    "the distribution window functions q12's ranking trio doesn't "
+    "cover: ntile(4) equal-count tiling, percent_rank, cume_dist — "
+    "per-nation balance quartiles with their rank-fraction spans. The "
+    "window ordering is UNIQUE ((balance, custkey)), so tiling and "
+    "rank fractions are deterministic; pr/cd are single IEEE divisions "
+    "of identical integers on both engines (no summation, no rounding "
+    "needed), and the per-quartile rollup keeps min/max picks — never "
+    "an order-dependent float sum",
+    ("relational", "window"),
+)
+def xac_window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked = t["customer"].select(
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.min("pr").alias("min_pr"),
+            F.max("pr").alias("max_pr"),
+            F.max("cd").alias("max_cd"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
