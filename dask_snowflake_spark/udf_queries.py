@@ -184,3 +184,50 @@ def fn_udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pc.o_orderkey, pc.chunk
         """
     )
+
+
+@query(
+    "xad_fn_udf_apply_in_arrow",
+    """
+    SELECT c_nationkey, count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+           min(c_custkey) AS min_custkey,
+           max(c_custkey) AS max_custkey
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "applyInArrow grouped-map (Spark 4's Arrow-native sibling of "
+    "applyInPandas): the group arrives as a pyarrow Table — no pandas "
+    "conversion layer — and per-nation stats are computed with "
+    "pyarrow.compute kernels. Balances go through exact integer cents "
+    "(2dp money scaled by 100 is integer-valued, so rounding mode "
+    "can't bite), so the group sums are order-independent integers",
+    ("udf",),
+)
+def xad_fn_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = _t(spark, sf_dir)
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(tbl["c_acctbal"], 100)), pa.int64())
+        mm = pc.min_max(tbl["c_custkey"])
+        return pa.table(
+            {
+                "c_nationkey": pa.array([tbl["c_nationkey"][0].as_py()], pa.int32()),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "bal_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_custkey": pa.array([mm["min"].as_py()], pa.int64()),
+                "max_custkey": pa.array([mm["max"].as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .applyInArrow(
+            stats,
+            "c_nationkey int, n long, bal_cents long, min_custkey long, max_custkey long",
+        )
+        .orderBy("c_nationkey")
+    )
