@@ -63,19 +63,32 @@ def main() -> None:
 
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     runs: list[dict[str, float]] = []
-    jobs: dict[str, int] = {}
+    job_runs: list[dict[str, int]] = []
     for _ in range(max(1, n_passes)):
         pass_times: dict[str, float] = {}
+        pass_jobs: dict[str, int] = {}
         for name, qd in ordered:
             t0 = time.perf_counter()
             j0 = sched.nextJobId()
             df = qd.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            jobs[name] = sched.nextJobId() - j0
+            pass_jobs[name] = sched.nextJobId() - j0
             pass_times[name] = round(time.perf_counter() - t0, 2)
         runs.append(pass_times)
+        job_runs.append(pass_jobs)
     timings = {name: min(r[name] for r in runs) for name in runs[0]}
     spread = {name: round(max(r[name] for r in runs) - timings[name], 2) for name in runs[0]}
+    # Job counts are "deterministic per plan" — prove it per run instead
+    # of silently keeping whichever pass ran last (r6 ADVICE): `jobs` is
+    # the per-query MIN across passes (steady-state plan cost; pass-1
+    # first-touch jobs don't inflate it) and any cross-pass disagreement
+    # is surfaced in `jobs_spread` rather than discarded.
+    jobs = {name: min(jr[name] for jr in job_runs) for name in job_runs[0]}
+    jobs_spread = {
+        name: max(jr[name] for jr in job_runs) - jobs[name]
+        for name in job_runs[0]
+        if max(jr[name] for jr in job_runs) != jobs[name]
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -91,6 +104,8 @@ def main() -> None:
         "runs": runs,
         "spread": spread,
         "jobs": jobs,
+        "job_runs": job_runs,
+        "jobs_spread": jobs_spread,
     }
     # The driver captures a bounded TAIL of stdout, so a single long line
     # gets its FRONT truncated and never parses (r1+r2 both hit this).

@@ -853,7 +853,7 @@ def partition_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_skew_salted",
+    "xae_agg_skew_salted",
     """
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS total, round(max(value), 6) AS mx
     FROM events
@@ -863,7 +863,7 @@ def partition_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted two-stage aggregation over a hot-key distribution == plain aggregation (skew never stalls a reducer)",
     ("skew", "aggregation"),
 )
-def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xae_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_agg
 
     t = _t(spark, sf_dir)
@@ -3910,7 +3910,7 @@ def _pagerank_iter_sql(iters: int) -> str:
 
 
 @query(
-    "x69_pagerank_near_dup",
+    "graph_pagerank_centrality",
     f"""
     WITH {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -3944,7 +3944,7 @@ def _pagerank_iter_sql(iters: int) -> str:
     "oracle replays the unrolled rounds as chained CTEs",
     ("dedup", "graph", "analytics"),
 )
-def x69_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators.graph import pagerank_integer
@@ -5715,7 +5715,7 @@ def xa0_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_quality_representative",
+    "xaf_dedup_quality_representative",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -5764,7 +5764,7 @@ def xa0_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle replays clustering as a recursive transitive closure",
     ("dedup", "graph", "pipeline", "quality"),
 )
-def dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xaf_dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators.graph import connected_components
@@ -6001,7 +6001,7 @@ def xa5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xa8_pipeline_llm_corpus",
+    "pipeline_llm_corpus",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -6075,7 +6075,7 @@ def xa5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CTEs",
     ("pipeline", "dedup", "decontam", "sampling", "quality"),
 )
-def xa8_pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontam import ngram_overlap
     from .operators.graph import connected_components
     from .operators.sampling import split_assign

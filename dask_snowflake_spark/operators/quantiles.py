@@ -38,13 +38,28 @@ Hot cells: a non-constant candidate cell whose pass-1 count exceeds
 ``max_cell_rows`` (many DISTINCT values packed inside one log-bucket,
 e.g. heavy mass in [1.0, 1.0443) at the default resolution) would
 window-sort in a single task — spillable, but serialized. Those cells
-take one extra bounded refinement pass instead: their rows (only
-theirs) are re-bucketed LINEARLY inside the cell's [min, max] span into
-R sub-cells sized from the cell count, the target rank is re-located in
+take bounded refinement passes instead: their rows (only theirs) are
+re-bucketed LINEARLY inside the cell's [min, max] span into R
+sub-cells sized from the cell count, the target rank is re-located in
 the sub-cell histogram, and only the landing sub-cell is rank-sorted.
-The branch is gated on an ``isEmpty`` probe of the tiny cached
-candidates table, so the common all-small plan is unchanged. NaNs are
-not handled (filter them like nulls before calling).
+The re-split ITERATES: a sub-cell that is still both non-constant and
+over the bound (intra-cell mass concentrated in a narrow sub-span) is
+re-split again against its own tighter [min, max], so the per-task
+sort bound holds under arbitrary skew up to ``max_refine_levels``
+levels (each level tightens the span strictly; 8 levels of >=256-way
+splits exhaust double precision for any realistic distribution). A
+cell still hot past the cap falls back to the spillable single-task
+window sort — exactness is never affected, only the bound claim, and
+only in that adversarial corner. The branch is gated on ``isEmpty``
+probes of the tiny cached candidates table, so the common all-small
+plan is unchanged. NaNs are not handled (filter them like nulls
+before calling); +/-infinities are fine — each infinity maps to its
+own extreme constant bucket (finite sub-octave indexes top out at
+|log2(DBL_MAX)|*S, far below the clamp), and the linear split guards
+its division so a non-finite endpoint can never produce NaN/ANSI
+errors. Quantiles that land exactly on an infinite value return that
+infinity (Spark ``percentile`` parity); interpolating BETWEEN an
+infinite and a finite value is NaN on Spark and here alike.
 """
 
 from __future__ import annotations
@@ -247,10 +262,21 @@ def exact_group_quantiles(
     quantile_exprs = []
     for i in range(len(probs)):
         lo, hi = _pick(i, 0), _pick(i, 1)
+        # Exact-hit guard: when the position is integral (frac == 0) or
+        # both picks are the same value, return the pick itself instead
+        # of running it through the interpolation arithmetic — for
+        # finite values the result is bit-identical, but an infinite
+        # pick would otherwise turn into NaN (inf - inf), where Spark's
+        # percentile() returns the infinity.
         quantile_exprs.append(
-            lo["__v"] + (hi["__v"] - lo["__v"]) * lo["__frac"]
+            F.when((lo["__frac"] == 0) | (lo["__v"] == hi["__v"]), lo["__v"]).otherwise(
+                lo["__v"] + (hi["__v"] - lo["__v"]) * lo["__frac"]
+            )
         )
     return picks.select(*group_cols, F.array(*quantile_exprs).alias("quantiles"))
+
+
+_DBL_MAX = 1.7976931348623157e308
 
 
 def _refined_hot_picks(
@@ -258,8 +284,11 @@ def _refined_hot_picks(
     group_cols: list[str],
     hot_cand: DataFrame,
     max_cell_rows: int,
+    *,
+    max_refine_levels: int = 8,
 ) -> DataFrame:
-    """Adaptive re-split of hot candidate cells (count > max_cell_rows).
+    """Iterated adaptive re-split of hot candidate cells (count >
+    max_cell_rows).
 
     Log-refinement cannot split a cell whose values sit in a narrow
     interval, so the refinement is LINEAR inside the cell's pass-1
@@ -267,74 +296,159 @@ def _refined_hot_picks(
     (16 × ceil(c / bound), clamped), giving ~bound/16 expected rows per
     sub-cell on even mass. One histogram aggregation over hot-cell rows
     only re-locates each target rank inside its sub-cell; constant
-    sub-cells short-circuit like pass-1 constant cells, the rest
-    rank-sort a sub-cell each — every sort task bounded. Rows are read
-    from the already-cached ``vals`` twice (histogram + selection),
-    exactly the small path's read discipline.
+    sub-cells short-circuit like pass-1 constant cells, small sub-cells
+    rank-sort one sub-cell each, and a sub-cell that is STILL hot
+    (mass concentrated in a narrow sub-span with many distinct values)
+    loops: it becomes the next level's cell, re-split against its own
+    strictly tighter [min, max]. Each level is gated on an ``isEmpty``
+    probe of the tiny target table, so extra levels only run when the
+    data demands them; after ``max_refine_levels`` a still-hot cell
+    falls back to the spillable single-task window sort (exact, just
+    not bound-limited — an adversarial corner documented in SCALE.md).
+
+    The sub-cell index guards non-finite endpoints: rows at/below the
+    cell min clamp to sub-cell 0, rows at/above the max to R-1, the
+    endpoints are clamped into the finite double range before the
+    division, and a NaN ratio (inf/inf from a cell spanning the whole
+    double line) falls back to sub-cell 0 — no NaN ever reaches
+    floor/cast under ANSI. Cell identity across levels is the string
+    path ``b#b2#b3...`` (equality-joined only; ordering is only ever
+    needed WITHIN a parent cell, where the child index alone orders).
     """
-    cells = hot_cand.select(*group_cols, "__b", "__bmin", "__bmax", "__c").distinct()
-    cells = cells.withColumn(
-        "__r",
-        F.least(
-            F.greatest(F.ceil(F.col("__c") / max_cell_rows) * 16, F.lit(256)),
-            F.lit(65536),
-        ).cast("long"),
-    )
-    rows = vals.join(F.broadcast(cells), [*group_cols, "__b"]).withColumn(
-        "__b2",
-        F.least(
-            F.floor(
-                (F.col("__v") - F.col("__bmin"))
-                / (F.col("__bmax") - F.col("__bmin"))
-                * F.col("__r")
-            ).cast("long"),
-            F.col("__r") - 1,
-        ),
-    )
-    rows = track_cache(rows.select(*group_cols, "__b", "__b2", "__v"))
-
-    counts2 = rows.groupBy(*group_cols, "__b", "__b2").agg(
-        F.count(F.lit(1)).alias("__c2"),
-        F.min("__v").alias("__bmin2"),
-        F.max("__v").alias("__bmax2"),
-    )
-    wcum2 = (
-        W.partitionBy(*group_cols, "__b")
-        .orderBy("__b2")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum2 = counts2.withColumn("__before2", F.coalesce(F.sum("__c2").over(wcum2), F.lit(0)))
-
-    t2 = (
-        hot_cand.select(*group_cols, "__pi", "__frac", "__role", "__b", "__lr")
-        .join(cum2, [*group_cols, "__b"])
-        .filter(
-            (F.col("__lr") > F.col("__before2"))
-            & (F.col("__lr") <= F.col("__before2") + F.col("__c2"))
-        )
-        .select(
+    targets = track_cache(
+        hot_cand.select(
             *group_cols,
             "__pi",
             "__frac",
             "__role",
-            "__b",
-            "__b2",
-            (F.col("__lr") - F.col("__before2")).cast("int").alias("__lr2"),
-            "__bmin2",
-            "__bmax2",
+            F.col("__b").cast("string").alias("__cell"),
+            F.col("__lr").cast("long").alias("__lr"),
+            F.col("__bmin").alias("__cmin"),
+            F.col("__bmax").alias("__cmax"),
+            F.col("__c").alias("__cc"),
         )
     )
-    const2 = t2.filter(F.col("__bmin2") == F.col("__bmax2")).select(
-        *group_cols, "__pi", "__frac", "__role", F.col("__bmin2").alias("__v")
-    )
-    var2 = t2.filter(F.col("__bmin2") != F.col("__bmax2")).select(
-        *group_cols, "__pi", "__frac", "__role", "__b", "__b2", "__lr2"
-    )
-    need2 = var2.select(*group_cols, "__b", "__b2").distinct()
-    ranked2 = rows.join(F.broadcast(need2), [*group_cols, "__b", "__b2"]).withColumn(
-        "__lr2", F.row_number().over(W.partitionBy(*group_cols, "__b", "__b2").orderBy("__v"))
-    )
-    picks2 = ranked2.join(var2, [*group_cols, "__b", "__b2", "__lr2"]).select(
-        *group_cols, "__pi", "__frac", "__role", "__v"
-    )
-    return picks2.unionByName(const2)
+    rows = vals.select(*group_cols, F.col("__b").cast("string").alias("__cell"), "__v")
+    picks: DataFrame | None = None
+
+    def _add(p: DataFrame) -> None:
+        nonlocal picks
+        picks = p if picks is None else picks.unionByName(p)
+
+    for level in range(1, max_refine_levels + 1):
+        cells = (
+            targets.select(*group_cols, "__cell", "__cmin", "__cmax", "__cc")
+            .distinct()
+            .withColumn(
+                "__r",
+                F.least(
+                    F.greatest(F.ceil(F.col("__cc") / max_cell_rows) * 16, F.lit(256)),
+                    F.lit(65536),
+                ).cast("long"),
+            )
+        )
+        lo = F.greatest(F.col("__cmin"), F.lit(-_DBL_MAX))
+        hi = F.least(F.col("__cmax"), F.lit(_DBL_MAX))
+        ratio = F.nanvl((F.col("__v") - lo) / (hi - lo) * F.col("__r"), F.lit(0.0))
+        sub = (
+            F.when(F.col("__v") <= F.col("__cmin"), F.lit(0).cast("long"))
+            .when(F.col("__v") >= F.col("__cmax"), F.col("__r") - 1)
+            .otherwise(
+                F.least(F.greatest(F.floor(ratio), F.lit(0)), F.col("__r") - 1)
+            )
+        )
+        lv = track_cache(
+            rows.join(F.broadcast(cells), [*group_cols, "__cell"]).select(
+                *group_cols, "__cell", sub.alias("__b2"), "__v"
+            )
+        )
+        counts2 = lv.groupBy(*group_cols, "__cell", "__b2").agg(
+            F.count(F.lit(1)).alias("__c2"),
+            F.min("__v").alias("__bmin2"),
+            F.max("__v").alias("__bmax2"),
+        )
+        wcum2 = (
+            W.partitionBy(*group_cols, "__cell")
+            .orderBy("__b2")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        cum2 = counts2.withColumn(
+            "__before2", F.coalesce(F.sum("__c2").over(wcum2), F.lit(0))
+        )
+        t2 = track_cache(
+            targets.select(*group_cols, "__pi", "__frac", "__role", "__cell", "__lr")
+            .join(cum2, [*group_cols, "__cell"])
+            .filter(
+                (F.col("__lr") > F.col("__before2"))
+                & (F.col("__lr") <= F.col("__before2") + F.col("__c2"))
+            )
+            .select(
+                *group_cols,
+                "__pi",
+                "__frac",
+                "__role",
+                "__cell",
+                "__b2",
+                (F.col("__lr") - F.col("__before2")).alias("__lr2"),
+                "__bmin2",
+                "__bmax2",
+                "__c2",
+            )
+        )
+        _add(
+            t2.filter(F.col("__bmin2") == F.col("__bmax2")).select(
+                *group_cols, "__pi", "__frac", "__role", F.col("__bmin2").alias("__v")
+            )
+        )
+        still_hot = t2.filter(
+            (F.col("__bmin2") != F.col("__bmax2")) & (F.col("__c2") > max_cell_rows)
+        )
+        last = level == max_refine_levels or still_hot.isEmpty()
+        # Small sub-cells sort here; on the final level the still-hot
+        # remainder (if any) joins them — spillable fallback.
+        sortable = t2.filter(
+            (F.col("__bmin2") != F.col("__bmax2"))
+            & (F.lit(last) | (F.col("__c2") <= max_cell_rows))
+        ).select(
+            *group_cols,
+            "__pi",
+            "__frac",
+            "__role",
+            "__cell",
+            "__b2",
+            F.col("__lr2").cast("int").alias("__lr2"),
+        )
+        need2 = sortable.select(*group_cols, "__cell", "__b2").distinct()
+        ranked2 = lv.join(F.broadcast(need2), [*group_cols, "__cell", "__b2"]).withColumn(
+            "__lr2",
+            F.row_number().over(
+                W.partitionBy(*group_cols, "__cell", "__b2").orderBy("__v")
+            ),
+        )
+        _add(
+            ranked2.join(sortable, [*group_cols, "__cell", "__b2", "__lr2"]).select(
+                *group_cols, "__pi", "__frac", "__role", "__v"
+            )
+        )
+        if last:
+            break
+        targets = track_cache(
+            still_hot.select(
+                *group_cols,
+                "__pi",
+                "__frac",
+                "__role",
+                F.concat_ws("#", "__cell", F.col("__b2").cast("string")).alias("__cell"),
+                F.col("__lr2").alias("__lr"),
+                F.col("__bmin2").alias("__cmin"),
+                F.col("__bmax2").alias("__cmax"),
+                F.col("__c2").alias("__cc"),
+            )
+        )
+        rows = lv.select(
+            *group_cols,
+            F.concat_ws("#", "__cell", F.col("__b2").cast("string")).alias("__cell"),
+            "__v",
+        )
+    assert picks is not None
+    return picks

@@ -388,6 +388,6 @@ def test_pipeline_corpus_broadcasts_eval_side(spark, sf_oracle):
     set into the training-corpus shingle stream (the corpus never
     shuffles for the contamination join) and no stage may degrade to a
     cartesian product."""
-    p = plan(registry()["xa8_pipeline_llm_corpus"].spark_fn(spark, sf_oracle))
+    p = plan(registry()["pipeline_llm_corpus"].spark_fn(spark, sf_oracle))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

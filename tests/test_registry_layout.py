@@ -18,8 +18,8 @@ def test_priority_window_is_exactly_50():
 def test_priority_window_covers_every_surface():
     window = sorted(registry())[:50]
     prefixes = (
-        "agg_", "ann_", "asof_", "connector_", "dedup_", "doc_", "file_",
-        "flow_", "fn_udf_", "mm_", "partition_", "pipeline_", "q0", "q1", "q2",
+        "ann_", "asof_", "connector_", "dedup_", "doc_", "file_", "flow_",
+        "fn_udf_", "graph_", "mm_", "partition_", "pipeline_", "q0", "q1", "q2",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"
