@@ -5286,24 +5286,33 @@ def x90_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     emb = track_cache(t["embeddings"].select("vec_id", "embedding"))
-    coarse = sim_ops.kmeans_fit(emb, k=8, iters=2)
-
-    # residual training set: a deterministic 20% sample, residualized
-    # against each vector's own cell centroid
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    assigned = sim_ops.assign_cells(emb, coarse, vec_col="embedding", out_col="cell")
-    resid_df = track_cache(
-        assigned.withColumn(
-            "resid",
-            F.zip_with(
-                F.col("embedding"),
-                F.element_at(cents, F.col("cell") + 1),
-                lambda a, b: a - b,
-            ),
-        )
+    # faiss-style training discipline: the coarse quantizer trains on a
+    # deterministic hash-decided sample, never the full corpus — at
+    # 100 TB the Lloyd aggregations run over the sample while the full
+    # corpus is only ever scanned for assignment/encoding
+    coarse = sim_ops.kmeans_fit(
+        deterministic_sample(emb, "vec_id", 0.5, salt="ivfpq-coarse"), k=8, iters=1
     )
-    train = deterministic_sample(resid_df, "vec_id", 0.2, salt="ivfpq-train")
-    books = sim_ops.pq_fit(train, m=4, k=16, iters=1, vec_col="resid")
+
+    # residual training set: a deterministic 20% sample residualized
+    # against each vector's own cell centroid — sampled BEFORE the
+    # residual projection, so only the training slice is ever
+    # materialized (at corpus scale the full-corpus residual cache the
+    # r6 version built would be another corpus-sized array column)
+    cents = sim_ops.lit_matrix(coarse)
+    sample = deterministic_sample(emb, "vec_id", 0.2, salt="ivfpq-train")
+    assigned = sim_ops.assign_cells(sample, coarse, vec_col="embedding", out_col="cell")
+    train = assigned.withColumn(
+        "resid",
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(cents, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = sim_ops.pq_fit(
+        train, m=4, k=16, iters=1, vec_col="resid", dim=len(coarse[0])
+    )
 
     index = track_cache(
         sim_ops.ivf_pq_index(
@@ -5344,16 +5353,20 @@ def x90_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.sum("__n").alias("n_scanned"))
     )
-    n_corpus = index.count()
+    # corpus size rides in-plan as a broadcast one-row aggregate (the
+    # accepted scalar-crossJoin pattern) instead of a separate count()
+    # action — one fewer driver round-trip per run
+    n_corpus = index.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
     return (
         qbase.select("q_id")
         .join(hits, "q_id", "left")
         .join(scanned, "q_id", "left")
+        .join(F.broadcast(n_corpus))
         .select(
             "q_id",
             F.coalesce("hits_at_10", F.lit(0)).alias("hits_at_10"),
             F.coalesce("n_scanned", F.lit(0)).alias("n_scanned"),
-            F.lit(n_corpus).alias("n_corpus"),
+            "n_corpus",
         )
         .orderBy("q_id")
     )

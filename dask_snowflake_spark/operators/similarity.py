@@ -20,6 +20,36 @@ from pyspark.sql.window import Window as W
 from .dedup import portable_hash
 from ..session import track_cache
 
+# Literal centroid/codebook matrices, memoized per (session, values).
+# Building F.array(F.array(F.lit(x)...)...) per float costs one py4j
+# round-trip per element (~0.8 ms each — an 8x64 matrix is ~0.4 s of
+# pure driver time, and one IVF-PQ query rebuilds its matrices 3-4x);
+# a 1-D numpy literal per row is ~4x fewer round-trips, and the memo
+# makes every rebuild after the first free. Keyed weakly by session so
+# a dead session's JVM Column handles are never reused.
+from weakref import WeakKeyDictionary
+
+_LIT_MATRIX_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def lit_matrix(rows: "list[list[float]]") -> Column:
+    """One ``array<array<double>>`` literal Column for a small python
+    matrix (centroids / codebooks), cached per active session."""
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    key = tuple(tuple(float(x) for x in r) for r in rows)
+    if spark is not None:
+        cache = _LIT_MATRIX_CACHE.setdefault(spark, {})
+        col = cache.get(key)
+        if col is not None:
+            return col
+    col = F.array(*[F.lit(np.asarray(r, dtype="float64")) for r in key])
+    if spark is not None:
+        cache[key] = col
+    return col
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two float arrays.
@@ -385,9 +415,7 @@ def assign_cells(
     With ``nprobe`` > 1 each row gets one output row per probed cell
     (its nprobe closest centroids) — the standard IVF recall knob for
     the QUERY side; index rows keep nprobe=1."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = lit_matrix(centroids)
     scored = F.transform(
         cents,
         lambda c, i: F.struct((-dot(F.col(vec_col), c)).alias("nd"), i.alias("idx")),
@@ -422,6 +450,7 @@ def pq_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks: the vector splits into ``m``
     contiguous slices and each subspace trains its own k-means
@@ -432,13 +461,16 @@ def pq_fit(
     m bytes per vector (e.g. 64-dim -> 4 codes = 64x); the codebooks
     (m * k * dim/m floats) are driver/broadcast-sized by construction.
     Only per-(cell, dim) means ever reach the driver, same contract as
-    ``kmeans_fit``."""
+    ``kmeans_fit``. Pass ``dim`` when the caller already knows the
+    vector width (e.g. from the coarse centroids it just trained) to
+    skip the probing ``first()`` action."""
     from .dedup import portable_hash
 
-    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("pq_fit needs a non-empty training set")
-    dim = int(dim_row["d"])
+    if dim is None:
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None:
+            raise ValueError("pq_fit needs a non-empty training set")
+        dim = int(dim_row["d"])
     if dim % m:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
     d_m = dim // m
@@ -469,7 +501,7 @@ def pq_fit(
         for _ in range(iters):
             parts = []
             for s in range(m):
-                cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+                cents = lit_matrix(books[s])
                 scored = F.transform(
                     cents, lambda c, i: F.struct(_l2sq(F.col(f"s{s}"), c).alias("d2"), i.alias("idx"))
                 )
@@ -519,7 +551,7 @@ def pq_encode(
     codes = []
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * d_m + 1, d_m)
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        cents = lit_matrix(codebooks[s])
         scored = F.transform(
             cents, lambda c, i: F.struct(_l2sq(sl, c).alias("d2"), i.alias("idx"))
         )
@@ -552,7 +584,7 @@ def pq_adc_topk(
     luts = []
     for s in range(m):
         sl = F.slice(F.col(q_vec), s * d_m + 1, d_m)
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        cents = lit_matrix(codebooks[s])
         luts.append(F.transform(cents, lambda c: _l2sq(sl, c)).alias(f"lut{s}"))
     q = queries.select(F.col(q_id), *luts)
     dist = sum(
@@ -585,7 +617,7 @@ def ivf_pq_index(
     removed most of the variance. Pure projections against broadcast
     literals: scan-speed, no shuffle; the float vector can be dropped
     afterwards (m bytes + one small int per vector survive)."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    cents = lit_matrix(coarse)
     assigned = assign_cells(emb, coarse, vec_col=vec_col, out_col="cell")
     resid = F.zip_with(
         F.col(vec_col),
@@ -621,7 +653,7 @@ def ivf_pq_topk(
 
     m = len(codebooks)
     d_m = len(codebooks[0][0])
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    cents = lit_matrix(coarse)
     probed = assign_cells(queries, coarse, vec_col=q_vec, out_col="cell", nprobe=nprobe)
     q_resid = F.zip_with(
         F.col(q_vec), F.element_at(cents, F.col("cell") + 1), lambda a, b: a - b
@@ -630,7 +662,7 @@ def ivf_pq_topk(
     luts = []
     for s in range(m):
         sl = F.slice(F.col("__qr"), s * d_m + 1, d_m)
-        cbs = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        cbs = lit_matrix(codebooks[s])
         luts.append(F.transform(cbs, lambda c: _l2sq(sl, c)).alias(f"lut{s}"))
     q = probed.select(F.col(q_id), "cell", *luts)
     dist = sum(
