@@ -5633,10 +5633,34 @@ def x96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "layout", "performance"),
 )
 def file_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import time as _time
+
     from .queries import _scratch_dir
 
     t = _t(spark, sf_dir)
-    li_tbl, od_tbl = "x99_li_bucketed", "x99_od_bucketed"
+    # Table names AND data paths are namespaced by the application id:
+    # the catalog names are session-global, so two concurrent sessions
+    # sharing one metastore/scratch tree would otherwise race on both
+    # the DROP TABLE and the overwrite of the external path. Scratch
+    # dirs left by DEAD applications are garbage-collected by age (a
+    # live concurrent session's dirs are hours newer than the cutoff),
+    # keeping .tmp growth bounded without racing an in-flight reader.
+    suffix = hashlib.sha1(
+        spark.sparkContext.applicationId.encode("utf-8")
+    ).hexdigest()[:8]
+    base = os.path.dirname(_scratch_dir("x99_gc_probe"))
+    cutoff = _time.time() - 6 * 3600
+    for entry in os.listdir(base):
+        if entry.startswith("x99_") and not entry.endswith(suffix):
+            p = os.path.join(base, entry)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    li_tbl, od_tbl = f"x99_li_bucketed_{suffix}", f"x99_od_bucketed_{suffix}"
     for tbl in (li_tbl, od_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
@@ -5646,7 +5670,7 @@ def file_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .option("path", _scratch_dir("x99_li"))
+        .option("path", _scratch_dir(f"x99_li_{suffix}"))
         .saveAsTable(li_tbl)
     )
     (
@@ -5656,7 +5680,7 @@ def file_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .option("path", _scratch_dir("x99_od"))
+        .option("path", _scratch_dir(f"x99_od_{suffix}"))
         .saveAsTable(od_tbl)
     )
     li, od = spark.table(li_tbl), spark.table(od_tbl)

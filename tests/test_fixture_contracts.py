@@ -79,3 +79,134 @@ def test_x66_ln_quantization_away_from_boundaries() -> None:
         "of an integer boundary — engines may floor x66's micro-nats apart; "
         "regenerate fixtures or adjust the quantization"
     )
+
+
+def _boundary_guard(scaled: float) -> float:
+    """Minimum safe distance from an integer boundary for a quantized
+    double: ~32 ulps of the value's magnitude (the ln + multiply chain
+    accumulates a few ulps of relative error on either engine), floored
+    at the x66 absolute guard for small magnitudes."""
+    return max(_BOUNDARY_GUARD, 32 * 2.220446049250313e-16 * abs(scaled))
+
+
+def _assert_clear(values, label: str) -> None:
+    worst = None
+    for ident, scaled in values:
+        if scaled == 0.0:
+            continue  # exact zero (ln(1.0) is exact): floors identically
+        dist = abs(scaled - round(scaled))
+        margin = dist - _boundary_guard(scaled)
+        if worst is None or margin < worst[0]:
+            worst = (margin, ident, scaled, dist)
+    assert worst is not None, f"{label}: fixture produced no quantized terms"
+    margin, ident, scaled, dist = worst
+    assert margin > 0, (
+        f"{label}: input {ident} puts its scaled ln-term {scaled!r} within "
+        f"{dist:.3e} of an integer boundary (guard {_boundary_guard(scaled):.3e}) "
+        "— engines may floor apart; regenerate fixtures or adjust quantization"
+    )
+
+
+def _events_sf001():
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixtures absent")
+    return pq.read_table(os.path.join(sf_dir, "events.parquet"))
+
+
+def _documents_sf001():
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixtures absent")
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_x68_psi_terms_away_from_boundaries() -> None:
+    """x68 quantizes (p_a - p_b) * ln(p_a/p_b) * 1e9 per histogram bin
+    (Laplace-smoothed purchase-value proportions, days 1-15 vs 16-31).
+    Replays the oracle's exact float expression over the fixture."""
+    tbl = _events_sf001()
+    days = pc.day(tbl["ts"]).to_pylist()
+    types = tbl["event_type"].to_pylist()
+    vals = tbl["value"].to_pylist()
+    n_a = [0] * 20
+    n_b = [0] * 20
+    for d, ty, v in zip(days, types, vals):
+        if ty != "purchase" or v is None:
+            continue
+        b = min(int(math.floor(v / 20)), 19)
+        if d <= 15:
+            n_a[b] += 1
+        else:
+            n_b[b] += 1
+    ta, tb = sum(n_a), sum(n_b)
+    terms = []
+    for b in range(20):
+        scaled = (
+            ((n_a[b] + 1.0) / (ta + 20) - (n_b[b] + 1.0) / (tb + 20))
+            * math.log(((n_a[b] + 1.0) * (tb + 20)) / ((n_b[b] + 1.0) * (ta + 20)))
+            * 1_000_000_000
+        )
+        terms.append((f"bin {b}", scaled))
+    _assert_clear(terms, "x68 PSI")
+
+
+def test_x78_aes_keys_away_from_boundaries() -> None:
+    """x78 quantizes ln((hash%1e6 + 1)/1e6) / n_chars * 1e9 per doc
+    (Efraimidis-Spirakis keys from the portable md5 hash)."""
+    import hashlib
+
+    tbl = _documents_sf001()
+    terms = []
+    for doc_id, n_chars in zip(tbl["doc_id"].to_pylist(), tbl["n_chars"].to_pylist()):
+        if n_chars is None or n_chars <= 0:
+            continue
+        h = int(hashlib.md5(f"es:{doc_id}".encode()).hexdigest()[:15], 16) % 1_000_000
+        scaled = math.log((h + 1) / 1000000.0) / n_chars * 1_000_000_000
+        terms.append((f"doc {doc_id}", scaled))
+    _assert_clear(terms, "x78 A-ES keys")
+
+
+def test_x80_pmi_away_from_boundaries() -> None:
+    """x80 quantizes ln(N * c_ab / (c_a * c_b)) * 1e6 per co-occurring
+    top-20-vocab word pair (document-level incidence)."""
+    tbl = _documents_sf001()
+    doc_words: dict[int, set[str]] = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        doc_words[doc_id] = {w for w in re.split(r"\s+", text) if w != ""}
+    df: Counter[str] = Counter()
+    for ws in doc_words.values():
+        df.update(ws)
+    vocab = {
+        w: c for w, c in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    n_docs = len(doc_words)
+    pair_counts: Counter[tuple[str, str]] = Counter()
+    for ws in doc_words.values():
+        hits = sorted(w for w in ws if w in vocab)
+        for i, a in enumerate(hits):
+            for b in hits[i + 1 :]:
+                pair_counts[(a, b)] += 1
+    terms = []
+    for (a, b), c_ab in pair_counts.items():
+        scaled = math.log((c_ab * n_docs * 1.0) / (vocab[a] * vocab[b])) * 1_000_000
+        terms.append((f"pair {a}/{b}", scaled))
+    _assert_clear(terms, "x80 PMI")
+
+
+def test_x87_entropy_terms_away_from_boundaries() -> None:
+    """x87 quantizes (c/n) * ln(n/c) * 1e9 per (user, event_type)
+    count against the user's event total."""
+    tbl = _events_sf001()
+    counts: Counter[tuple[int, str]] = Counter()
+    for u, ty in zip(tbl["user_id"].to_pylist(), tbl["event_type"].to_pylist()):
+        counts[(u, ty)] += 1
+    totals: Counter[int] = Counter()
+    for (u, _), c in counts.items():
+        totals[u] += c
+    terms = []
+    for (u, ty), c in counts.items():
+        n = totals[u]
+        scaled = (c * 1.0 / n) * math.log(n * 1.0 / c) * 1_000_000_000
+        terms.append((f"user {u} type {ty}", scaled))
+    _assert_clear(terms, "x87 entropy")
