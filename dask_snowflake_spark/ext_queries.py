@@ -4380,16 +4380,27 @@ def x74_mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x75_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .query import sql as run_sql
+    from .session import track_cache
 
+    # The non-recursive `nodes` leg (DISTINCT over events) sits INSIDE
+    # the recursion's join, and Spark's UnionLoop re-evaluates it every
+    # round — at sf0.1 that was 20 of the 74 per-run jobs re-running
+    # the same distinct. Materializing it once as a cached temp view
+    # cuts each round to the frontier join itself (74 -> 54 jobs,
+    # ~40% wall); the remaining per-round jobs are the engine's
+    # recursive-CTE bookkeeping, driven by hierarchy DEPTH, not data
+    # volume (SCALE.md).
+    t = _t(spark, sf_dir)
+    nodes = track_cache(t["events"].select(F.col("user_id").alias("u")).distinct())
+    nodes.createOrReplaceTempView("x75_nodes")
     return run_sql(
         spark,
         """
-        WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS u FROM events),
-        tree(u, root, depth) AS (
-            SELECT u, u, 0 FROM nodes WHERE u < 2
+        WITH RECURSIVE tree(u, root, depth) AS (
+            SELECT u, u, 0 FROM x75_nodes WHERE u < 2
             UNION ALL
             SELECT n.u, t.root, t.depth + 1
-            FROM nodes n JOIN tree t ON t.u = n.u div 2
+            FROM x75_nodes n JOIN tree t ON t.u = n.u div 2
             WHERE n.u >= 2
         )
         SELECT depth, count(*) AS n_nodes, min(u) AS min_id, max(u) AS max_id,
