@@ -6429,3 +6429,458 @@ def xac_window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_nationkey", "quartile")
     )
+
+
+@query(
+    "xb0_chunk_documents",
+    """
+    SELECT doc_id,
+           (s - 1) // 150 AS chunk_id,
+           s AS start_pos,
+           length(substr(text, s::INTEGER, 200)) AS chunk_len,
+           md5(substr(text, s::INTEGER, 200)) AS chunk_md5
+    FROM documents, unnest(generate_series(1, n_chars, 150)) AS t(s)
+    WHERE n_chars > 0
+    ORDER BY doc_id, chunk_id
+    """,
+    "document CHUNKING for RAG / training-window prep: each document "
+    "splits into 200-char windows at stride 150 (50-char overlap so no "
+    "boundary-straddling span is lost), every chunk carrying its "
+    "provenance (doc_id, ordinal, 1-based start offset) and a portable "
+    "md5 content address. Pure projection + generate-series explode — "
+    "scan-speed, zero shuffle, the fan-out is output-proportional; at "
+    "100 TB the chunker runs at read bandwidth and the md5 column is "
+    "the join key for downstream chunk-level dedup/embedding. "
+    "chunk_id derives from the start offset ((s-1) div stride), not "
+    "explode ordinality, so both engines agree without ORDINALITY",
+    ("text", "pipeline"),
+)
+def xb0_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    # sequence(1, n, 150) is guarded by n_chars > 0: Spark's sequence
+    # DESCENDS when stop < start (CLAUDE.md xa0 lesson), and n_chars
+    # >= 1 keeps 1 <= stop with a positive step
+    starts = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_chars"), F.lit(150).cast("long"))
+            ).alias("s"),
+        )
+    )
+    chunk = F.expr("substr(text, CAST(s AS INT), 200)")
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / F.lit(150)).cast("long").alias("chunk_id"),
+        F.col("s").alias("start_pos"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "xb4_scd2_dimension",
+    """
+    WITH obs AS (
+        SELECT o_custkey AS custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               o_orderstatus AS status,
+               o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    changes AS (
+        SELECT custkey, d, status, o_orderkey
+        FROM obs
+        WHERE prev_status IS NULL OR prev_status <> status
+    ),
+    versions AS (
+        SELECT custkey, status, d AS eff_from,
+               row_number() OVER w2 AS version,
+               lead(d) OVER w2 AS eff_to
+        FROM changes
+        WINDOW w2 AS (PARTITION BY custkey ORDER BY d, o_orderkey)
+    )
+    SELECT custkey, version, status, eff_from, eff_to,
+           eff_to IS NULL AS is_current
+    FROM versions
+    ORDER BY custkey, version
+    """,
+    "SCD TYPE-2 dimension maintenance (the warehouse-history pattern "
+    "the reference's sink feeds): each customer's order-status "
+    "observations collapse into VERSIONED validity intervals — "
+    "consecutive repeats dropped via lag() over the unique (date, "
+    "orderkey) order, version numbers + effective_to via "
+    "row_number/lead over the change rows, open-ended current row "
+    "flagged. Two windows over the same customer partitioning (one "
+    "shuffle, alias-traced through both), no self-join; dates compare "
+    "as DATE on both engines (timestamp canonicalization differs)",
+    ("relational", "window", "warehouse"),
+)
+def xb4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    w = W.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    obs = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        d.alias("d"),
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    changes = obs.filter(
+        F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status"))
+    )
+    w2 = W.partitionBy("custkey").orderBy("d", "o_orderkey")
+    versions = changes.select(
+        "custkey",
+        "status",
+        F.col("d").alias("eff_from"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("d").over(w2).alias("eff_to"),
+    )
+    return versions.select(
+        "custkey",
+        "version",
+        "status",
+        "eff_from",
+        "eff_to",
+        F.col("eff_to").isNull().alias("is_current"),
+    ).orderBy("custkey", "version")
+
+
+@query(
+    "xb1_profile_columns",
+    """
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l_orderkey,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_l_orderkey,
+               CAST(min(l_orderkey) AS VARCHAR) AS mn_l_orderkey,
+               CAST(max(l_orderkey) AS VARCHAR) AS mx_l_orderkey,
+               CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l_linenumber,
+               CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd_l_linenumber,
+               CAST(min(l_linenumber) AS VARCHAR) AS mn_l_linenumber,
+               CAST(max(l_linenumber) AS VARCHAR) AS mx_l_linenumber,
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l_quantity,
+               CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_l_quantity,
+               CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mn_l_quantity,
+               CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mx_l_quantity,
+               CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l_extendedprice,
+               CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd_l_extendedprice,
+               CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_l_extendedprice,
+               CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_l_extendedprice,
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l_returnflag,
+               CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_l_returnflag,
+               min(l_returnflag) AS mn_l_returnflag,
+               max(l_returnflag) AS mx_l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l_linestatus,
+               CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd_l_linestatus,
+               min(l_linestatus) AS mn_l_linestatus,
+               max(l_linestatus) AS mx_l_linestatus
+        FROM lineitem
+    )
+    SELECT u.col AS column_name, a.n_rows,
+           CASE u.col
+               WHEN 'l_orderkey' THEN a.nn_l_orderkey
+               WHEN 'l_linenumber' THEN a.nn_l_linenumber
+               WHEN 'l_quantity' THEN a.nn_l_quantity
+               WHEN 'l_extendedprice' THEN a.nn_l_extendedprice
+               WHEN 'l_returnflag' THEN a.nn_l_returnflag
+               ELSE a.nn_l_linestatus END AS n_nulls,
+           CASE u.col
+               WHEN 'l_orderkey' THEN a.nd_l_orderkey
+               WHEN 'l_linenumber' THEN a.nd_l_linenumber
+               WHEN 'l_quantity' THEN a.nd_l_quantity
+               WHEN 'l_extendedprice' THEN a.nd_l_extendedprice
+               WHEN 'l_returnflag' THEN a.nd_l_returnflag
+               ELSE a.nd_l_linestatus END AS n_distinct,
+           CASE u.col
+               WHEN 'l_orderkey' THEN a.mn_l_orderkey
+               WHEN 'l_linenumber' THEN a.mn_l_linenumber
+               WHEN 'l_quantity' THEN a.mn_l_quantity
+               WHEN 'l_extendedprice' THEN a.mn_l_extendedprice
+               WHEN 'l_returnflag' THEN a.mn_l_returnflag
+               ELSE a.mn_l_linestatus END AS min_value,
+           CASE u.col
+               WHEN 'l_orderkey' THEN a.mx_l_orderkey
+               WHEN 'l_linenumber' THEN a.mx_l_linenumber
+               WHEN 'l_quantity' THEN a.mx_l_quantity
+               WHEN 'l_extendedprice' THEN a.mx_l_extendedprice
+               WHEN 'l_returnflag' THEN a.mx_l_returnflag
+               ELSE a.mx_l_linestatus END AS max_value
+    FROM agg a, unnest(['l_orderkey','l_linenumber','l_quantity',
+                        'l_extendedprice','l_returnflag','l_linestatus']) AS u(col)
+    ORDER BY column_name
+    """,
+    "one-pass COLUMN PROFILER (the data-quality summary every ingest "
+    "pipeline runs before accepting a drop): per-column null count, "
+    "exact distinct count, min/max — all six columns in ONE "
+    "aggregation over one scan (Spark expands the multi-distinct into "
+    "a single Expand + two-level agg, still one pass over the data), "
+    "pivoted to one row per column via an in-plan column-name spine. "
+    "Numeric extremes canonicalize through DECIMAL(18,2) -> VARCHAR on "
+    "both engines (raw stored values, not computed aggregates, so the "
+    "2dp cast is lossless); at 100 TB this is the scan whose partial "
+    "aggregates are map-side-combined into a KB-sized profile",
+    ("relational", "quality", "analytics"),
+)
+def xb1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    num_cols = {"l_quantity", "l_extendedprice"}
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if c in num_cols:
+            aggs.append(F.min(c).cast("decimal(18,2)").cast("string").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("decimal(18,2)").cast("string").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
+    row = li.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select("n_rows", F.explode(entries).alias("e"))
+        .select(
+            F.col("e.column_name").alias("column_name"),
+            "n_rows",
+            F.col("e.n_nulls").alias("n_nulls"),
+            F.col("e.n_distinct").alias("n_distinct"),
+            F.col("e.min_value").alias("min_value"),
+            F.col("e.max_value").alias("max_value"),
+        )
+        .orderBy("column_name")
+    )
+
+
+@query(
+    "xb2_sparse_topk_retrieval",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+        FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY doc_id, term),
+    nd AS (SELECT count(*) AS n FROM documents),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    keep AS (
+        SELECT d.term, (SELECT n FROM nd) // d.df AS idf_i
+        FROM df d
+        WHERE d.df * 2 <= (SELECT n FROM nd)
+    ),
+    postings AS (
+        SELECT t.doc_id, t.term, t.tf * k.idf_i AS w
+        FROM tf t JOIN keep k USING (term)
+    ),
+    qp AS (SELECT doc_id AS q_doc, term, w AS wq FROM postings WHERE doc_id % 97 = 0),
+    cp AS (SELECT doc_id AS c_doc, term, w AS wc FROM postings WHERE doc_id % 97 <> 0),
+    dots AS (
+        SELECT q.q_doc, c.c_doc,
+               CAST(sum(q.wq * c.wc) AS BIGINT) AS dot,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM qp q JOIN cp c USING (term)
+        GROUP BY q.q_doc, c.c_doc
+    )
+    SELECT q_doc, rk, c_doc, dot, n_shared
+    FROM (
+        SELECT q_doc, c_doc, dot, n_shared,
+               row_number() OVER (PARTITION BY q_doc ORDER BY dot DESC, c_doc) AS rk
+        FROM dots
+    )
+    WHERE rk <= 5
+    ORDER BY q_doc, rk
+    """,
+    "SPARSE top-k retrieval via an inverted index (the BM25/TF-IDF "
+    "retrieval shape, complementing the dense ANN family): terms are "
+    "word 3-shingles (phrase-level vocabulary — rich enough that "
+    "document frequency actually discriminates), per-doc weights "
+    "tf * (N div df) — INTEGER idf quantization, so dot products are "
+    "exact integer sums no float agg order can perturb — query docs "
+    "join the corpus postings ON THE TERM (only docs sharing a "
+    "surviving term ever pair: the inverted-index prune), stop terms "
+    "with df > N/2 dropped by integer cross-multiplication (caps "
+    "posting-list blow-up at corpus scale), accumulated inner-product "
+    "scores, top-5 per query by (score, id). At 100 TB the postings "
+    "table is the shuffled asset and the df filter bounds the join "
+    "fan-out",
+    ("text", "similarity", "pipeline"),
+)
+def xb2_sparse_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    # sequence ascends because size >= 3 puts stop >= 1 (CLAUDE.md)
+    i = F.col("i").cast("int")
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - 2)).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("ws", i),
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+        ).alias("term"),
+    )
+    tf = sh.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        df.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 2 <= F.col("n"))
+        .select("term", F.expr("n div df").alias("idf_i"))
+    )
+    postings = track_cache(
+        tf.join(keep, "term").select(
+            "doc_id", "term", (F.col("tf") * F.col("idf_i")).alias("w")
+        )
+    )
+    qp = postings.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("q_doc"), "term", F.col("w").alias("wq")
+    )
+    cp = postings.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("c_doc"), "term", F.col("w").alias("wc")
+    )
+    dots = (
+        qp.join(cp, "term")
+        .groupBy("q_doc", "c_doc")
+        .agg(
+            F.sum(F.col("wq") * F.col("wc")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_doc").orderBy(F.col("dot").desc(), F.col("c_doc").asc())
+    )
+    return (
+        dots.select("q_doc", rk.alias("rk"), "c_doc", "dot", "n_shared")
+        .filter(F.col("rk") <= 5)
+        .orderBy("q_doc", "rk")
+    )
+
+
+@query(
+    "xb3_bigram_lm_nll",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, ws[i] AS w
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+             unnest(range(1, len(ws) + 1)) AS t(i)
+        WHERE ws[i] <> ''
+    ),
+    big AS (
+        SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    vv AS (SELECT count(DISTINCT w) AS v FROM toks),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(floor(ln((c1.c1 + vv.v) * 1.0 / (c12.c12 + 1)) * 1000000) AS BIGINT) AS nll_q
+        FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(nll_q) AS BIGINT) AS nll_total_q,
+           CAST(sum(nll_q) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_avg_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "BIGRAM language-model scoring (the step up from x66's unigram "
+    "NLL): add-1-smoothed conditional P(w2|w1) = (c12+1)/(c1+V) "
+    "trained on the corpus itself, per-token NLL ln((c1+V)/(c12+1)) "
+    "quantized to integer micro-nats ONCE at its source (the x66/r5 "
+    "rule: a float that must be SUMMED across rows is quantized at "
+    "the term), so per-doc totals and the integer-div mean are exact "
+    "on both engines. The fluency/garbage signal a pretraining filter "
+    "computes per document; counts tables are the shuffled assets and "
+    "the scoring join is a broadcast wherever vocab^2 fits",
+    ("text", "quality", "pipeline"),
+)
+def xb3_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    toks = track_cache(
+        docs.select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    wnd = W.partitionBy("doc_id").orderBy("pos")
+    bg = track_cache(
+        toks.select(
+            "doc_id", F.col("w").alias("w1"), F.lead("w").over(wnd).alias("w2")
+        ).filter(F.col("w2").isNotNull())
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vv = toks.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c1") + F.col("v")) * 1.0 / (F.col("c12") + 1)) * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_q"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll_q").alias("nll_total_q"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_total_q",
+        F.expr("nll_total_q div n_bigrams").alias("nll_avg_micro"),
+    ).orderBy("doc_id")

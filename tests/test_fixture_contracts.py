@@ -210,3 +210,24 @@ def test_x87_entropy_terms_away_from_boundaries() -> None:
         scaled = (c * 1.0 / n) * math.log(n * 1.0 / c) * 1_000_000_000
         terms.append((f"user {u} type {ty}", scaled))
     _assert_clear(terms, "x87 entropy")
+
+
+def test_xb3_bigram_nll_away_from_boundaries() -> None:
+    """xb3 quantizes ln((c1 + V)/(c12 + 1)) * 1e6 per corpus bigram
+    (add-1 smoothed bigram LM over whitespace tokens)."""
+    tbl = _documents_sf001()
+    c12: Counter[tuple[str, str]] = Counter()
+    c1: Counter[str] = Counter()
+    vocab: set[str] = set()
+    for text in tbl["text"].to_pylist():
+        ws = [w for w in re.split(r"\s+", text) if w != ""]
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    terms = []
+    for (a, b), c in c12.items():
+        scaled = math.log((c1[a] + v) * 1.0 / (c + 1)) * 1_000_000
+        terms.append((f"bigram {a}->{b}", scaled))
+    _assert_clear(terms, "xb3 bigram NLL")
