@@ -6884,3 +6884,155 @@ def xb3_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nll_total_q",
         F.expr("nll_total_q div n_bigrams").alias("nll_avg_micro"),
     ).orderBy("doc_id")
+
+
+@query(
+    "xb5_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY user_id
+    ),
+    base AS (
+        SELECT e.user_id, f.cohort,
+               date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS offset_d
+        FROM events e JOIN firsts f USING (user_id)
+    ),
+    mat AS (
+        SELECT cohort, offset_d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM base GROUP BY cohort, offset_d
+    ),
+    sizes AS (SELECT cohort, n_users AS cohort_n FROM mat WHERE offset_d = 0)
+    SELECT m.cohort, m.offset_d, m.n_users, s.cohort_n,
+           (m.n_users * 1000000 // s.cohort_n) / 1e6 AS retention
+    FROM mat m JOIN sizes s USING (cohort)
+    ORDER BY m.cohort, m.offset_d
+    """,
+    "COHORT RETENTION matrix (the product-analytics readout behind "
+    "every activation dashboard): each user's cohort is the calendar "
+    "DAY of their first event, every later event lands in a day "
+    "offset computed as a DATE-to-DATE day diff (integer-exact on "
+    "both engines — the timestamp-level date_diff boundary trap of "
+    "x81 never arises for DATEs), per-(cohort, offset) distinct "
+    "users, retention = integer-quantized ratio against the cohort's "
+    "own offset-0 size. Two shuffles (first-event agg + matrix agg), "
+    "both map-side-combinable; the matrix is dashboard-sized at any "
+    "corpus scale",
+    ("events", "analytics"),
+)
+def xb5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort"))
+    base = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort",
+        F.datediff(F.col("ts").cast("date"), F.col("cohort")).alias("offset_d"),
+    )
+    mat = base.groupBy("cohort", "offset_d").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    sizes = mat.filter(F.col("offset_d") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_n")
+    )
+    return (
+        mat.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "offset_d",
+            "n_users",
+            "cohort_n",
+            (F.expr("(n_users * 1000000) div cohort_n") / 1e6).alias("retention"),
+        )
+        .orderBy("cohort", "offset_d")
+    )
+
+
+@query(
+    "xb6_label_centroids",
+    """
+    WITH q AS (
+        SELECT label, i AS pos,
+               CAST(floor(embedding[i] * 1000000) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(sum(xq) AS BIGINT) // CAST(count(*) AS BIGINT) AS mq,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY label, pos
+    ),
+    norms AS (
+        SELECT label, CAST(sum(mq * mq) AS BIGINT) AS norm_sq, min(n) AS n
+        FROM cent GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.mq * b.mq) AS BIGINT) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b, d.dot,
+           na.norm_sq AS norm_a_sq, nb.norm_sq AS norm_b_sq,
+           na.n AS n_a, nb.n AS n_b
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    ORDER BY d.label_a, d.label_b
+    """,
+    "embedding-space LABEL AUDIT: per-label centroids and their "
+    "pairwise inner products / norms — the class-separation check a "
+    "labeled embedding corpus gets before training. Vector elements "
+    "quantize to integer micro-units at the SOURCE (float32 -> double "
+    "is exact and double*1e6 is one IEEE rounding, identical on both "
+    "engines — unlike ln, floor here cannot flip), so centroid sums, "
+    "integer-div means, dots and norms are all exact integer "
+    "arithmetic in any aggregation order. posexplode to (label, dim) "
+    "rows -> one map-side-combinable agg; the centroid table (labels "
+    "x dim) is broadcast-sized at any corpus scale",
+    ("similarity", "analytics", "quality"),
+)
+def xb6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    q = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("long").alias("xq"),
+    )
+    cent = track_cache(
+        q.groupBy("label", "pos").agg(
+            F.expr("sum(xq) div count(1)").alias("mq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("mq") * F.col("mq")).cast("long").alias("norm_sq"),
+        F.min("n").alias("n"),
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("mq").alias("ma"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("mq").alias("mb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"),
+        F.col("norm_sq").alias("norm_a_sq"),
+        F.col("n").alias("n_a"),
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"),
+        F.col("norm_sq").alias("norm_b_sq"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select("label_a", "label_b", "dot", "norm_a_sq", "norm_b_sq", "n_a", "n_b")
+        .orderBy("label_a", "label_b")
+    )
