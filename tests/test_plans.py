@@ -391,3 +391,36 @@ def test_pipeline_corpus_broadcasts_eval_side(spark, sf_oracle):
     p = plan(registry()["pipeline_llm_corpus"].spark_fn(spark, sf_oracle))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_chunker_is_shuffle_free_before_presentation_sort(spark, sf_oracle):
+    """xb0: chunk assembly (sequence explode + substr + md5) must be a
+    pure map-side pipeline — the ONLY exchange in the plan is the
+    presentation ORDER BY's rangepartitioning; no hashpartitioning
+    (aggregation/join) anywhere."""
+    p = plan(registry()["xb0_chunk_documents"].spark_fn(spark, sf_oracle))
+    assert "hashpartitioning" not in p, p
+    assert "Generate" in p, p
+
+
+def test_profiler_is_one_pass(spark, sf_oracle):
+    """xb1: six columns' null/distinct/min/max must come from ONE scan —
+    a single Expand feeds the multi-distinct aggregation; a second
+    parquet scan of lineitem would mean the profiler reads the table
+    per metric family."""
+    import re
+
+    p = plan(registry()["xb1_profile_columns"].spark_fn(spark, sf_oracle))
+    # count operator-detail headers only (the tree section repeats them)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p, p
+
+
+def test_sparse_retrieval_has_no_cartesian(spark, sf_oracle):
+    """xb2: query-corpus pairing must happen through the postings
+    equi-join on the term (the inverted-index prune) — never a
+    cartesian/nested-loop pairing of query docs against the corpus."""
+    p = plan(registry()["xb2_sparse_topk_retrieval"].spark_fn(spark, sf_oracle))
+    assert "CartesianProduct" not in p, p
+    # the one-row corpus-size aggregate rides as a broadcast
+    assert "BroadcastNestedLoopJoin" not in p or "BroadcastExchange" in p, p
