@@ -7036,3 +7036,220 @@ def xb6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label_a", "label_b", "dot", "norm_a_sq", "norm_b_sq", "n_a", "n_b")
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "xb7_winsorized_stats",
+    """
+    WITH pv AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 4) AS lo,
+               round(quantile_cont(value, 0.95), 4) AS hi
+        FROM pv GROUP BY event_type
+    ),
+    clamped AS (
+        SELECT p.event_type,
+               CASE WHEN p.value < b.lo THEN 1 ELSE 0 END AS at_lo,
+               CASE WHEN p.value > b.hi THEN 1 ELSE 0 END AS at_hi,
+               CAST(floor(least(greatest(p.value, b.lo), b.hi) * 100) AS BIGINT) AS wc
+        FROM pv p JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(at_lo) AS BIGINT) AS n_clamped_lo,
+           CAST(sum(at_hi) AS BIGINT) AS n_clamped_hi,
+           CAST(sum(wc) AS BIGINT) AS winsorized_cents,
+           CAST(sum(wc) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+    FROM clamped GROUP BY event_type ORDER BY event_type
+    """,
+    "WINSORIZED robust statistics (the outlier-resistant mean a metric "
+    "pipeline reports instead of dropping rows): per-event-type "
+    "p05/p95 bounds from the bounded-state EXACT quantile operator "
+    "(4dp stage-seam rounding so both engines clamp against identical "
+    "doubles), every value clamped into [lo, hi], clamped values "
+    "floored to integer cents AT SOURCE (floor of a deterministic "
+    "IEEE product — engine-safe, unlike ln) so the winsorized sum and "
+    "integer-div mean are exact in any aggregation order. The "
+    "quantile operator's 5th composition; clamp is one broadcast join "
+    "+ codegen CASE at scan speed",
+    ("events", "quality", "analytics"),
+)
+def xb7_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import exact_group_quantiles
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    pv = track_cache(
+        t["events"].filter(F.col("value").isNotNull()).select("event_type", "value")
+    )
+    bounds = exact_group_quantiles(pv, ["event_type"], "value", [0.05, 0.95]).select(
+        "event_type",
+        F.round(F.col("quantiles")[0], 4).alias("lo"),
+        F.round(F.col("quantiles")[1], 4).alias("hi"),
+    )
+    clamped = pv.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("at_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("at_hi"),
+        F.floor(F.least(F.greatest("value", F.col("lo")), F.col("hi")) * 100)
+        .cast("long")
+        .alias("wc"),
+    )
+    out = clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("at_lo").cast("long").alias("n_clamped_lo"),
+        F.sum("at_hi").cast("long").alias("n_clamped_hi"),
+        F.sum("wc").cast("long").alias("winsorized_cents"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "n_clamped_lo",
+        "n_clamped_hi",
+        "winsorized_cents",
+        F.expr("winsorized_cents div n").alias("mean_cents"),
+    ).orderBy("event_type")
+
+
+@query(
+    "xb8_skew_diagnosis",
+    """
+    WITH keyed AS (
+        SELECT event_type AS join_key, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type
+    ),
+    stats AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               CAST(max(n_rows) AS BIGINT) AS max_rows,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM keyed
+    )
+    SELECT k.join_key, k.n_rows,
+           (k.n_rows * 1000000 // s.total) / 1e6 AS row_share,
+           (k.n_rows * s.n_keys * 1000000 // s.total) / 1e6 AS skew_factor,
+           CAST((k.n_rows + 99999) // 100000 AS BIGINT) AS suggested_salts
+    FROM keyed k CROSS JOIN stats s
+    ORDER BY k.n_rows DESC, k.join_key
+    """,
+    "JOIN-KEY SKEW DIAGNOSIS (the operational pre-flight before a big "
+    "shuffle): per-key row counts, each key's row share and skew "
+    "factor (count / mean-count, i.e. n*k/total) as integer-quantized "
+    "ratios, and a suggested salt fan-out ceil(n/100k target rows per "
+    "reducer) in pure integer arithmetic. One map-side-combinable agg "
+    "+ a broadcast one-row stats cross join; the readout that tells "
+    "you whether operators/skew.py's salted join is worth its "
+    "replication cost BEFORE paying for a stalled reducer",
+    ("events", "performance", "analytics"),
+)
+def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    keyed = t["events"].groupBy(F.col("event_type").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = keyed.agg(
+        F.sum("n_rows").alias("total"),
+        F.max("n_rows").alias("max_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(stats))
+        .select(
+            "join_key",
+            "n_rows",
+            (F.expr("(n_rows * 1000000) div total") / 1e6).alias("row_share"),
+            (F.expr("(n_rows * n_keys * 1000000) div total") / 1e6).alias("skew_factor"),
+            F.expr("(n_rows + 99999) div 100000").alias("suggested_salts"),
+        )
+        .orderBy(F.col("n_rows").desc(), "join_key")
+    )
+
+
+@query(
+    "xb9_market_share",
+    """
+    WITH rev AS (
+        SELECT year(o.o_orderdate) AS yr,
+               ns.n_name AS supp_nation,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    ),
+    nat AS (
+        SELECT yr, supp_nation, CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM rev GROUP BY yr, supp_nation
+    ),
+    tot AS (SELECT yr, CAST(sum(rev_cents) AS BIGINT) AS yr_cents FROM nat GROUP BY yr)
+    SELECT n.yr, n.supp_nation, n.rev_cents,
+           (n.rev_cents * 1000000 // t.yr_cents) / 1e6 AS share
+    FROM nat n JOIN tot t USING (yr)
+    ORDER BY n.yr, n.supp_nation
+    """,
+    "NATIONAL MARKET SHARE (the TPC-H Q8 shape — the deepest join in "
+    "the relational surface): an 8-table snowflake join (lineitem -> "
+    "orders -> customer -> nation -> region on the demand side; part "
+    "filter; supplier -> nation on the supply side), per-row revenue "
+    "floored to integer cents AT SOURCE so every rollup is exact, "
+    "supplier-nation revenue share per year as integer-quantized "
+    "ratios. Catalyst broadcasts every dimension (region/nation/"
+    "part/supplier/customer at this SF) so the fact table shuffles "
+    "only for the orderkey join — the plan shape that holds when "
+    "lineitem is 100 TB",
+    ("relational", "join", "analytics"),
+)
+def xb9_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["nation"].select(
+                F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+            ),
+            F.col("c_nationkey") == F.col("nc_key"),
+        )
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            F.col("nc_region") == F.col("r_regionkey"),
+        )
+        .join(
+            t["part"].filter(F.col("p_type") == "ECONOMY"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["nation"].select(
+                F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+            ),
+            F.col("s_nationkey") == F.col("ns_key"),
+        )
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            "supp_nation",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    nat = rev.groupBy("yr", "supp_nation").agg(F.sum("cents").cast("long").alias("rev_cents"))
+    tot = nat.groupBy("yr").agg(F.sum("rev_cents").cast("long").alias("yr_cents"))
+    return (
+        nat.join(tot, "yr")
+        .select(
+            "yr",
+            "supp_nation",
+            "rev_cents",
+            (F.expr("(rev_cents * 1000000) div yr_cents") / 1e6).alias("share"),
+        )
+        .orderBy("yr", "supp_nation")
+    )
