@@ -7121,41 +7121,46 @@ def xb7_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS join_key, CAST(count(*) AS BIGINT) AS n_rows
         FROM events GROUP BY event_type
     ),
-    stats AS (
-        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
-               CAST(max(n_rows) AS BIGINT) AS max_rows,
-               CAST(count(*) AS BIGINT) AS n_keys
+    win AS (
+        SELECT join_key, n_rows,
+               CAST(sum(n_rows) OVER () AS BIGINT) AS total,
+               CAST(count(*) OVER () AS BIGINT) AS n_keys
         FROM keyed
     )
-    SELECT k.join_key, k.n_rows,
-           (k.n_rows * 1000000 // s.total) / 1e6 AS row_share,
-           (k.n_rows * s.n_keys * 1000000 // s.total) / 1e6 AS skew_factor,
-           CAST((k.n_rows + 99999) // 100000 AS BIGINT) AS suggested_salts
-    FROM keyed k CROSS JOIN stats s
-    ORDER BY k.n_rows DESC, k.join_key
+    SELECT join_key, n_rows,
+           (n_rows * 1000000 // total) / 1e6 AS row_share,
+           (n_rows * n_keys * 1000000 // total) / 1e6 AS skew_factor,
+           CAST((n_rows + 99999) // 100000 AS BIGINT) AS suggested_salts
+    FROM win
+    ORDER BY n_rows DESC, join_key
     """,
     "JOIN-KEY SKEW DIAGNOSIS (the operational pre-flight before a big "
     "shuffle): per-key row counts, each key's row share and skew "
     "factor (count / mean-count, i.e. n*k/total) as integer-quantized "
     "ratios, and a suggested salt fan-out ceil(n/100k target rows per "
-    "reducer) in pure integer arithmetic. One map-side-combinable agg "
-    "+ a broadcast one-row stats cross join; the readout that tells "
-    "you whether operators/skew.py's salted join is worth its "
-    "replication cost BEFORE paying for a stalled reducer",
+    "reducer) in pure integer arithmetic. One map-side-combinable agg, "
+    "then corpus totals as an UNPARTITIONED WINDOW over the tiny "
+    "per-key table (one scan of events — a stats self-join would "
+    "re-evaluate the aggregate subtree in the compiled plan); the "
+    "readout that tells you whether operators/skew.py's salted join "
+    "is worth its replication cost BEFORE paying for a stalled reducer",
     ("events", "performance", "analytics"),
 )
 def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     t = _t(spark, sf_dir)
     keyed = t["events"].groupBy(F.col("event_type").alias("join_key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    stats = keyed.agg(
-        F.sum("n_rows").alias("total"),
-        F.max("n_rows").alias("max_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-    )
+    w = W.partitionBy()
     return (
-        keyed.crossJoin(F.broadcast(stats))
+        keyed.select(
+            "join_key",
+            "n_rows",
+            F.sum("n_rows").over(w).alias("total"),
+            F.count(F.lit(1)).over(w).alias("n_keys"),
+        )
         .select(
             "join_key",
             "n_rows",
@@ -7188,11 +7193,15 @@ def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT yr, supp_nation, CAST(sum(cents) AS BIGINT) AS rev_cents
         FROM rev GROUP BY yr, supp_nation
     ),
-    tot AS (SELECT yr, CAST(sum(rev_cents) AS BIGINT) AS yr_cents FROM nat GROUP BY yr)
-    SELECT n.yr, n.supp_nation, n.rev_cents,
-           (n.rev_cents * 1000000 // t.yr_cents) / 1e6 AS share
-    FROM nat n JOIN tot t USING (yr)
-    ORDER BY n.yr, n.supp_nation
+    win AS (
+        SELECT yr, supp_nation, rev_cents,
+               CAST(sum(rev_cents) OVER (PARTITION BY yr) AS BIGINT) AS yr_cents
+        FROM nat
+    )
+    SELECT yr, supp_nation, rev_cents,
+           (rev_cents * 1000000 // yr_cents) / 1e6 AS share
+    FROM win
+    ORDER BY yr, supp_nation
     """,
     "NATIONAL MARKET SHARE (the TPC-H Q8 shape — the deepest join in "
     "the relational surface): an 8-table snowflake join (lineitem -> "
@@ -7200,10 +7209,12 @@ def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter; supplier -> nation on the supply side), per-row revenue "
     "floored to integer cents AT SOURCE so every rollup is exact, "
     "supplier-nation revenue share per year as integer-quantized "
-    "ratios. Catalyst broadcasts every dimension (region/nation/"
-    "part/supplier/customer at this SF) so the fact table shuffles "
-    "only for the orderkey join — the plan shape that holds when "
-    "lineitem is 100 TB",
+    "ratios computed by a PARTITION BY yr window over the grouped "
+    "result (a yearly-total self-join would re-evaluate the whole "
+    "8-table subtree in the compiled plan). Catalyst broadcasts every "
+    "dimension (region/nation/part/supplier/customer at this SF) so "
+    "the fact table shuffles only for the orderkey join — the plan "
+    "shape that holds when lineitem is 100 TB",
     ("relational", "join", "analytics"),
 )
 def xb9_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7241,10 +7252,11 @@ def xb9_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    from pyspark.sql.window import Window as W
+
     nat = rev.groupBy("yr", "supp_nation").agg(F.sum("cents").cast("long").alias("rev_cents"))
-    tot = nat.groupBy("yr").agg(F.sum("rev_cents").cast("long").alias("yr_cents"))
     return (
-        nat.join(tot, "yr")
+        nat.withColumn("yr_cents", F.sum("rev_cents").over(W.partitionBy("yr")))
         .select(
             "yr",
             "supp_nation",

@@ -424,3 +424,36 @@ def test_sparse_retrieval_has_no_cartesian(spark, sf_oracle):
     assert "CartesianProduct" not in p, p
     # the one-row corpus-size aggregate rides as a broadcast
     assert "BroadcastNestedLoopJoin" not in p or "BroadcastExchange" in p, p
+
+
+def test_winsorized_clamp_is_broadcast(spark, sf_oracle):
+    """xb7: the p05/p95 bounds (one row per event_type) must broadcast
+    into the clamp join — the events stream never shuffles to meet its
+    own quantiles."""
+    p = plan(registry()["xb7_winsorized_stats"].spark_fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_skew_diagnosis_is_one_scan(spark, sf_oracle):
+    """xb8: corpus totals come from an unpartitioned window over the
+    tiny per-key aggregate — events must be scanned ONCE (a stats
+    self-join would re-evaluate the aggregate subtree)."""
+    import re
+
+    p = plan(registry()["xb8_skew_diagnosis"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Window" in p, p
+
+
+def test_market_share_scans_each_table_once(spark, sf_oracle):
+    """xb9: the 8-table snowflake join must scan each table exactly once
+    (the yearly total is a window, not a self-join that would double the
+    whole join subtree) and every dimension join must broadcast; no
+    cartesian anywhere."""
+    import re
+
+    p = plan(registry()["xb9_market_share"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 8, p
+    assert p.count("BroadcastHashJoin") >= 5, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
