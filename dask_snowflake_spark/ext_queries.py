@@ -7265,3 +7265,216 @@ def xb9_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "supp_nation")
     )
+
+
+@query(
+    "xca_constraint_audit",
+    """
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+               CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+               CAST(sum(CASE WHEN l_tax >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
+               CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+               CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_rflag,
+               CAST(sum(CASE WHEN l_linestatus IN ('O','F') THEN 0 ELSE 1 END) AS BIGINT) AS v_status,
+               CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+               CAST(sum(CASE WHEN l_orderkey > 0 AND l_partkey > 0 AND l_suppkey > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_keys
+        FROM lineitem
+    )
+    SELECT r.rule, a.n AS n_rows, r.n_violations,
+           ((a.n - r.n_violations) * 1000000 // a.n) / 1e6 AS pass_ratio
+    FROM agg a CROSS JOIN LATERAL (VALUES
+        ('key_positive', a.v_keys),
+        ('discount_in_range', a.v_disc),
+        ('linestatus_domain', a.v_status),
+        ('price_positive', a.v_price),
+        ('quantity_in_range', a.v_qty),
+        ('returnflag_domain', a.v_rflag),
+        ('shipdate_not_null', a.v_ship),
+        ('tax_nonnegative', a.v_tax)
+    ) AS r(rule, n_violations)
+    ORDER BY r.rule
+    """,
+    "DECLARATIVE CONSTRAINT AUDIT (the Deequ-style data-quality gate a "
+    "pipeline runs before publishing a table): eight rules -- range, "
+    "domain-membership, positivity, not-null, key sanity -- evaluated "
+    "as conditional sums in ONE aggregation over ONE scan (never a "
+    "job per rule), then unpivoted to a rule/violations/pass-ratio "
+    "report via an in-plan stack spine (the xb1 profiler's shape). "
+    "Range compares are stored-double vs literal -- one IEEE compare, "
+    "identical on both engines; ratios integer-quantized. At 100 TB "
+    "this is a single map-side-combinable pass at scan speed",
+    ("lineitem", "quality"),
+)
+def xca_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+
+    def viol(cond):
+        return F.sum(F.when(cond, 0).otherwise(1)).cast("long")
+
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        viol((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)).alias("v_qty"),
+        viol((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)).alias("v_disc"),
+        viol(F.col("l_tax") >= 0).alias("v_tax"),
+        viol(F.col("l_extendedprice") > 0).alias("v_price"),
+        viol(F.col("l_returnflag").isin("A", "N", "R")).alias("v_rflag"),
+        viol(F.col("l_linestatus").isin("O", "F")).alias("v_status"),
+        viol(F.col("l_shipdate").isNotNull()).alias("v_ship"),
+        viol(
+            (F.col("l_orderkey") > 0) & (F.col("l_partkey") > 0) & (F.col("l_suppkey") > 0)
+        ).alias("v_keys"),
+    )
+    return (
+        agg.select(
+            F.col("n"),
+            F.expr(
+                "stack(8, "
+                "'key_positive', v_keys, "
+                "'discount_in_range', v_disc, "
+                "'linestatus_domain', v_status, "
+                "'price_positive', v_price, "
+                "'quantity_in_range', v_qty, "
+                "'returnflag_domain', v_rflag, "
+                "'shipdate_not_null', v_ship, "
+                "'tax_nonnegative', v_tax) AS (rule, n_violations)"
+            ),
+        )
+        .select(
+            "rule",
+            F.col("n").alias("n_rows"),
+            "n_violations",
+            (F.expr("((n - n_violations) * 1000000) div n") / 1e6).alias("pass_ratio"),
+        )
+        .orderBy("rule")
+    )
+
+
+@query(
+    "xcb_event_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           (n_transitions * 1000000 //
+            CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)) / 1e6 AS prob
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+    "EVENT TRANSITION MATRIX (first-order Markov chain of user "
+    "journeys -- the input to next-action prediction and anomaly "
+    "detection): per-user event streams ordered by the UNIQUE "
+    "(ts, event_id) key (ts alone can tie), lag() pairs each event "
+    "with its predecessor, transition counts per (from, to), and "
+    "row-stochastic probabilities via a PARTITION BY from_type window "
+    "over the k*k matrix (never a totals self-join). One user-keyed "
+    "window shuffle + one pair aggregation; the matrix is "
+    "|event_types|^2 rows regardless of corpus size",
+    ("events", "analytics", "sessionization"),
+)
+def xcb_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ordered = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    return (
+        pairs.withColumn(
+            "from_total", F.sum("n_transitions").over(W.partitionBy("from_type"))
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (F.expr("(n_transitions * 1000000) div from_total") / 1e6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "xcc_open_orders_curve",
+    """
+    WITH span AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS od,
+               CAST(max(l.l_shipdate) AS DATE) AS cd
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    delta AS (
+        SELECT od AS day, 1 AS d FROM span
+        UNION ALL
+        SELECT cd + 1, -1 FROM span
+    ),
+    daily AS (
+        SELECT day, CAST(sum(d) AS BIGINT) AS net_change FROM delta GROUP BY day
+    )
+    SELECT day, net_change,
+           CAST(sum(net_change) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+    """,
+    "OPEN-ORDER OCCUPANCY CURVE (sweep-line interval counting -- how "
+    "many orders are in flight each day, the shape behind active-"
+    "sessions and concurrency dashboards): each order's lifetime spans "
+    "orderdate .. last lineitem shipdate (orders with no lineitems "
+    "have no interval -- inner join semantics, documented), every "
+    "interval becomes a +1 open-day / -1 close-day+1 delta pair, "
+    "daily net change by aggregation, and the curve as one running "
+    "sum over the BOUNDED day axis (~2500 rows whatever the corpus "
+    "size). Never a day-x-interval range join: the sweep line is "
+    "O(rows) map work + one date-keyed agg. DATE-cast on both engines "
+    "(timestamps at midnight; the date_trunc canonicalization trap)",
+    ("orders", "lineitem", "timeseries", "analytics"),
+)
+def xcc_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    last_ship = t["lineitem"].groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    span = (
+        t["orders"]
+        .join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("max_ship").cast("date").alias("cd"),
+        )
+    )
+    delta = span.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("od").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.date_add("cd", 1).alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.day", "e.d")
+    daily = delta.groupBy("day").agg(F.sum("d").cast("long").alias("net_change"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.withColumn("open_orders", F.sum("net_change").over(w).cast("long"))
+        .select("day", "net_change", "open_orders")
+        .orderBy("day")
+    )

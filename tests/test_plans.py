@@ -457,3 +457,39 @@ def test_market_share_scans_each_table_once(spark, sf_oracle):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 8, p
     assert p.count("BroadcastHashJoin") >= 5, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_constraint_audit_is_one_pass(spark, sf_oracle):
+    """xca: eight rules must come from ONE scan + one aggregation
+    (conditional sums), unpivoted by stack — a per-rule job or a second
+    scan would read the table eight times at 100 TB."""
+    import re
+
+    p = plan(registry()["xca_constraint_audit"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Generate" in p, p
+    assert "Join" not in p, p
+
+
+def test_event_transitions_single_scan_no_join(spark, sf_oracle):
+    """xcb: the row-stochastic normalization must be a from_type window
+    over the k*k matrix, not a totals self-join — one scan of events,
+    no join operator anywhere."""
+    import re
+
+    p = plan(registry()["xcb_event_transitions"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p, p
+    assert p.count("Window") >= 2, p
+
+
+def test_open_orders_sweep_line_no_range_join(spark, sf_oracle):
+    """xcc: the occupancy curve must be the sweep line (explode deltas +
+    daily agg + running sum), never a day-by-interval range join — no
+    cartesian/nested-loop, exactly the two necessary scans."""
+    import re
+
+    p = plan(registry()["xcc_open_orders_curve"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate" in p and "Window" in p, p
