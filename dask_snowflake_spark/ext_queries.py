@@ -6505,7 +6505,8 @@ def xb0_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM changes
         WINDOW w2 AS (PARTITION BY custkey ORDER BY d, o_orderkey)
     )
-    SELECT custkey, version, status, eff_from, eff_to,
+    SELECT custkey, version, status, eff_from,
+           coalesce(eff_to, DATE '9999-12-31') AS eff_to,
            eff_to IS NULL AS is_current
     FROM versions
     ORDER BY custkey, version
@@ -6545,12 +6546,15 @@ def xb4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).alias("version"),
         F.lead("d").over(w2).alias("eff_to"),
     )
+    # open rows get the conventional far-future end date rather than a
+    # NULL: a NULL timestamp canonicalizes as 'NULL' (Spark) vs 'NaT'
+    # (DuckDB) through the driver's Arrow hash path
     return versions.select(
         "custkey",
         "version",
         "status",
         "eff_from",
-        "eff_to",
+        F.coalesce(F.col("eff_to"), F.lit("9999-12-31").cast("date")).alias("eff_to"),
         F.col("eff_to").isNull().alias("is_current"),
     ).orderBy("custkey", "version")
 
@@ -7477,4 +7481,304 @@ def xcc_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("open_orders", F.sum("net_change").over(w).cast("long"))
         .select("day", "net_change", "open_orders")
         .orderBy("day")
+    )
+
+
+@query(
+    "xcd_last_touch_attribution",
+    """
+    WITH ordered AS (
+        SELECT event_type, value, ts,
+               last_value(CASE WHEN event_type IN ('click','view','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('click','view','signup')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+        SELECT CASE WHEN touch_type IS NOT NULL
+                     AND date_diff('microseconds', touch_ts, ts) <= 604800000000
+                    THEN touch_type ELSE 'none' END AS channel,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM purchases GROUP BY channel ORDER BY channel
+    """,
+    "LAST-TOUCH ATTRIBUTION (which channel gets credit for each "
+    "purchase -- the marketing-analytics staple): per-user streams "
+    "ordered by the UNIQUE (ts, event_id) key, the most recent "
+    "preceding click/view/signup found by last_value IGNORE NULLS "
+    "over an unbounded-to-1-preceding frame (two expressions, ONE "
+    "window node), credit only within a 7-day lookback compared in "
+    "MICROSECONDS (the x81/x82 lesson: second-granularity diffs "
+    "disagree across engines), revenue floored to integer cents at "
+    "source. One user-keyed window shuffle + one tiny channel agg",
+    ("events", "analytics", "sessionization"),
+)
+def xcd_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    ordered = t["events"].select(
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    purchases = ordered.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_type").isNotNull()
+            & (
+                F.timestamp_diff("MICROSECOND", F.col("touch_ts"), F.col("ts"))
+                <= 604800000000
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise("none")
+        .alias("channel"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "xce_segment_trend_ols",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(date_diff('day',
+                    min(CAST(ts AS DATE)) OVER (PARTITION BY event_type),
+                    CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(floor(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM base GROUP BY event_type
+    ),
+    fit AS (
+        SELECT event_type, n,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den,
+               sy, sx
+        FROM sums
+    ),
+    slope AS (
+        SELECT event_type, n, sy, sx, den,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END END
+                   AS slope_sign,
+               CASE WHEN den = 0 THEN NULL ELSE abs(num) * 1000 // den END
+                   AS slope_mag_milli
+        FROM fit
+    )
+    SELECT event_type, n, slope_sign, slope_mag_milli,
+           CASE WHEN slope_sign IS NULL THEN NULL
+                WHEN sy * 1000 - slope_sign * slope_mag_milli * sx < 0 THEN -1
+                WHEN sy * 1000 - slope_sign * slope_mag_milli * sx > 0 THEN 1
+                ELSE 0 END AS intercept_sign,
+           CASE WHEN slope_sign IS NULL THEN NULL
+                ELSE abs(sy * 1000 - slope_sign * slope_mag_milli * sx) // n END
+               AS intercept_mag_milli
+    FROM slope ORDER BY event_type
+    """,
+    "PER-SEGMENT TREND VIA EXACT CLOSED-FORM OLS (is this metric "
+    "rising? -- per event_type, regress value on days-since-segment-"
+    "start): x anchored to each segment's own min DATE by a window "
+    "(regeneration-proof -- magnitudes track the data span, never "
+    "calendar distance), y floored to integer cents at source, so "
+    "every OLS sum (n, sx, sy, sxy, sxx) is an exact BIGINT and the "
+    "slope num/den are exact integers. Slope and intercept are "
+    "reported MAGNITUDE + SIGN (the x73 lesson: Spark div truncates "
+    "toward zero while // floors, so signed floor-divs disagree -- "
+    "nonneg operands only), denominator-zero CASE-guarded. The "
+    "event_type window partitioning feeds the same-keyed groupBy "
+    "exchange-free. Magnitude budget: |num|*1000 < 2^63 holds "
+    "through sf0.1 x 100 with a month-scale span",
+    ("events", "analytics", "ml"),
+)
+def xce_segment_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    base = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("d"), F.min("d").over(W.partitionBy("event_type"))
+            ).cast("long").alias("x"),
+            "y",
+        )
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    fit = sums.select(
+        "event_type",
+        "n",
+        "sy",
+        "sx",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope = fit.select(
+        "event_type",
+        "n",
+        "sy",
+        "sx",
+        F.when(F.col("den") == 0, F.lit(None).cast("long"))
+        .otherwise(F.signum("num").cast("long"))
+        .alias("slope_sign"),
+        F.when(F.col("den") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(abs(num) * 1000) div den"))
+        .alias("slope_mag_milli"),
+    )
+    in_num = F.col("sy") * 1000 - F.col("slope_sign") * F.col("slope_mag_milli") * F.col("sx")
+    return slope.select(
+        "event_type",
+        "n",
+        "slope_sign",
+        "slope_mag_milli",
+        F.when(F.col("slope_sign").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.signum(in_num).cast("long"))
+        .alias("intercept_sign"),
+        F.when(F.col("slope_sign").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.expr(
+            "abs(sy * 1000 - slope_sign * slope_mag_milli * sx) div n"
+        ))
+        .alias("intercept_mag_milli"),
+    ).orderBy("event_type")
+
+
+@query(
+    "xcf_delete_cascade_audit",
+    """
+    WITH del_cust AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM customer
+    ),
+    o AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM del_cust)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM lineitem
+    )
+    SELECT 'customer' AS table_name, n AS rows_total, d AS rows_deleted,
+           n - d AS rows_retained FROM c
+    UNION ALL
+    SELECT 'lineitem', n, d, n - d FROM l
+    UNION ALL
+    SELECT 'orders', n, d, n - d FROM o
+    ORDER BY table_name
+    """,
+    "ERASURE-CASCADE IMPACT AUDIT (the dry run a GDPR right-to-be-"
+    "forgotten pipeline reports before deleting): an erasure set of "
+    "customers (hash-decided c_custkey % 97 -- deterministic, "
+    "RNG-free) cascades customer -> orders -> lineitem through "
+    "left-mark joins; each table reports total/deleted/retained in "
+    "ONE scan (the deletion flag rides a broadcast mark join, never a "
+    "second counting scan). At 100 TB the erasure key set stays "
+    "key-only and broadcast-sized at each hop; the fact tables are "
+    "scanned once each and never shuffle",
+    ("customer", "orders", "lineitem", "pipeline"),
+)
+def xcf_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    del_cust = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("dk"), F.lit(1).alias("cm"))
+    )
+    cust = t["customer"].agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("c_custkey") % 97 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    orders_marked = t["orders"].join(
+        F.broadcast(del_cust), F.col("o_custkey") == F.col("dk"), "left"
+    )
+    ords = orders_marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.coalesce(F.col("cm"), F.lit(0))).cast("long").alias("d"),
+    )
+    del_orders = (
+        orders_marked.filter(F.col("cm").isNotNull())
+        .select(F.col("o_orderkey").alias("dok"), F.lit(1).alias("om"))
+    )
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(del_orders), F.col("l_orderkey") == F.col("dok"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("om"), F.lit(0))).cast("long").alias("d"),
+        )
+    )
+
+    def row(name, agg):
+        return agg.select(
+            F.lit(name).alias("table_name"),
+            F.col("n").alias("rows_total"),
+            F.col("d").alias("rows_deleted"),
+            (F.col("n") - F.col("d")).alias("rows_retained"),
+        )
+
+    return (
+        row("customer", cust)
+        .unionAll(row("lineitem", li))
+        .unionAll(row("orders", ords))
+        .orderBy("table_name")
     )

@@ -493,3 +493,40 @@ def test_open_orders_sweep_line_no_range_join(spark, sf_oracle):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Generate" in p and "Window" in p, p
+
+
+def test_attribution_single_window_no_join(spark, sf_oracle):
+    """xcd: touch type and touch ts must come from ONE window node
+    (same frame) over one scan of events; credit assignment is pure
+    projection — no join anywhere."""
+    import re
+
+    p = plan(registry()["xcd_last_touch_attribution"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert "Join" not in p, p
+
+
+def test_segment_trend_groupby_reuses_window_partitioning(spark, sf_oracle):
+    """xce: the per-segment min-date window hash-partitions by
+    event_type and the OLS-sums groupBy must reuse that partitioning —
+    exactly two exchanges in the whole plan (window hash + presentation
+    sort), one scan, no join."""
+    import re
+
+    p = plan(registry()["xce_segment_trend_ols"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert "Join" not in p, p
+
+
+def test_delete_cascade_scans_lineitem_once(spark, sf_oracle):
+    """xcf: the erasure cascade must touch the biggest table exactly
+    once — the deletion flag rides broadcast mark joins, never a second
+    counting scan of lineitem; no cartesian anywhere."""
+    import re
+
+    p = plan(registry()["xcf_delete_cascade_audit"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"Location: [^\n]*lineitem", p)) == 1, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
