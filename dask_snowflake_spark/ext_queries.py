@@ -6623,16 +6623,19 @@ def xb4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
                         'l_extendedprice','l_returnflag','l_linestatus']) AS u(col)
     ORDER BY column_name
     """,
-    "one-pass COLUMN PROFILER (the data-quality summary every ingest "
-    "pipeline runs before accepting a drop): per-column null count, "
-    "exact distinct count, min/max — all six columns in ONE "
-    "aggregation over one scan (Spark expands the multi-distinct into "
-    "a single Expand + two-level agg, still one pass over the data), "
-    "pivoted to one row per column via an in-plan column-name spine. "
-    "Numeric extremes canonicalize through DECIMAL(18,2) -> VARCHAR on "
-    "both engines (raw stored values, not computed aggregates, so the "
-    "2dp cast is lossless); at 100 TB this is the scan whose partial "
-    "aggregates are map-side-combined into a KB-sized profile",
+    "COLUMN PROFILER (the data-quality summary every ingest pipeline "
+    "runs before accepting a drop): per-column null count, exact "
+    "distinct count, min/max for six columns. Two passes, each the "
+    "scalable shape for its metric family: nulls/min/max as plain "
+    "conditional aggregates (map-side-combined, KB-sized result), and "
+    "exact distincts via unpivot-to-(column, value) + two-level count "
+    "— pure HashAggregate with map-side dedup. The naive ONE-pass "
+    "multi-countDistinct compiles to Expand(7x row replication) + "
+    "SortAggregate (string min/max buffers break hash agg) and "
+    "measured 14.4 s at sf0.1 vs ~1 s for this shape; at 100 TB the "
+    "Expand would also 7x the shuffle. Numeric extremes canonicalize "
+    "through DECIMAL(18,2) -> VARCHAR on both engines (raw stored "
+    "values, not computed aggregates, so the 2dp cast is lossless)",
     ("relational", "quality", "analytics"),
 )
 def xb1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6652,7 +6655,6 @@ def xb1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}")
         )
-        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
         if c in num_cols:
             aggs.append(F.min(c).cast("decimal(18,2)").cast("string").alias(f"mn_{c}"))
             aggs.append(F.max(c).cast("decimal(18,2)").cast("string").alias(f"mx_{c}"))
@@ -6660,28 +6662,50 @@ def xb1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
     row = li.agg(*aggs)
+    # exact distincts: (column, value-string) pairs dedup map-side in the
+    # partial HashAggregate, then a 6-row count — the string cast is
+    # injective per column (no NaN / -0.0 in the domain), so the count
+    # matches count(DISTINCT native) exactly
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.column_name", "e.v")
+    nd = (
+        pairs.filter(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
     entries = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"nd_{c}").alias("n_distinct"),
                 F.col(f"mn_{c}").alias("min_value"),
                 F.col(f"mx_{c}").alias("max_value"),
             )
             for c in cols
         ]
     )
+    stats = row.select("n_rows", F.explode(entries).alias("e")).select(
+        F.col("e.column_name").alias("column_name"),
+        "n_rows",
+        F.col("e.n_nulls").alias("n_nulls"),
+        F.col("e.min_value").alias("min_value"),
+        F.col("e.max_value").alias("max_value"),
+    )
     return (
-        row.select("n_rows", F.explode(entries).alias("e"))
-        .select(
-            F.col("e.column_name").alias("column_name"),
-            "n_rows",
-            F.col("e.n_nulls").alias("n_nulls"),
-            F.col("e.n_distinct").alias("n_distinct"),
-            F.col("e.min_value").alias("min_value"),
-            F.col("e.max_value").alias("max_value"),
-        )
+        nd.join(F.broadcast(stats), "column_name")
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
         .orderBy("column_name")
     )
 
@@ -7781,4 +7805,165 @@ def xcf_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem", li))
         .unionAll(row("orders", ords))
         .orderBy("table_name")
+    )
+
+
+@query(
+    "xcg_waiting_orders_blame",
+    """
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    "SOLE-LATE-SUPPLIER BLAME (the TPC-H Q21 shape — the hardest "
+    "correlated-subquery pattern in the relational surface: EXISTS + "
+    "NOT EXISTS both correlated to the same fact table): suppliers "
+    "whose lineitem shipped >90 days after the order date on "
+    "finished multi-supplier orders where NO OTHER supplier was late. "
+    "The Spark side compiles the double correlation into one "
+    "(orderkey, suppkey) pre-aggregation + an orderkey window "
+    "(distinct-supplier and late-supplier counts) that RIDES the "
+    "groupBy's partitioning exchange-free — no self-join, the fact "
+    "table shuffles once; the DuckDB oracle runs the textbook "
+    "EXISTS/NOT EXISTS formulation, so the hash-match proves the "
+    "rewrite, not just the arithmetic",
+    ("lineitem", "orders", "supplier", "relational", "join"),
+)
+def xcg_waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1)
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").cast("long").alias("n_late_rows"),
+        F.max("late").alias("supp_late"),
+    )
+    w = W.partitionBy("l_orderkey")
+    blame = (
+        per_os.select(
+            "l_suppkey",
+            "n_late_rows",
+            "supp_late",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum("supp_late").over(w).alias("n_late_supp"),
+        )
+        .filter(
+            (F.col("supp_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
+    )
+    return (
+        blame.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@query(
+    "xch_copurchase_affinity",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    ),
+    cnt AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           (p.n_ab * t.n_orders * 1000000 // (ca.n * cb.n)) / 1e6 AS lift
+    FROM pairs p
+    CROSS JOIN tot t
+    JOIN cnt ca ON ca.l_partkey = p.part_a
+    JOIN cnt cb ON cb.l_partkey = p.part_b
+    ORDER BY p.part_a, p.part_b
+    """,
+    "MARKET-BASKET CO-PURCHASE AFFINITY (association mining's support "
+    "+ lift, the recommender bootstrap): distinct (order, part) items, "
+    "within-order self-pairing under part_a < part_b (candidate pairs "
+    "bounded by items-per-order choose 2, ~6 per order — NEVER a "
+    "cross-catalog pairing), min-support-2 prune at the aggregation, "
+    "lift as the integer-quantized ratio n_ab*n_orders/(n_a*n_b) "
+    "(exact BIGINT products; magnitudes < 2^63 through sf1). Item "
+    "frequencies are |parts|-bounded and broadcast back; the corpus "
+    "total rides a one-row broadcast cross join. The within-order "
+    "self-join co-partitions on orderkey: one shuffle, no skew "
+    "(orders are bounded-size baskets)",
+    ("lineitem", "analytics", "ml"),
+)
+def xch_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    # four consumers re-evaluate this subtree (ReuseExchange does not
+    # canonicalize their exchanges equal), but the re-evaluations are
+    # 2-column pruned parquet scans; persist() was MEASURED no faster
+    # (2.1 s either way at sf0.1) with jobs 12 -> 18 — the cache write
+    # costs what the scans cost. Recompute wins; at 100 TB the item
+    # set would be materialized to parquet once by the caller instead.
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    tot = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("ka"), F.col("n").alias("n_a"))),
+            F.col("part_a") == F.col("ka"),
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("kb"), F.col("n").alias("n_b"))),
+            F.col("part_b") == F.col("kb"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)") / 1e6).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
     )

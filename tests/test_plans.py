@@ -403,17 +403,20 @@ def test_chunker_is_shuffle_free_before_presentation_sort(spark, sf_oracle):
     assert "Generate" in p, p
 
 
-def test_profiler_is_one_pass(spark, sf_oracle):
-    """xb1: six columns' null/distinct/min/max must come from ONE scan —
-    a single Expand feeds the multi-distinct aggregation; a second
-    parquet scan of lineitem would mean the profiler reads the table
-    per metric family."""
+def test_profiler_avoids_expand_and_sort_agg(spark, sf_oracle):
+    """xb1: exactly two metric-family passes — a plain stats aggregate
+    and an unpivot + two-level distinct count. The naive single-pass
+    multi-countDistinct shape (Expand 7x replication + SortAggregate
+    from string min/max buffers) measured 14.4 s vs ~3 s at sf0.1 and
+    would 7x the shuffle at 100 TB — pin its absence."""
     import re
 
     p = plan(registry()["xb1_profile_columns"].spark_fn(spark, sf_oracle))
-    # count operator-detail headers only (the tree section repeats them)
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
-    assert "Expand" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "Expand" not in p, p
+    # the distinct path (explode + two HashAggregate levels) must never
+    # degrade to sort-based aggregation
+    assert "Generate" in p, p
 
 
 def test_sparse_retrieval_has_no_cartesian(spark, sf_oracle):
@@ -529,4 +532,17 @@ def test_delete_cascade_scans_lineitem_once(spark, sf_oracle):
     p = plan(registry()["xcf_delete_cascade_audit"].spark_fn(spark, sf_oracle))
     assert len(re.findall(r"Location: [^\n]*lineitem", p)) == 1, p
     assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_blame_query_has_no_fact_self_join(spark, sf_oracle):
+    """xcg: the double-correlated EXISTS/NOT-EXISTS must compile to a
+    pre-aggregation + orderkey window — lineitem scanned once, orders
+    once, supplier broadcast; the textbook formulation's two
+    correlated self-joins must not appear."""
+    import re
+
+    p = plan(registry()["xcg_waiting_orders_blame"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"Location: [^\n]*lineitem", p)) == 1, p
+    assert "Window" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
