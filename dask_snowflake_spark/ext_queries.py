@@ -7336,47 +7336,23 @@ def xb9_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("lineitem", "quality"),
 )
 def xca_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import constraint_audit
+
     t = _t(spark, sf_dir)
-    li = t["lineitem"]
-
-    def viol(cond):
-        return F.sum(F.when(cond, 0).otherwise(1)).cast("long")
-
-    agg = li.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        viol((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)).alias("v_qty"),
-        viol((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)).alias("v_disc"),
-        viol(F.col("l_tax") >= 0).alias("v_tax"),
-        viol(F.col("l_extendedprice") > 0).alias("v_price"),
-        viol(F.col("l_returnflag").isin("A", "N", "R")).alias("v_rflag"),
-        viol(F.col("l_linestatus").isin("O", "F")).alias("v_status"),
-        viol(F.col("l_shipdate").isNotNull()).alias("v_ship"),
-        viol(
-            (F.col("l_orderkey") > 0) & (F.col("l_partkey") > 0) & (F.col("l_suppkey") > 0)
-        ).alias("v_keys"),
-    )
-    return (
-        agg.select(
-            F.col("n"),
-            F.expr(
-                "stack(8, "
-                "'key_positive', v_keys, "
-                "'discount_in_range', v_disc, "
-                "'linestatus_domain', v_status, "
-                "'price_positive', v_price, "
-                "'quantity_in_range', v_qty, "
-                "'returnflag_domain', v_rflag, "
-                "'shipdate_not_null', v_ship, "
-                "'tax_nonnegative', v_tax) AS (rule, n_violations)"
-            ),
-        )
-        .select(
-            "rule",
-            F.col("n").alias("n_rows"),
-            "n_violations",
-            (F.expr("((n - n_violations) * 1000000) div n") / 1e6).alias("pass_ratio"),
-        )
-        .orderBy("rule")
+    return constraint_audit(
+        t["lineitem"],
+        {
+            "key_positive": (F.col("l_orderkey") > 0)
+            & (F.col("l_partkey") > 0)
+            & (F.col("l_suppkey") > 0),
+            "discount_in_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+            "linestatus_domain": F.col("l_linestatus").isin("O", "F"),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "quantity_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "tax_nonnegative": F.col("l_tax") >= 0,
+        },
     )
 
 
@@ -7412,30 +7388,16 @@ def xca_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("events", "analytics", "sessionization"),
 )
 def xcb_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .operators.analytics import transition_matrix
 
     t = _t(spark, sf_dir)
-    ordered = t["events"].select(
-        "user_id",
-        "event_type",
-        F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev_type"),
-    )
-    pairs = (
-        ordered.filter(F.col("prev_type").isNotNull())
-        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
-    )
     return (
-        pairs.withColumn(
-            "from_total", F.sum("n_transitions").over(W.partitionBy("from_type"))
-        )
+        transition_matrix(t["events"], "user_id", ["ts", "event_id"], "event_type")
         .select(
-            "from_type",
-            "to_type",
+            F.col("from_state").alias("from_type"),
+            F.col("to_state").alias("to_type"),
             "n_transitions",
-            (F.expr("(n_transitions * 1000000) div from_total") / 1e6).alias("prob"),
+            "prob",
         )
         .orderBy("from_type", "to_type")
     )
@@ -7477,7 +7439,7 @@ def xcb_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("orders", "lineitem", "timeseries", "analytics"),
 )
 def xcc_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .operators.analytics import interval_occupancy
 
     t = _t(spark, sf_dir)
     last_ship = t["lineitem"].groupBy("l_orderkey").agg(
@@ -7491,19 +7453,9 @@ def xcc_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_ship").cast("date").alias("cd"),
         )
     )
-    delta = span.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("od").alias("day"), F.lit(1).alias("d")),
-                F.struct(F.date_add("cd", 1).alias("day"), F.lit(-1).alias("d")),
-            )
-        ).alias("e")
-    ).select("e.day", "e.d")
-    daily = delta.groupBy("day").agg(F.sum("d").cast("long").alias("net_change"))
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        daily.withColumn("open_orders", F.sum("net_change").over(w).cast("long"))
-        .select("day", "net_change", "open_orders")
+        interval_occupancy(span, "od", "cd")
+        .select("day", "net_change", F.col("occupancy").alias("open_orders"))
         .orderBy("day")
     )
 

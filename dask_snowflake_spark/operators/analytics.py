@@ -1,0 +1,138 @@
+"""Operational-analytics operators: declarative constraint audits,
+Markov transition matrices, and sweep-line interval occupancy.
+
+Reference parity note: the reference (coiled/dask-snowflake, core.py)
+delegates all computation to the warehouse as one SQL string; these are
+the readouts a warehouse user writes by hand, packaged as reusable
+DataFrame transforms with scale-correct plans:
+
+- ``constraint_audit``: Deequ-style data-quality gate — any number of
+  boolean rules evaluated as conditional sums in ONE aggregation over
+  ONE scan (never a job per rule), unpivoted to a per-rule report.
+- ``transition_matrix``: first-order Markov chain over per-entity
+  ordered event streams; row-stochastic probabilities come from a
+  window over the |states|^2 matrix, never a totals self-join (which
+  would re-evaluate the upstream subtree — see SCALE.md).
+- ``interval_occupancy``: how many intervals are live at each point of
+  a bounded axis, via the sweep line (+1/-1 deltas, point aggregation,
+  one running sum over the aggregated axis) — O(rows) map work, never
+  a point-by-interval range join.
+
+Determinism contract (CLAUDE.md): ratios are integer-quantized
+(``x * 1_000_000 div total / 1e6``) so both engines of an oracle pair
+floor the same integers; callers order output by unique keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def constraint_audit(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate ``rules`` (name -> boolean Column, True = row passes)
+    in one aggregation pass and return one row per rule:
+    ``(rule, n_rows, n_violations, pass_ratio)``, ordered by rule name.
+
+    The plan is a single scan + one map-side-combinable aggregate of
+    conditional sums + an in-plan stack unpivot — adding a rule adds a
+    column to the aggregate, not a pass over the data.
+    """
+    if not rules:
+        raise ValueError("constraint_audit needs at least one rule")
+    names = sorted(rules)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, name in enumerate(names):
+        aggs.append(
+            F.sum(F.when(rules[name], 0).otherwise(1)).cast("long").alias(f"__v{i}")
+        )
+    stack_args = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    return (
+        df.agg(*aggs)
+        .select(
+            F.col("__n"),
+            F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
+        )
+        .select(
+            "rule",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            (F.expr("((__n - n_violations) * 1000000) div __n") / 1e6).alias("pass_ratio"),
+        )
+        .orderBy("rule")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order transition counts + row-stochastic probabilities over
+    per-entity event streams: ``(from_state, to_state, n_transitions,
+    prob)``, ordered by (from_state, to_state).
+
+    ``order_cols`` must be UNIQUE per entity (pass a tiebreaker id —
+    a timestamp alone can tie and make lag() nondeterministic). One
+    entity-keyed window shuffle + one pair aggregation; the matrix is
+    |states|^2 rows regardless of corpus size, so the normalizing
+    window is O(matrix), not O(events).
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("to_state"),
+            F.lag(state_col).over(w).alias("from_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    return (
+        pairs.withColumn(
+            "__from_total",
+            F.sum("n_transitions").over(Window.partitionBy("from_state")),
+        )
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            (F.expr("(n_transitions * 1000000) div __from_total") / 1e6).alias("prob"),
+        )
+        .orderBy("from_state", "to_state")
+    )
+
+
+def interval_occupancy(
+    df: DataFrame, start_col: str, end_col: str, end_inclusive: bool = True
+) -> DataFrame:
+    """Sweep-line occupancy over DATE intervals: ``(day, net_change,
+    occupancy)`` for every day where the count changes, ordered by day.
+
+    Each interval becomes a +1 delta at its start and a -1 delta the
+    day after its (inclusive) end; daily net change aggregates
+    map-side, and the running sum is ONE window over the aggregated
+    day axis — bounded by the calendar span, whatever the row count.
+    NULL starts/ends are rejected by the caller's filter; intervals
+    with end < start contribute a +1/-1 pair that cancels in-order.
+    """
+    close = F.date_add(F.col(end_col), 1) if end_inclusive else F.col(end_col)
+    delta = df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("day"), F.lit(1).alias("d")),
+                F.struct(close.alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.day", "e.d")
+    daily = delta.groupBy("day").agg(F.sum("d").cast("long").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("occupancy", F.sum("net_change").over(w).cast("long"))
+        .select("day", "net_change", "occupancy")
+        .orderBy("day")
+    )

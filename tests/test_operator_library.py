@@ -65,3 +65,72 @@ def test_shingle_array_agrees_with_fast_shingles(spark, sf_oracle):
         for s in [r.s]
     }
     assert fast == slow
+
+
+# --- operators/analytics.py ------------------------------------------------
+
+
+def test_constraint_audit_counts_and_ratio(spark):
+    from dask_snowflake_spark.operators.analytics import constraint_audit
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (-3, "b"), (4, "c")], "x int, s string"
+    )
+    rows = constraint_audit(
+        df, {"x_positive": F.col("x") > 0, "s_not_null": F.col("s").isNotNull()}
+    ).collect()
+    assert [r.rule for r in rows] == ["s_not_null", "x_positive"]
+    by = {r.rule: r for r in rows}
+    assert by["x_positive"].n_rows == 4
+    assert by["x_positive"].n_violations == 1
+    assert by["x_positive"].pass_ratio == 0.75
+    assert by["s_not_null"].n_violations == 1
+
+
+def test_constraint_audit_rejects_empty_rules(spark):
+    from dask_snowflake_spark.operators.analytics import constraint_audit
+
+    with pytest.raises(ValueError):
+        constraint_audit(spark.range(3), {})
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from dask_snowflake_spark.operators.analytics import transition_matrix
+
+    # user 1: a -> b -> a ; user 2: a -> b -> b
+    # from a: ->b x2 (prob 1.0); from b: ->a x1, ->b x1 (prob 0.5 each)
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b"), (2, 3, "b")],
+        "uid int, seq int, state string",
+    )
+    rows = transition_matrix(df, "uid", ["seq"], "state").collect()
+    by = {(r.from_state, r.to_state): r for r in rows}
+    assert by[("a", "b")].n_transitions == 2
+    assert by[("a", "b")].prob == 1.0
+    assert by[("b", "a")].n_transitions == 1
+    assert by[("b", "a")].prob == 0.5
+    assert by[("b", "b")].prob == 0.5
+
+
+def test_interval_occupancy_sweep(spark):
+    from dask_snowflake_spark.operators.analytics import interval_occupancy
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            (d(2024, 1, 1), d(2024, 1, 3)),  # live 1..3
+            (d(2024, 1, 2), d(2024, 1, 2)),  # live 2 only
+        ],
+        "s date, e date",
+    )
+    rows = interval_occupancy(df, "s", "e").collect()
+    curve = {r.day.isoformat(): r.occupancy for r in rows}
+    assert curve["2024-01-01"] == 1
+    assert curve["2024-01-02"] == 2
+    assert curve["2024-01-03"] == 1
+    assert curve["2024-01-04"] == 0
+    # exclusive-end variant: the single-day interval contributes nothing
+    rows2 = interval_occupancy(df, "s", "e", end_inclusive=False).collect()
+    curve2 = {r.day.isoformat(): r.occupancy for r in rows2}
+    assert curve2["2024-01-02"] == 1
