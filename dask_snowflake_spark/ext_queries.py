@@ -7499,42 +7499,26 @@ def xcc_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("events", "analytics", "sessionization"),
 )
 def xcd_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .operators.analytics import last_touch_attribution
 
     t = _t(spark, sf_dir)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    is_touch = F.col("event_type").isin("click", "view", "signup")
-    ordered = t["events"].select(
-        "event_type",
-        "value",
-        "ts",
-        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
-        .over(w)
-        .alias("touch_type"),
-        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
-    )
-    purchases = ordered.filter(F.col("event_type") == "purchase").select(
-        F.when(
-            F.col("touch_type").isNotNull()
-            & (
-                F.timestamp_diff("MICROSECOND", F.col("touch_ts"), F.col("ts"))
-                <= 604800000000
-            ),
-            F.col("touch_type"),
-        )
-        .otherwise("none")
-        .alias("channel"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    attributed = last_touch_attribution(
+        t["events"],
+        entity_col="user_id",
+        order_cols=["ts", "event_id"],
+        ts_col="ts",
+        state_col="event_type",
+        touch_states=["click", "view", "signup"],
+        conversion_state="purchase",
+        lookback_micros=604800000000,
     )
     return (
-        purchases.groupBy("channel")
+        attributed.groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases"),
-            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
         )
         .orderBy("channel")
     )
@@ -7883,39 +7867,16 @@ def xcg_waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("lineitem", "analytics", "ml"),
 )
 def xch_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import basket_affinity
+
     t = _t(spark, sf_dir)
-    # four consumers re-evaluate this subtree (ReuseExchange does not
-    # canonicalize their exchanges equal), but the re-evaluations are
-    # 2-column pruned parquet scans; persist() was MEASURED no faster
-    # (2.1 s either way at sf0.1) with jobs 12 -> 18 — the cache write
-    # costs what the scans cost. Recompute wins; at 100 TB the item
-    # set would be materialized to parquet once by the caller instead.
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    tot = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
-    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
     return (
-        pairs.crossJoin(F.broadcast(tot))
-        .join(
-            F.broadcast(cnt.select(F.col("l_partkey").alias("ka"), F.col("n").alias("n_a"))),
-            F.col("part_a") == F.col("ka"),
-        )
-        .join(
-            F.broadcast(cnt.select(F.col("l_partkey").alias("kb"), F.col("n").alias("n_b"))),
-            F.col("part_b") == F.col("kb"),
-        )
+        basket_affinity(t["lineitem"], "l_orderkey", "l_partkey", min_support=2)
         .select(
-            "part_a",
-            "part_b",
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
             "n_ab",
-            (F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)") / 1e6).alias("lift"),
+            "lift",
         )
         .orderBy("part_a", "part_b")
     )

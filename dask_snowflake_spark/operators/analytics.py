@@ -17,6 +17,12 @@ DataFrame transforms with scale-correct plans:
   a bounded axis, via the sweep line (+1/-1 deltas, point aggregation,
   one running sum over the aggregated axis) — O(rows) map work, never
   a point-by-interval range join.
+- ``last_touch_attribution``: per-conversion channel credit from one
+  window node (two last-ignorenulls expressions, microsecond-exact
+  lookback).
+- ``basket_affinity``: market-basket support + lift from a
+  within-basket self-join (bounded candidate pairs) with broadcast
+  item frequencies.
 
 Determinism contract (CLAUDE.md): ratios are integer-quantized
 (``x * 1_000_000 div total / 1e6``) so both engines of an oracle pair
@@ -135,4 +141,107 @@ def interval_occupancy(
         daily.withColumn("occupancy", F.sum("net_change").over(w).cast("long"))
         .select("day", "net_change", "occupancy")
         .orderBy("day")
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    touch_states: Sequence[str],
+    conversion_state: str,
+    lookback_micros: int | None = None,
+) -> DataFrame:
+    """Row-level last-touch credit: every conversion row of ``df`` with
+    a ``channel`` column — the most recent preceding touch state within
+    the per-entity stream (and within ``lookback_micros`` of the
+    conversion, compared in exact MICROSECONDS — second-granularity
+    timestamp diffs disagree across engines), or ``'none'``.
+
+    ``order_cols`` must be unique per entity. Touch state and touch
+    time come from two ``last(..., ignorenulls)`` expressions over ONE
+    window node (same frame); the credit decision is pure projection —
+    one entity-keyed shuffle regardless of lookback. Callers aggregate
+    (channel counts, revenue) on top.
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(state_col).isin(*touch_states)
+    within = F.col("__touch_type").isNotNull()
+    if lookback_micros is not None:
+        within = within & (
+            F.timestamp_diff("MICROSECOND", F.col("__touch_ts"), F.col(ts_col))
+            <= lookback_micros
+        )
+    return (
+        df.select(
+            "*",
+            F.last(F.when(is_touch, F.col(state_col)), ignorenulls=True)
+            .over(w)
+            .alias("__touch_type"),
+            F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True)
+            .over(w)
+            .alias("__touch_ts"),
+        )
+        .filter(F.col(state_col) == conversion_state)
+        .withColumn(
+            "channel", F.when(within, F.col("__touch_type")).otherwise("none")
+        )
+        .drop("__touch_type", "__touch_ts")
+    )
+
+
+def basket_affinity(
+    df: DataFrame, basket_col: str, item_col: str, min_support: int = 2
+) -> DataFrame:
+    """Market-basket co-occurrence: ``(item_a, item_b, n_ab, n_a, n_b,
+    lift)`` for every unordered item pair appearing in at least
+    ``min_support`` baskets, ordered by (item_a, item_b).
+
+    Candidate pairs come from a within-basket self-join under
+    ``item_a < item_b`` — bounded by basket-size choose 2, never a
+    cross-catalog pairing — co-partitioned on the basket key. Item
+    frequencies are |items|-bounded and broadcast back; the basket
+    total rides a one-row broadcast cross join. Lift is the
+    integer-quantized exact ratio ``n_ab * n_baskets / (n_a * n_b)``.
+    The shared item subtree is deliberately recomputed per consumer:
+    persisting it was measured wall-neutral with more jobs (CLAUDE.md).
+    """
+    items = df.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    tot = items.agg(F.countDistinct("__bk").cast("long").alias("__n_baskets"))
+    cnt = items.groupBy("__it").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = items.select(F.col("__bk").alias("__bka"), F.col("__it").alias("item_a"))
+    b = items.select(F.col("__bk").alias("__bkb"), F.col("__it").alias("item_b"))
+    pairs = (
+        a.join(b, (F.col("__bka") == F.col("__bkb")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cnt.select(F.col("__it").alias("__ka"), F.col("__n").alias("n_a"))),
+            F.col("item_a") == F.col("__ka"),
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("__it").alias("__kb"), F.col("__n").alias("n_b"))),
+            F.col("item_b") == F.col("__kb"),
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.expr("(n_ab * __n_baskets * 1000000) div (n_a * n_b)") / 1e6).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
     )

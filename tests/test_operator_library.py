@@ -134,3 +134,48 @@ def test_interval_occupancy_sweep(spark):
     rows2 = interval_occupancy(df, "s", "e", end_inclusive=False).collect()
     curve2 = {r.day.isoformat(): r.occupancy for r in rows2}
     assert curve2["2024-01-02"] == 1
+
+
+def test_last_touch_attribution_rows(spark):
+    from dask_snowflake_spark.operators.analytics import last_touch_attribution
+    import datetime as dt
+
+    ts = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            (1, 1, ts(1), "view"),
+            (1, 2, ts(2), "buy"),       # credited to view
+            (1, 3, ts(3), "buy"),       # still view (no newer touch)
+            (2, 1, ts(1), "buy"),       # no preceding touch -> none
+            (3, 1, ts(1), "click"),
+            (3, 2, ts(50), "buy"),      # outside 10s lookback -> none
+        ],
+        "uid int, eid int, ts timestamp, state string",
+    )
+    rows = last_touch_attribution(
+        df, "uid", ["ts", "eid"], "ts", "state",
+        touch_states=["view", "click"], conversion_state="buy",
+        lookback_micros=10_000_000,
+    ).collect()
+    by = {(r.uid, r.eid): r.channel for r in rows}
+    assert by[(1, 2)] == "view"
+    assert by[(1, 3)] == "view"
+    assert by[(2, 1)] == "none"
+    assert by[(3, 2)] == "none"
+    assert len(rows) == 4  # only conversions survive
+
+
+def test_basket_affinity_lift(spark):
+    from dask_snowflake_spark.operators.analytics import basket_affinity
+
+    # baskets: {a,b}, {a,b}, {a,c}, {b} -> pair (a,b) support 2 of 4
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b"), (3, "a"), (3, "c"), (4, "b")],
+        "bk int, it string",
+    )
+    rows = basket_affinity(df, "bk", "it", min_support=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.item_a, r.item_b, r.n_ab, r.n_a, r.n_b) == ("a", "b", 2, 3, 3)
+    # lift = 2*4/(3*3) = 0.888888.. -> floor at 6dp
+    assert r.lift == 0.888888
