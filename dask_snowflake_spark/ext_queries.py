@@ -7880,3 +7880,61 @@ def xch_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+@query(
+    "xci_stickiness_dau_wau",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY day
+    ),
+    span AS (
+        SELECT a.user_id, a.day + CAST(i.i AS INTEGER) AS day
+        FROM active a, unnest(range(0, 7)) AS i(i)
+    ),
+    wau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM span GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           (d.dau * 1000000 // w.wau) / 1e6 AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+    "DAU/WAU STICKINESS (the engagement ratio every product dashboard "
+    "tracks): per-day distinct actives, trailing-7-day distinct "
+    "actives computed by FANNING each (user, active day) out to the 7 "
+    "days it keeps the user 'weekly active' (bounded 7x explode + "
+    "dedup-count — the scale-correct replacement for a day-by-day "
+    "range join, O(7 rows) map work instead of O(days x rows) "
+    "pairing), stickiness as the integer-quantized exact ratio. Days "
+    "with DAU but no WAU cannot exist (day 0 of the fan-out covers "
+    "itself); output keyed by day only where both sides defined",
+    ("events", "analytics", "timeseries"),
+)
+def xci_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    active = t["events"].select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    span = active.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+    )
+    wau = span.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.expr("(dau * 1000000) div wau") / 1e6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

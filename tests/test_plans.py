@@ -546,3 +546,16 @@ def test_blame_query_has_no_fact_self_join(spark, sf_oracle):
     assert len(re.findall(r"Location: [^\n]*lineitem", p)) == 1, p
     assert "Window" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_stickiness_fanout_not_range_join(spark, sf_oracle):
+    """xci: WAU must come from the bounded 7-day (user, day) fan-out
+    (sequence explode + distinct count) — never a day-by-interval
+    range join; at most the two necessary evaluations of the active
+    set, no cartesian."""
+    import re
+
+    p = plan(registry()["xci_stickiness_dau_wau"].spark_fn(spark, sf_oracle))
+    assert "Generate" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"Location: [^\n]*events", p)) <= 2, p
