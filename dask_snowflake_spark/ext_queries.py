@@ -7938,3 +7938,173 @@ def xci_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Referential-integrity relationships audited by xcj: (label, child
+# table, fk column, parent table, pk column). Labels sort the output.
+_RI_RELS = [
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def _ri_block_sql(rel: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{rel}' AS relationship,
+           CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_child_rows,
+           CAST(count(cnt) AS BIGINT) AS n_distinct_fk,
+           CAST(count(CASE WHEN p IS NULL THEN cnt END) AS BIGINT) AS n_orphan_fk,
+           CAST(coalesce(sum(CASE WHEN p IS NULL THEN cnt END), 0) AS BIGINT) AS n_orphan_rows,
+           CAST(count(p) AS BIGINT) AS n_parents,
+           CAST(count(CASE WHEN cnt IS NULL THEN p END) AS BIGINT) AS n_unref_parents,
+           CASE WHEN count(cnt) = 0 THEN 0.0
+                ELSE ((count(cnt) - count(CASE WHEN p IS NULL THEN cnt END)) * 1000000
+                      // count(cnt)) / 1e6 END AS fk_coverage
+    FROM (SELECT {fk} AS k, count(*) AS cnt FROM {child} GROUP BY 1) f
+    FULL JOIN (SELECT {pk} AS k, 1 AS p FROM {parent}) pr USING (k)
+    """
+
+
+@query(
+    "xcj_referential_orphans",
+    "\nUNION ALL\n".join(_ri_block_sql(*r) for r in _RI_RELS)
+    + "\nORDER BY relationship",
+    "REFERENTIAL-INTEGRITY ORPHAN AUDIT over six FK relationships, "
+    "bidirectional: orphan FKs (child values with no parent row -- the "
+    "classic anti-join check) AND unreferenced parents (dimension rows "
+    "no fact ever touches -- the reverse gap a one-way check misses). "
+    "Scale shape: each relationship is ONE groupBy(fk) -- collapsing "
+    "child rows to (key, count) BEFORE the join, so the join carries "
+    "distinct keys, never fact rows -- then ONE full-outer join with "
+    "the parent key set and ONE aggregation computing all six counts; "
+    "never a pass per metric. NULL-keyed child rows fall out as "
+    "orphans on both engines (full-join equality never matches NULL). "
+    "Coverage ratio integer-quantized; zero denominators CASE-guarded "
+    "(ANSI Spark errors on x/0 where DuckDB yields inf)",
+    ("lineitem", "orders", "customer", "quality", "join"),
+)
+def xcj_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+
+    def one(rel: str, child: str, fk: str, parent: str, pk: str) -> DataFrame:
+        fkc = t[child].groupBy(F.col(fk).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+        pks = t[parent].select(F.col(pk).alias("k"), F.lit(1).alias("p"))
+        orphan_cnt = F.when(F.col("p").isNull(), F.col("cnt"))
+        agg = (
+            fkc.join(pks, "k", "full_outer")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_child_rows"),
+                F.count("cnt").cast("long").alias("n_distinct_fk"),
+                F.count(orphan_cnt).cast("long").alias("n_orphan_fk"),
+                F.coalesce(F.sum(orphan_cnt), F.lit(0)).cast("long").alias("n_orphan_rows"),
+                F.count("p").cast("long").alias("n_parents"),
+                F.count(F.when(F.col("cnt").isNull(), F.col("p")))
+                .cast("long")
+                .alias("n_unref_parents"),
+            )
+        )
+        return agg.select(
+            F.lit(rel).alias("relationship"),
+            "n_child_rows",
+            "n_distinct_fk",
+            "n_orphan_fk",
+            "n_orphan_rows",
+            "n_parents",
+            "n_unref_parents",
+            F.when(F.col("n_distinct_fk") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "((n_distinct_fk - n_orphan_fk) * 1000000) div n_distinct_fk"
+                )
+                / 1e6
+            )
+            .alias("fk_coverage"),
+        )
+
+    out = one(*_RI_RELS[0])
+    for rel in _RI_RELS[1:]:
+        out = out.union(one(*rel))
+    return out.orderBy("relationship")
+
+
+@query(
+    "xck_feature_hashing",
+    """
+    WITH feats AS (
+        SELECT f.feature
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        CROSS JOIN LATERAL (VALUES
+            ('prio=' || o.o_orderpriority),
+            ('seg=' || c.c_mktsegment),
+            ('status=' || o.o_orderstatus),
+            ('month=' || CAST(month(o.o_orderdate) AS VARCHAR))
+        ) AS f(feature)
+    ),
+    hashed AS (
+        SELECT feature,
+               ('0x' || substr(md5('fh:' || feature), 1, 15))::BIGINT % 64 AS slot,
+               count(*) AS n_rows
+        FROM feats GROUP BY 1
+    )
+    SELECT slot,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           array_to_string(list_sort(list(feature)), '|') AS features
+    FROM hashed GROUP BY slot ORDER BY slot
+    """,
+    "PORTABLE FEATURE HASHING (the 'hashing trick' every large-scale "
+    "learner uses to map unbounded categorical vocab into a fixed "
+    "model dimension without a trained dictionary): four categorical "
+    "features per order (priority, market segment, status, order "
+    "month) hashed into 64 slots with the engine's portable 60-bit "
+    "md5 hash, reported as the slot->features export with the "
+    "collision audit (features per slot, row mass per slot) a feature "
+    "store publishes alongside the model. Scale shape: the feature "
+    "fan-out is a map-side 4x explode, the per-feature count is one "
+    "map-side-combinable groupBy over a vocab-bounded key set, and "
+    "the slot rollup groups 64 keys -- no fact-row shuffle anywhere "
+    "after the dimension join (AQE broadcasts customer). The hash is "
+    "bit-identical Spark vs DuckDB, so the oracle checks the exact "
+    "slot assignment, not just the shape",
+    ("orders", "customer", "feature", "text"),
+)
+def xck_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    feats = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("prio="), F.col("o_orderpriority")),
+                    F.concat(F.lit("seg="), F.col("c_mktsegment")),
+                    F.concat(F.lit("status="), F.col("o_orderstatus")),
+                    F.concat(
+                        F.lit("month="),
+                        F.month("o_orderdate").cast("string"),
+                    ),
+                )
+            ).alias("feature")
+        )
+    )
+    hashed = feats.groupBy("feature").agg(F.count(F.lit(1)).alias("n_rows"))
+    hashed = hashed.select(
+        "feature",
+        "n_rows",
+        F.pmod(dedup_ops.portable_hash(F.col("feature"), F.lit("fh")), F.lit(64)).alias(
+            "slot"
+        ),
+    )
+    return (
+        hashed.groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.array_join(F.array_sort(F.collect_list("feature")), "|").alias("features"),
+        )
+        .orderBy("slot")
+    )
