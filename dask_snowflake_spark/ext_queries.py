@@ -8108,3 +8108,233 @@ def xck_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slot")
     )
+
+
+# Integer inverse-CDF thresholds for Poisson(1) on u in [0, 1e6):
+# weight k iff u >= T[k-1] and u < T[k] (u >= T[-1] -> 8). Computed once
+# from exp(-1) offline; integer literals keep both engines bit-agreed.
+_POISSON1_CDF = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+
+
+def _poisson_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {whens} ELSE {len(_POISSON1_CDF)} END"
+
+
+@query(
+    "xcl_bootstrap_ci",
+    f"""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    fan AS (
+        SELECT c.o_orderkey, c.cents, CAST(i.rep AS BIGINT) AS rep
+        FROM cents c, unnest(range(0, 64)) AS i(rep)
+    ),
+    w AS (
+        SELECT rep, cents, {_poisson_case_sql("u")} AS wt
+        FROM (SELECT rep, cents,
+                     ('0x' || substr(md5('bs' || CAST(rep AS VARCHAR) || ':'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000 AS u
+              FROM fan)
+    ),
+    reps AS (
+        SELECT rep,
+               CAST(sum(wt) AS BIGINT) AS n_w,
+               CAST(sum(wt * cents) AS BIGINT) AS sum_cents
+        FROM w GROUP BY rep
+    ),
+    means AS (
+        SELECT (sum_cents * 10000 // n_w) / 1e6 AS mean_price,
+               row_number() OVER (ORDER BY sum_cents * 10000 // n_w, rep) AS rn
+        FROM reps WHERE n_w > 0
+    ),
+    whole AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               (CAST(sum(cents) AS BIGINT) * 10000
+                // CAST(count(*) AS BIGINT)) / 1e6 AS mean_price
+        FROM cents
+    )
+    SELECT f.n_orders, f.mean_price,
+           CAST(64 AS BIGINT) AS n_replicates,
+           max(CASE WHEN m.rn = 2 THEN m.mean_price END) AS ci_lo,
+           max(CASE WHEN m.rn = 63 THEN m.mean_price END) AS ci_hi
+    FROM means m CROSS JOIN whole f
+    GROUP BY f.n_orders, f.mean_price
+    """,
+    "POISSON BOOTSTRAP confidence interval for the mean order price -- "
+    "the resampling method that actually works at 100 TB (classic "
+    "bootstrap needs B full resamples; Poisson bootstrap folds all B "
+    "replicates into ONE pass: each row contributes a hash-decided "
+    "Poisson(1) weight per replicate, so the data is scanned once and "
+    "the shuffle is 64 replicate keys, map-side combinable). Weights "
+    "are deterministic (portable hash -> integer inverse-CDF "
+    "thresholds, no RNG), prices fixed to integer cents at source, "
+    "replicate means integer-quantized, and the CI bounds are the "
+    "2nd/63rd order statistics of the 64 replicate means (~95%). "
+    "Row_number over the quantized mean with replicate-id tiebreak "
+    "keeps the order statistic unique on both engines",
+    ("orders", "statistics", "sampling"),
+)
+def xcl_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    cents = t["orders"].select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    fan = cents.select(
+        "o_orderkey", "cents", F.explode(F.expr("sequence(0, 63)")).alias("rep")
+    ).withColumn("rep", F.col("rep").cast("long"))
+    u = F.pmod(
+        dedup_ops.portable_hash(
+            F.col("o_orderkey").cast("string"),
+            F.concat(F.lit("bs"), F.col("rep").cast("string")),
+        ),
+        F.lit(1_000_000),
+    )
+    wt = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < _POISSON1_CDF[k], F.lit(k)).otherwise(wt)
+    w = fan.withColumn("u", u).select("rep", "cents", wt.alias("wt"))
+    reps = w.groupBy("rep").agg(
+        F.sum("wt").cast("long").alias("n_w"),
+        F.sum(F.col("wt") * F.col("cents")).cast("long").alias("sum_cents"),
+    )
+    means = (
+        reps.filter(F.col("n_w") > 0)
+        .select(
+            (F.expr("(sum_cents * 10000) div n_w") / 1e6).alias("rep_mean"),
+            F.row_number()
+            .over(W.orderBy(F.expr("(sum_cents * 10000) div n_w"), F.col("rep")))
+            .alias("rn"),
+        )
+    )
+    whole = cents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.expr("(CAST(sum(cents) AS BIGINT) * 10000) div count(*)") / 1e6
+        ).alias("mean_price"),
+    )
+    return (
+        means.crossJoin(F.broadcast(whole))
+        .groupBy("n_orders", "mean_price")
+        .agg(
+            F.lit(64).cast("long").alias("n_replicates"),
+            F.max(F.when(F.col("rn") == 2, F.col("rep_mean"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == 63, F.col("rep_mean"))).alias("ci_hi"),
+        )
+    )
+
+
+@query(
+    "xcm_snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k, o_custkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 37 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k, o_custkey, o_orderstatus,
+               o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    diff AS (
+        SELECT coalesce(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.o_custkey <> b.o_custkey
+                         OR a.o_orderstatus <> b.o_orderstatus
+                         OR a.o_totalprice <> b.o_totalprice
+                         OR a.o_orderpriority <> b.o_orderpriority
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM v1 a FULL JOIN v2 b ON a.k = b.k
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+    "SNAPSHOT DIFF (the CDC primitive behind every lakehouse "
+    "time-travel/table-compare feature): two table versions -- v2 "
+    "derived deterministically from v1 with hash-free modular deletes "
+    "(k % 37), in-place updates (k % 11: status+price mutated), and "
+    "re-keyed inserts (k % 13 re-keyed past the key range) -- joined "
+    "full-outer ON the primary key, every row classified "
+    "added/removed/changed/unchanged by direct column comparison "
+    "(never by hashing a rendered timestamp -- engine string "
+    "renderings differ; doubles compare as stored bits, exact here "
+    "since unchanged rows carry identical bits). Scale shape: one "
+    "co-partitioned full-outer join on the key plus a 4-key "
+    "aggregation; the per-class integer key checksum makes the oracle "
+    "sensitive to WHICH rows changed, not just how many",
+    ("orders", "cdc", "join", "quality"),
+)
+def xcm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    base = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    v2_kept = (
+        base.filter(F.col("k") % 37 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("k") % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("k") % 11 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    v2_added = base.filter(F.col("k") % 13 == 0).withColumn(
+        "k", F.col("k") + 10_000_000
+    )
+    v2 = v2_kept.union(v2_added)
+    a, b = base.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("b.k").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.o_custkey") != F.col("b.o_custkey"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
