@@ -559,3 +559,59 @@ def test_stickiness_fanout_not_range_join(spark, sf_oracle):
     assert "Generate" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert len(re.findall(r"Location: [^\n]*events", p)) <= 2, p
+
+
+def test_ri_audit_joins_carry_keys_not_facts(spark, sf_oracle):
+    """xcj: every relationship must collapse the fact side to
+    (key, count) BEFORE its full-outer join — each lineitem scan reads
+    exactly its one FK column (column pruning proves the pre-agg sits
+    on the scan), and no join is a cartesian/BNLJ."""
+    import re
+
+    p = plan(registry()["xcj_referential_orphans"].spark_fn(spark, sf_oracle))
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    li_schemas = [
+        line
+        for line in p.splitlines()
+        if "ReadSchema" in line
+        and re.search(r"l_(orderkey|partkey|suppkey)", line)
+    ]
+    assert len(li_schemas) == 3, p
+    for line in li_schemas:
+        assert len(re.findall(r"l_\w+", line)) == 1, line
+
+
+def test_feature_hashing_broadcasts_dim(spark, sf_oracle):
+    """xck: the customer dimension join must be broadcast, the feature
+    fan-out a single Generate, and both rollups hash aggregates (no
+    string-agg SortAggregate fallback)."""
+    p = plan(registry()["xck_feature_hashing"].spark_fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p, p
+    assert p.count(") Generate") == 1, p
+    assert "SortAggregate" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_bootstrap_folds_replicates_into_one_pass(spark, sf_oracle):
+    """xcl: the 64 replicates must ride ONE fan-out Generate over one
+    pass of the fact rows — never 64 resample jobs; the only joins are
+    broadcasts of one-row/64-row aggregates (no shuffled join of fact
+    data), and the replicate rollup is a hash aggregate."""
+    p = plan(registry()["xcl_bootstrap_ci"].spark_fn(spark, sf_oracle))
+    assert p.count(") Generate") == 1, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate" in p, p
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark, sf_oracle):
+    """xcm: the version compare must be exactly one co-partitioned
+    full-outer join on the key plus a tiny classification aggregate —
+    no cartesian, no extra join."""
+    import re
+
+    p = plan(registry()["xcm_snapshot_diff"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
