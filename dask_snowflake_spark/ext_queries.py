@@ -8338,3 +8338,172 @@ def xcm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "xcn_weighted_median",
+    """
+    WITH d AS (
+        SELECT lang, n_chars, doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT lang, n_chars,
+               sum(tokens) OVER (PARTITION BY lang
+                                 ORDER BY n_chars, doc_id) AS cumw,
+               sum(tokens) OVER (PARTITION BY lang) AS total_w
+        FROM d
+    )
+    SELECT lang,
+           CAST(max(total_w) AS BIGINT) AS total_tokens,
+           CAST(min(CASE WHEN 2 * cumw >= total_w THEN n_chars END) AS BIGINT)
+               AS wmedian_nchars
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+    "TOKEN-WEIGHTED MEDIAN document length per language -- the "
+    "statistic that matters when you care about token MASS, not doc "
+    "count (half the corpus tokens sit in docs at or below it; a "
+    "plain median is blind to the giant-doc tail). Exact via the "
+    "cumulative-weight definition: per-language running token sum "
+    "over the unique (n_chars, doc_id) order, weighted median = "
+    "smallest value whose cumulative weight reaches half the total "
+    "(lower weighted median, integer weights so the 2*cumw >= total "
+    "test is exact). Scale shape: one scan, ONE hash partition by "
+    "lang shared by both window frames AND the final same-keyed "
+    "groupBy (exchange-free after the window), no join",
+    ("documents", "statistics", "quantile", "text"),
+)
+def xcn_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tokens"),
+    )
+    w = d.select(
+        "lang",
+        "n_chars",
+        F.sum("tokens")
+        .over(W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("cumw"),
+        F.sum("tokens").over(W.partitionBy("lang")).alias("total_w"),
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.max("total_w").cast("long").alias("total_tokens"),
+            F.min(F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("n_chars")))
+            .cast("long")
+            .alias("wmedian_nchars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "xco_rank_fusion",
+    """
+    WITH tf AS (
+        SELECT doc_id,
+               len(text) - len(replace(text, 'data', '')) AS hits
+        FROM documents
+    ),
+    top_a AS (
+        SELECT doc_id, hits FROM tf WHERE hits > 0
+        ORDER BY hits DESC, doc_id LIMIT 100
+    ),
+    rank_a AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY hits DESC, doc_id) AS ra
+        FROM top_a
+    ),
+    score AS (
+        SELECT vec_id,
+               embedding[1] / sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+        FROM embeddings
+    ),
+    top_b AS (
+        SELECT vec_id, s FROM score ORDER BY s DESC, vec_id LIMIT 100
+    ),
+    rank_b AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY s DESC, vec_id) AS rb
+        FROM top_b
+    ),
+    fused AS (
+        SELECT coalesce(a.doc_id, b.vec_id) AS doc_id,
+               CAST(coalesce(a.ra, 0) AS BIGINT) AS rank_text,
+               CAST(coalesce(b.rb, 0) AS BIGINT) AS rank_vec,
+               CAST(coalesce(1000000 // (60 + a.ra), 0)
+                    + coalesce(1000000 // (60 + b.rb), 0) AS BIGINT) AS rrf
+        FROM rank_a a FULL JOIN rank_b b ON a.doc_id = b.vec_id
+    )
+    SELECT doc_id, rank_text, rank_vec, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    "RECIPROCAL RANK FUSION (the standard way hybrid search merges a "
+    "lexical and a vector ranking without score calibration): list A "
+    "= docs ranked by occurrences of the term 'data' (substring-count "
+    "tf), list B = embeddings ranked by cosine against the axis-0 "
+    "unit query; both lists cut to top-100 by a DISTRIBUTED top-k "
+    "(TakeOrderedAndProject -- per-partition heaps, never a global "
+    "sort), ranks assigned by a window over the already-bounded 100 "
+    "rows (the unpartitioned window is k-bounded by construction, "
+    "not data-sized), fused full-outer with INTEGER RRF "
+    "1e6//(60+rank) so the fusion arithmetic is engine-exact, absent "
+    "ranks sentineled 0. Top-20 by (rrf, id)",
+    ("documents", "embeddings", "similarity", "search"),
+)
+def xco_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _t(spark, sf_dir)
+    tf = t["documents"].select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "data", ""))
+        ).alias("hits"),
+    )
+    top_a = tf.filter(F.col("hits") > 0).orderBy(F.desc("hits"), F.asc("doc_id")).limit(100)
+    rank_a = top_a.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("hits"), F.asc("doc_id"))).alias("ra"),
+    )
+    score = t["embeddings"].select(
+        "vec_id",
+        (
+            F.element_at("embedding", 1).cast("double")
+            / F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+        ).alias("s"),
+    )
+    top_b = score.orderBy(F.desc("s"), F.asc("vec_id")).limit(100)
+    rank_b = top_b.select(
+        "vec_id",
+        F.row_number().over(W.orderBy(F.desc("s"), F.asc("vec_id"))).alias("rb"),
+    )
+    fused = rank_a.join(rank_b, rank_a["doc_id"] == rank_b["vec_id"], "full_outer").select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        F.coalesce(F.col("ra"), F.lit(0)).cast("long").alias("rank_text"),
+        F.coalesce(F.col("rb"), F.lit(0)).cast("long").alias("rank_vec"),
+        (
+            F.coalesce(F.expr("1000000 div (60 + ra)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rb)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

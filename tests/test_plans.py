@@ -615,3 +615,28 @@ def test_snapshot_diff_is_one_full_outer_join(spark, sf_oracle):
     assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_weighted_median_window_groupby_share_one_exchange(spark, sf_oracle):
+    """xcn: both window frames and the same-keyed groupBy must ride ONE
+    lang hash partition — exactly two exchanges total (window hash +
+    presentation sort), one scan, no join."""
+    import re
+
+    p = plan(registry()["xcn_weighted_median"].spark_fn(spark, sf_oracle))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert "Join" not in p, p
+    assert len(re.findall(r"Location: [^\n]*documents", p)) == 1, p
+
+
+def test_rank_fusion_topk_is_distributed_and_exchange_free(spark, sf_oracle):
+    """xco: both ranking lists must be cut by TakeOrderedAndProject
+    (distributed per-partition heaps, never a global sort of the
+    corpus), ranks windowed over the k-bounded lists, and the whole
+    plan shuffle-free — zero exchanges."""
+    import re
+
+    p = plan(registry()["xco_rank_fusion"].spark_fn(spark, sf_oracle))
+    assert p.count("TakeOrderedAndProject") >= 3, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert "CartesianProduct" not in p, p
