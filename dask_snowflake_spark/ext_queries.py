@@ -8507,3 +8507,94 @@ def xco_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+def _zorder_duck_expr(a: str, b: str) -> str:
+    """DuckDB 32-bit Morton interleave of two 16-bit ints (a even bits,
+    b odd bits) as one fixed arithmetic expression."""
+    terms = [f"((({a} >> {i}) & 1) << {2 * i})" for i in range(16)]
+    terms += [f"((({b} >> {i}) & 1) << {2 * i + 1})" for i in range(16)]
+    return " + ".join(terms)
+
+
+@query(
+    "xcq_zorder_clustering",
+    f"""
+    WITH mx AS (
+        SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
+               CAST(max(l_suppkey) AS BIGINT) AS ms
+        FROM lineitem
+    ),
+    scaled AS (
+        SELECT l_partkey, l_suppkey,
+               (l_partkey * 65535) // mp AS a,
+               (l_suppkey * 65535) // ms AS b
+        FROM lineitem CROSS JOIN mx
+    ),
+    z AS (
+        SELECT l_partkey, l_suppkey,
+               ({_zorder_duck_expr("a", "b")}) >> 27 AS bucket
+        FROM scaled
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp,
+           CAST((max(l_partkey) - min(l_partkey) + 1)
+                * (max(l_suppkey) - min(l_suppkey) + 1) AS BIGINT) AS span_area
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+    "Z-ORDER CLUSTERING AUDIT (the Delta/Iceberg OPTIMIZE ZORDER "
+    "primitive): both cluster keys scaled to 16 bits against their "
+    "own max (one-row broadcast aggregate, the engine's scalar-fold "
+    "pattern), 32-bit Morton interleave as one fixed integer "
+    "expression (32 shift/mask terms -- pure codegen, no UDF), top-5 "
+    "z-bits = 32 simulated files, and per-file the min/max range of "
+    "BOTH dimensions plus the span area -- the number a query planner "
+    "would use for file skipping: tight spans on both keys at once "
+    "are exactly what z-order buys over linear sort (which is tight "
+    "on one key and full-range on the other). Scale shape: scan-speed "
+    "projection + one 32-key aggregation; all integer math, "
+    "bit-identical across engines",
+    ("lineitem", "layout", "lakehouse"),
+)
+def xcq_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select("l_partkey", "l_suppkey")
+    mx = li.agg(
+        F.max("l_partkey").cast("long").alias("mp"),
+        F.max("l_suppkey").cast("long").alias("ms"),
+    )
+    scaled = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("(l_partkey * 65535) div mp").alias("a"),
+        F.expr("(l_suppkey * 65535) div ms").alias("b"),
+    )
+    zbits = None
+    for i in range(16):
+        ta = F.shiftleft(F.shiftright(F.col("a"), i).bitwiseAND(F.lit(1)), 2 * i)
+        tb = F.shiftleft(F.shiftright(F.col("b"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zbits = ta + tb if zbits is None else zbits + ta + tb
+    z = scaled.select(
+        "l_partkey", "l_suppkey", F.shiftright(zbits, 27).alias("bucket")
+    )
+    return (
+        z.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+            (
+                (F.max("l_partkey") - F.min("l_partkey") + 1)
+                * (F.max("l_suppkey") - F.min("l_suppkey") + 1)
+            )
+            .cast("long")
+            .alias("span_area"),
+        )
+        .orderBy("bucket")
+    )

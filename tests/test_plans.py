@@ -640,3 +640,23 @@ def test_rank_fusion_topk_is_distributed_and_exchange_free(spark, sf_oracle):
     assert p.count("TakeOrderedAndProject") >= 3, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
     assert "CartesianProduct" not in p, p
+
+
+def test_zorder_is_codegen_projection_one_agg(spark, sf_oracle):
+    """xcq: the Morton interleave must stay a pure codegen projection
+    (no UDF, no Python), lineitem read pruned to the two cluster keys,
+    the only join the one-row broadcast of the scaled maxes, and the
+    rollup a hash aggregate."""
+    import re
+
+    p = plan(registry()["xcq_zorder_clustering"].spark_fn(spark, sf_oracle))
+    assert "Python" not in p and "ArrowEval" not in p, p
+    li_schemas = [
+        line for line in p.splitlines() if "ReadSchema" in line and "l_partkey" in line
+    ]
+    assert li_schemas and all(
+        "l_extendedprice" not in line and "l_orderkey" not in line
+        for line in li_schemas
+    ), p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "HashAggregate" in p, p
