@@ -8234,113 +8234,6 @@ def xcl_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xcm_snapshot_diff",
-    """
-    WITH v1 AS (
-        SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice,
-               o_orderpriority
-        FROM orders
-    ),
-    v2 AS (
-        SELECT o_orderkey AS k, o_custkey,
-               CASE WHEN o_orderkey % 11 = 0 THEN 'X'
-                    ELSE o_orderstatus END AS o_orderstatus,
-               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
-                    ELSE o_totalprice END AS o_totalprice,
-               o_orderpriority
-        FROM orders WHERE o_orderkey % 37 <> 0
-        UNION ALL
-        SELECT o_orderkey + 10000000 AS k, o_custkey, o_orderstatus,
-               o_totalprice, o_orderpriority
-        FROM orders WHERE o_orderkey % 13 = 0
-    ),
-    diff AS (
-        SELECT coalesce(a.k, b.k) AS k,
-               CASE WHEN a.k IS NULL THEN 'added'
-                    WHEN b.k IS NULL THEN 'removed'
-                    WHEN a.o_custkey <> b.o_custkey
-                         OR a.o_orderstatus <> b.o_orderstatus
-                         OR a.o_totalprice <> b.o_totalprice
-                         OR a.o_orderpriority <> b.o_orderpriority
-                         THEN 'changed'
-                    ELSE 'unchanged' END AS change_type
-        FROM v1 a FULL JOIN v2 b ON a.k = b.k
-    )
-    SELECT change_type,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(k) AS BIGINT) AS key_checksum
-    FROM diff GROUP BY change_type ORDER BY change_type
-    """,
-    "SNAPSHOT DIFF (the CDC primitive behind every lakehouse "
-    "time-travel/table-compare feature): two table versions -- v2 "
-    "derived deterministically from v1 with hash-free modular deletes "
-    "(k % 37), in-place updates (k % 11: status+price mutated), and "
-    "re-keyed inserts (k % 13 re-keyed past the key range) -- joined "
-    "full-outer ON the primary key, every row classified "
-    "added/removed/changed/unchanged by direct column comparison "
-    "(never by hashing a rendered timestamp -- engine string "
-    "renderings differ; doubles compare as stored bits, exact here "
-    "since unchanged rows carry identical bits). Scale shape: one "
-    "co-partitioned full-outer join on the key plus a 4-key "
-    "aggregation; the per-class integer key checksum makes the oracle "
-    "sensitive to WHICH rows changed, not just how many",
-    ("orders", "cdc", "join", "quality"),
-)
-def xcm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    base = t["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderpriority",
-    )
-    v2_kept = (
-        base.filter(F.col("k") % 37 != 0)
-        .withColumn(
-            "o_orderstatus",
-            F.when(F.col("k") % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
-        )
-        .withColumn(
-            "o_totalprice",
-            F.when(F.col("k") % 11 == 0, F.col("o_totalprice") + 1.0).otherwise(
-                F.col("o_totalprice")
-            ),
-        )
-    )
-    v2_added = base.filter(F.col("k") % 13 == 0).withColumn(
-        "k", F.col("k") + 10_000_000
-    )
-    v2 = v2_kept.union(v2_added)
-    a, b = base.alias("a"), v2.alias("b")
-    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
-    change = (
-        F.when(F.col("a.k").isNull(), F.lit("added"))
-        .when(F.col("b.k").isNull(), F.lit("removed"))
-        .when(
-            (F.col("a.o_custkey") != F.col("b.o_custkey"))
-            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
-            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
-            | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority")),
-            F.lit("changed"),
-        )
-        .otherwise(F.lit("unchanged"))
-    )
-    return (
-        joined.select(
-            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
-            change.alias("change_type"),
-        )
-        .groupBy("change_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("k").cast("long").alias("key_checksum"),
-        )
-        .orderBy("change_type")
-    )
-
-
-@query(
     "xcn_weighted_median",
     """
     WITH d AS (
@@ -8507,94 +8400,3 @@ def xco_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
-
-
-def _zorder_duck_expr(a: str, b: str) -> str:
-    """DuckDB 32-bit Morton interleave of two 16-bit ints (a even bits,
-    b odd bits) as one fixed arithmetic expression."""
-    terms = [f"((({a} >> {i}) & 1) << {2 * i})" for i in range(16)]
-    terms += [f"((({b} >> {i}) & 1) << {2 * i + 1})" for i in range(16)]
-    return " + ".join(terms)
-
-
-@query(
-    "xcq_zorder_clustering",
-    f"""
-    WITH mx AS (
-        SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
-               CAST(max(l_suppkey) AS BIGINT) AS ms
-        FROM lineitem
-    ),
-    scaled AS (
-        SELECT l_partkey, l_suppkey,
-               (l_partkey * 65535) // mp AS a,
-               (l_suppkey * 65535) // ms AS b
-        FROM lineitem CROSS JOIN mx
-    ),
-    z AS (
-        SELECT l_partkey, l_suppkey,
-               ({_zorder_duck_expr("a", "b")}) >> 27 AS bucket
-        FROM scaled
-    )
-    SELECT bucket,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(min(l_partkey) AS BIGINT) AS min_part,
-           CAST(max(l_partkey) AS BIGINT) AS max_part,
-           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
-           CAST(max(l_suppkey) AS BIGINT) AS max_supp,
-           CAST((max(l_partkey) - min(l_partkey) + 1)
-                * (max(l_suppkey) - min(l_suppkey) + 1) AS BIGINT) AS span_area
-    FROM z GROUP BY bucket ORDER BY bucket
-    """,
-    "Z-ORDER CLUSTERING AUDIT (the Delta/Iceberg OPTIMIZE ZORDER "
-    "primitive): both cluster keys scaled to 16 bits against their "
-    "own max (one-row broadcast aggregate, the engine's scalar-fold "
-    "pattern), 32-bit Morton interleave as one fixed integer "
-    "expression (32 shift/mask terms -- pure codegen, no UDF), top-5 "
-    "z-bits = 32 simulated files, and per-file the min/max range of "
-    "BOTH dimensions plus the span area -- the number a query planner "
-    "would use for file skipping: tight spans on both keys at once "
-    "are exactly what z-order buys over linear sort (which is tight "
-    "on one key and full-range on the other). Scale shape: scan-speed "
-    "projection + one 32-key aggregation; all integer math, "
-    "bit-identical across engines",
-    ("lineitem", "layout", "lakehouse"),
-)
-def xcq_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    li = t["lineitem"].select("l_partkey", "l_suppkey")
-    mx = li.agg(
-        F.max("l_partkey").cast("long").alias("mp"),
-        F.max("l_suppkey").cast("long").alias("ms"),
-    )
-    scaled = li.crossJoin(F.broadcast(mx)).select(
-        "l_partkey",
-        "l_suppkey",
-        F.expr("(l_partkey * 65535) div mp").alias("a"),
-        F.expr("(l_suppkey * 65535) div ms").alias("b"),
-    )
-    zbits = None
-    for i in range(16):
-        ta = F.shiftleft(F.shiftright(F.col("a"), i).bitwiseAND(F.lit(1)), 2 * i)
-        tb = F.shiftleft(F.shiftright(F.col("b"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        zbits = ta + tb if zbits is None else zbits + ta + tb
-    z = scaled.select(
-        "l_partkey", "l_suppkey", F.shiftright(zbits, 27).alias("bucket")
-    )
-    return (
-        z.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("l_partkey").cast("long").alias("min_part"),
-            F.max("l_partkey").cast("long").alias("max_part"),
-            F.min("l_suppkey").cast("long").alias("min_supp"),
-            F.max("l_suppkey").cast("long").alias("max_supp"),
-            (
-                (F.max("l_partkey") - F.min("l_partkey") + 1)
-                * (F.max("l_suppkey") - F.min("l_suppkey") + 1)
-            )
-            .cast("long")
-            .alias("span_area"),
-        )
-        .orderBy("bucket")
-    )

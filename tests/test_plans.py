@@ -605,18 +605,6 @@ def test_bootstrap_folds_replicates_into_one_pass(spark, sf_oracle):
     assert "HashAggregate" in p, p
 
 
-def test_snapshot_diff_is_one_full_outer_join(spark, sf_oracle):
-    """xcm: the version compare must be exactly one co-partitioned
-    full-outer join on the key plus a tiny classification aggregate —
-    no cartesian, no extra join."""
-    import re
-
-    p = plan(registry()["xcm_snapshot_diff"].spark_fn(spark, sf_oracle))
-    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
-    assert "FullOuter" in p, p
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-
-
 def test_weighted_median_window_groupby_share_one_exchange(spark, sf_oracle):
     """xcn: both window frames and the same-keyed groupBy must ride ONE
     lang hash partition — exactly two exchanges total (window hash +
@@ -640,23 +628,3 @@ def test_rank_fusion_topk_is_distributed_and_exchange_free(spark, sf_oracle):
     assert p.count("TakeOrderedAndProject") >= 3, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
     assert "CartesianProduct" not in p, p
-
-
-def test_zorder_is_codegen_projection_one_agg(spark, sf_oracle):
-    """xcq: the Morton interleave must stay a pure codegen projection
-    (no UDF, no Python), lineitem read pruned to the two cluster keys,
-    the only join the one-row broadcast of the scaled maxes, and the
-    rollup a hash aggregate."""
-    import re
-
-    p = plan(registry()["xcq_zorder_clustering"].spark_fn(spark, sf_oracle))
-    assert "Python" not in p and "ArrowEval" not in p, p
-    li_schemas = [
-        line for line in p.splitlines() if "ReadSchema" in line and "l_partkey" in line
-    ]
-    assert li_schemas and all(
-        "l_extendedprice" not in line and "l_orderkey" not in line
-        for line in li_schemas
-    ), p
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
-    assert "HashAggregate" in p, p
