@@ -8400,3 +8400,79 @@ def xco_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "xcp_vocab_growth",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text),
+                   '\\s+'), x -> x <> '')) AS w
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM words GROUP BY w
+    ),
+    newv AS (
+        SELECT first_doc // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY 1
+    ),
+    tok_b AS (
+        SELECT doc_id // 50 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1
+    )
+    SELECT t.bucket, t.n_docs,
+           CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+               AS cum_vocab
+    FROM tok_b t LEFT JOIN newv n ON n.bucket = t.bucket
+    ORDER BY t.bucket
+    """,
+    "VOCABULARY GROWTH CURVE (Heaps-law saturation audit -- the "
+    "corpus-diversity readout that tells you whether the next chunk "
+    "of data still contributes new vocabulary or just repeats the "
+    "old): each word's FIRST occurrence via min(doc_id) groupBy (one "
+    "vocab-bounded shuffle -- the corpus's token stream never "
+    "re-pairs), new-word counts and token mass rolled to 50-doc "
+    "buckets, then cumulative token/vocab curves via windows over "
+    "the BUCKET axis (bounded by corpus/50 rows, never data-sized). "
+    "All integer arithmetic; the left join keeps buckets whose docs "
+    "introduce no new words",
+    ("documents", "text", "analytics"),
+)
+def xcp_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias(
+            "__ws"
+        ),
+    )
+    toks = docs.select("doc_id", F.size("__ws").alias("n_tokens"))
+    words = docs.select("doc_id", F.explode("__ws").alias("w"))
+    first_seen = words.groupBy("w").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    newv = first_seen.groupBy(
+        F.expr("first_doc div 50").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    tok_b = toks.groupBy(F.expr("doc_id div 50").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    j = tok_b.join(newv, "bucket", "left")
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return j.select(
+        "bucket",
+        "n_docs",
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w_cum).cast("long").alias("cum_vocab"),
+    ).orderBy("bucket")
