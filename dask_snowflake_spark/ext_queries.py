@@ -8476,3 +8476,118 @@ def xcp_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
         F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w_cum).cast("long").alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+@query(
+    "xcr_token_gini",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS v
+        FROM documents
+    ),
+    runs AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c, CAST(v * count(*) AS BIGINT) AS mass
+        FROM toks GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c, mass,
+               CAST(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS r0
+        FROM runs
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(mass) AS BIGINT) AS total
+        FROM runs
+    ),
+    terms AS (
+        SELECT m.v, m.c, m.mass, m.r0, t.n, t.total,
+               (9 * t.n) // 10 AS thr,
+               m.v * (m.c * m.r0 + (m.c * (m.c + 1)) // 2) AS rank_mass,
+               CASE WHEN m.r0 >= (9 * t.n) // 10 THEN m.mass
+                    WHEN m.r0 + m.c > (9 * t.n) // 10
+                         THEN m.v * (m.r0 + m.c - (9 * t.n) // 10)
+                    ELSE 0 END AS top_mass
+        FROM cum m CROSS JOIN tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           CASE WHEN max(n) * max(total) = 0 THEN 0.0
+                ELSE ((2 * sum(rank_mass) - (max(n) + 1) * max(total)) * 1000000
+                      // (max(n) * max(total))) / 1e6 END AS gini,
+           CASE WHEN max(total) = 0 THEN 0.0
+                ELSE (sum(top_mass) * 1000000 // max(total)) / 1e6
+           END AS top_decile_share
+    FROM terms
+    """,
+    "TOKEN-MASS INEQUALITY (exact Gini + top-decile Lorenz share) "
+    "over per-document token counts -- the corpus-concentration "
+    "readout behind per-domain caps and length-balanced sampling "
+    "(a Gini near 1 means a few giant docs carry the token budget). "
+    "Scale-correct EXACT ranking without ranking anything: docs "
+    "collapse to (length value, count) runs -- one shuffle bounded by "
+    "DISTINCT lengths, never a data-sized global row_number -- and "
+    "the Gini rank formula's sum(i*x_i) is computed per run in closed "
+    "form (ranks R+1..R+c contribute v*(c*R + c(c+1)/2)), with the "
+    "run straddling the 90% rank threshold split arithmetically. "
+    "All integer; ratios integer-quantized; zero totals CASE-guarded",
+    ("documents", "statistics", "text"),
+)
+def xcr_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("v")
+    )
+    runs = toks.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        (F.col("v") * F.count(F.lit(1))).cast("long").alias("mass"),
+    )
+    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = runs.select(
+        "v",
+        "c",
+        "mass",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("long").alias("r0"),
+    )
+    tot = runs.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("mass").cast("long").alias("total")
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "total",
+        (
+            F.col("v")
+            * (F.col("c") * F.col("r0") + F.expr("(c * (c + 1)) div 2"))
+        ).alias("rank_mass"),
+        F.when(F.col("r0") >= F.expr("(9 * n) div 10"), F.col("mass"))
+        .when(
+            F.col("r0") + F.col("c") > F.expr("(9 * n) div 10"),
+            F.col("v") * (F.col("r0") + F.col("c") - F.expr("(9 * n) div 10")),
+        )
+        .otherwise(F.lit(0))
+        .alias("top_mass"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max("total").cast("long").alias("total_tokens"),
+        F.when(F.expr("max(n) * max(total)") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "((2 * sum(rank_mass) - (max(n) + 1) * max(total)) * 1000000)"
+                " div (max(n) * max(total))"
+            )
+            / 1e6
+        )
+        .alias("gini"),
+        F.when(F.expr("max(total)") == 0, F.lit(0.0))
+        .otherwise(F.expr("(sum(top_mass) * 1000000) div max(total)") / 1e6)
+        .alias("top_decile_share"),
+    )
