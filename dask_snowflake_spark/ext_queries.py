@@ -8591,3 +8591,82 @@ def xcr_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(sum(top_mass) * 1000000) div max(total)") / 1e6)
         .alias("top_decile_share"),
     )
+
+
+# log10(1 + 1/d) to 6dp, d = 1..9 — identical literals on both engines.
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@query(
+    "xcs_benford_audit",
+    f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    exp_t AS (
+        SELECT digit, CAST(exp_share AS DOUBLE) AS exp_share FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}
+        ) AS e(digit, exp_share)
+    )
+    SELECT e.digit,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+           (coalesce(o.n, 0) * 1000000 // t.total) / 1e6 AS obs_share,
+           e.exp_share,
+           abs((coalesce(o.n, 0) * 1000000 // t.total) / 1e6 - e.exp_share)
+               AS deviation
+    FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+    "BENFORD'S-LAW FIRST-DIGIT AUDIT (the forensic data-quality check "
+    "for fabricated or synthetically generated numeric columns: "
+    "organic multi-scale amounts follow P(d) = log10(1+1/d); uniform "
+    "generators don't): first digit extracted through integer-floor + "
+    "string head (exact on both engines -- never float log10 of a "
+    "stored double), observed shares integer-quantized against the "
+    "one-row broadcast total, compared to the 6dp Benford constants "
+    "with the deviation as |quantized - literal| (both operands exact "
+    "doubles, so the difference is engine-identical). The 9-row "
+    "digit spine LEFT JOINs observations so missing digits report 0. "
+    "Scale: one scan, one 9-key aggregation, broadcast total",
+    ("orders", "quality", "statistics"),
+)
+def xcs_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    digits = t["orders"].filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    exp_t = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit LONG, exp_share DOUBLE"
+    )
+    out = (
+        exp_t.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            (
+                F.expr("(coalesce(n, 0) * 1000000) div total") / 1e6
+            ).alias("obs_share"),
+            "exp_share",
+            F.abs(
+                F.expr("(coalesce(n, 0) * 1000000) div total") / 1e6
+                - F.col("exp_share")
+            ).alias("deviation"),
+        )
+    )
+    return out.orderBy("digit")
