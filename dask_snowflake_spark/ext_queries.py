@@ -8127,21 +8127,20 @@ def _poisson_case_sql(u: str) -> str:
     "xcl_bootstrap_ci",
     f"""
     WITH cents AS (
-        SELECT o_orderkey,
-               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               ('0x' || substr(md5('bs1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS h1,
+               ('0x' || substr(md5('bs2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS h2
         FROM orders
     ),
     fan AS (
-        SELECT c.o_orderkey, c.cents, CAST(i.rep AS BIGINT) AS rep
+        SELECT c.cents, CAST(i.rep AS BIGINT) AS rep,
+               (c.h1 + CAST(i.rep AS BIGINT) * c.h2) % 1000000 AS u
         FROM cents c, unnest(range(0, 64)) AS i(rep)
     ),
     w AS (
-        SELECT rep, cents, {_poisson_case_sql("u")} AS wt
-        FROM (SELECT rep, cents,
-                     ('0x' || substr(md5('bs' || CAST(rep AS VARCHAR) || ':'
-                          || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-                     % 1000000 AS u
-              FROM fan)
+        SELECT rep, cents, {_poisson_case_sql("u")} AS wt FROM fan
     ),
     reps AS (
         SELECT rep,
@@ -8172,9 +8171,12 @@ def _poisson_case_sql(u: str) -> str:
     "bootstrap needs B full resamples; Poisson bootstrap folds all B "
     "replicates into ONE pass: each row contributes a hash-decided "
     "Poisson(1) weight per replicate, so the data is scanned once and "
-    "the shuffle is 64 replicate keys, map-side combinable). Weights "
-    "are deterministic (portable hash -> integer inverse-CDF "
-    "thresholds, no RNG), prices fixed to integer cents at source, "
+    "the shuffle is 64 replicate keys, map-side combinable). The 64 "
+    "per-row draws come from TWO md5 hashes via the pairwise-"
+    "independent affine family (h1 + rep*h2) mod 1e6 -- 32x less "
+    "hashing than hash-per-replicate (measured 10.7 s -> one-hash-"
+    "bound at sf0.1); weights are deterministic integer inverse-CDF "
+    "thresholds, no RNG, prices fixed to integer cents at source, "
     "replicate means integer-quantized, and the CI bounds are the "
     "2nd/63rd order statistics of the 64 replicate means (~95%). "
     "Row_number over the quantized mean with replicate-id tiebreak "
@@ -8185,24 +8187,23 @@ def xcl_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     from pyspark.sql import Window as W
 
+    key = F.col("o_orderkey").cast("string")
     cents = t["orders"].select(
-        "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.pmod(dedup_ops.portable_hash(key, F.lit("bs1")), F.lit(1_000_000)).alias("h1"),
+        F.pmod(dedup_ops.portable_hash(key, F.lit("bs2")), F.lit(1_000_000)).alias("h2"),
     )
-    fan = cents.select(
-        "o_orderkey", "cents", F.explode(F.expr("sequence(0, 63)")).alias("rep")
-    ).withColumn("rep", F.col("rep").cast("long"))
-    u = F.pmod(
-        dedup_ops.portable_hash(
-            F.col("o_orderkey").cast("string"),
-            F.concat(F.lit("bs"), F.col("rep").cast("string")),
-        ),
-        F.lit(1_000_000),
+    fan = (
+        cents.select(
+            "cents", "h1", "h2", F.explode(F.expr("sequence(0, 63)")).alias("rep")
+        )
+        .withColumn("rep", F.col("rep").cast("long"))
+        .withColumn("u", F.pmod(F.col("h1") + F.col("rep") * F.col("h2"), F.lit(1_000_000)))
     )
     wt = F.lit(len(_POISSON1_CDF))
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         wt = F.when(F.col("u") < _POISSON1_CDF[k], F.lit(k)).otherwise(wt)
-    w = fan.withColumn("u", u).select("rep", "cents", wt.alias("wt"))
+    w = fan.select("rep", "cents", wt.alias("wt"))
     reps = w.groupBy("rep").agg(
         F.sum("wt").cast("long").alias("n_w"),
         F.sum(F.col("wt") * F.col("cents")).cast("long").alias("sum_cents"),
