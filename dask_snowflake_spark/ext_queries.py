@@ -8794,3 +8794,75 @@ def xct_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step.c").alias("c_censored"),
         (F.expr("sv[pos + 1]") / 1e6).alias("survival"),
     ).orderBy("t_day")
+
+
+@query(
+    "xcu_ewma_halflife",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, rev_cents,
+               row_number() OVER (ORDER BY day) AS rn,
+               {" + ".join(f"coalesce(lag(rev_cents, {k}) OVER (ORDER BY day), 0) * {1 << (7 - k)}" for k in range(8))}
+                   AS num
+        FROM daily
+    )
+    SELECT day, rev_cents,
+           CAST(num AS BIGINT) AS ewma_num,
+           num / 256.0 AS ewma_cents
+    FROM lagged WHERE rn >= 8 ORDER BY day
+    """,
+    "EXACT EWMA revenue smoothing with half-life decay (alpha = 1/2, "
+    "truncated at 8 taps): every weight is a power of two, so the "
+    "weighted sum is an INTEGER (sum of lag_k * 2^(7-k)) and the "
+    "smoothed value num/256 is a dyadic rational -- exact in binary "
+    "doubles on both engines, no float-power drift, unlike the "
+    "textbook recursive s_t = a*x_t + (1-a)*s_(t-1) whose float "
+    "rounding is order- and engine-dependent. Truncation bias is "
+    "bounded by max_rev/256 (documented, not hidden). Scale shape: "
+    "the per-day pre-aggregation is the only data-sized shuffle; the "
+    "8 lag taps share ONE window node over the bounded day axis. "
+    "First 7 days emit nothing (incomplete taps) rather than a "
+    "silently biased partial average",
+    ("events", "timeseries", "statistics"),
+)
+def xcu_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = W.orderBy("day")
+    num = None
+    for k in range(8):
+        term = F.coalesce(F.lag("rev_cents", k).over(w), F.lit(0)) * (1 << (7 - k))
+        num = term if num is None else num + term
+    lagged = daily.select(
+        "day",
+        "rev_cents",
+        F.row_number().over(w).alias("rn"),
+        num.alias("num"),
+    )
+    return (
+        lagged.filter(F.col("rn") >= 8)
+        .select(
+            "day",
+            "rev_cents",
+            F.col("num").cast("long").alias("ewma_num"),
+            (F.col("num") / 256.0).alias("ewma_cents"),
+        )
+        .orderBy("day")
+    )
