@@ -8866,3 +8866,120 @@ def xcu_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "xcv_readability",
+    """
+    WITH m AS (
+        SELECT lang,
+               CAST(greatest(len(list_filter(regexp_split_to_array(trim(text),
+                   '\\s+'), x -> x <> '')), 1) AS BIGINT) AS w,
+               CAST(greatest(len(list_filter(regexp_split_to_array(text,
+                   '[.!?]+'), x -> trim(x) <> '')), 1) AS BIGINT) AS s,
+               CAST(greatest(len(regexp_extract_all(text, '[aeiouAEIOU]+')), 1)
+                   AS BIGINT) AS y
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT lang,
+               w, s,
+               206835 * s * w - 1015 * w * w - 84600 * y * s AS num,
+               1000 * s * w AS den
+        FROM m
+    ),
+    scored AS (
+        SELECT lang, w, s,
+               CASE WHEN num >= 0 THEN (num * 1000) // den
+                    ELSE -((-num * 1000) // den) END AS flesch_milli
+        FROM per_doc
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS total_words,
+               CAST(sum(s) AS BIGINT) AS total_sentences,
+               CAST(sum(flesch_milli) AS BIGINT) AS fsum
+        FROM scored GROUP BY lang
+    )
+    SELECT lang, n_docs, total_words, total_sentences,
+           (CASE WHEN fsum >= 0 THEN fsum // n_docs
+                 ELSE -((-fsum) // n_docs) END) / 1000.0 AS mean_flesch
+    FROM agg ORDER BY lang
+    """,
+    "FLESCH READING-EASE per language (the classic readability gate "
+    "corpus filters use alongside Gopher rules): 206.835 - 1.015*W/S "
+    "- 84.6*Y/W computed EXACTLY as one integer cross-multiplication "
+    "(206835*S*W - 1015*W^2 - 84600*Y*S over 1000*S*W) -- no float "
+    "ratio ever formed; syllables proxied by vowel-group counts "
+    "(regexp_extract_all, verified engine-identical), sentences by "
+    "[.!?]+ splits, all floor-guarded to >= 1. The score can go "
+    "NEGATIVE for dense text, so both the per-doc quantization and "
+    "the per-language mean are magnitude+sign decomposed (DuckDB // "
+    "floors, Spark div truncates -- the signed-division engine trap). "
+    "Scale: pure codegen projection + one lang-keyed aggregation",
+    ("documents", "text", "quality"),
+)
+def xcv_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    m = t["documents"].select(
+        "lang",
+        F.greatest(
+            F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("w"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x) != ""
+                )
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("s"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[aeiouAEIOU]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    per_doc = m.select(
+        "lang",
+        "w",
+        "s",
+        (
+            206835 * F.col("s") * F.col("w")
+            - 1015 * F.col("w") * F.col("w")
+            - 84600 * F.col("y") * F.col("s")
+        ).alias("num"),
+        (1000 * F.col("s") * F.col("w")).alias("den"),
+    )
+    scored = per_doc.select(
+        "lang",
+        "w",
+        "s",
+        F.when(F.col("num") >= 0, F.expr("(num * 1000) div den"))
+        .otherwise(-F.expr("((-num) * 1000) div den"))
+        .alias("flesch_milli"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_words"),
+        F.sum("s").cast("long").alias("total_sentences"),
+        F.sum("flesch_milli").cast("long").alias("fsum"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_sentences",
+        (
+            F.when(F.col("fsum") >= 0, F.expr("fsum div n_docs")).otherwise(
+                -F.expr("(-fsum) div n_docs")
+            )
+            / 1000.0
+        ).alias("mean_flesch"),
+    ).orderBy("lang")
