@@ -814,7 +814,7 @@ def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "partition_control",
+    "x93_partition_control",
     """
     SELECT 'coalesce' AS mode, 2::BIGINT AS n_partitions,
            (SELECT count(*) FROM documents) AS n_rows
@@ -828,7 +828,7 @@ def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified in-result via spark_partition_id()",
     ("repartition",),
 )
-def partition_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x93_partition_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     def part_stats(df: DataFrame, mode: str) -> DataFrame:
@@ -5655,22 +5655,27 @@ def file_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the catalog names are session-global, so two concurrent sessions
     # sharing one metastore/scratch tree would otherwise race on both
     # the DROP TABLE and the overwrite of the external path. Scratch
-    # dirs left by DEAD applications are garbage-collected by age (a
-    # live concurrent session's dirs are hours newer than the cutoff),
-    # keeping .tmp growth bounded without racing an in-flight reader.
+    # dirs left by DEAD applications are garbage-collected by age;
+    # liveness is keyed on mtime which every session REFRESHES
+    # (os.utime) on its own dirs before the cutoff check, so a
+    # long-lived (>6h) session that re-runs the query never has its
+    # dirs aged out from under a still-valid catalog entry.
     suffix = hashlib.sha1(
         spark.sparkContext.applicationId.encode("utf-8")
     ).hexdigest()[:8]
     base = os.path.dirname(_scratch_dir("x99_gc_probe"))
     cutoff = _time.time() - 6 * 3600
     for entry in os.listdir(base):
-        if entry.startswith("x99_") and not entry.endswith(suffix):
-            p = os.path.join(base, entry)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+        if not entry.startswith("x99_"):
+            continue
+        p = os.path.join(base, entry)
+        try:
+            if entry.endswith(suffix):
+                os.utime(p)  # heartbeat: this session's dirs stay fresh
+            elif os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     li_tbl, od_tbl = f"x99_li_bucketed_{suffix}", f"x99_od_bucketed_{suffix}"
     for tbl in (li_tbl, od_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -6474,7 +6479,7 @@ def xb0_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.expr("substr(text, CAST(s AS INT), 200)")
     return starts.select(
         "doc_id",
-        ((F.col("s") - 1) / F.lit(150)).cast("long").alias("chunk_id"),
+        F.expr("(s - 1) div 150").alias("chunk_id"),
         F.col("s").alias("start_pos"),
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
@@ -6980,7 +6985,7 @@ def xb5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
         SELECT label, i AS pos,
-               CAST(floor(embedding[i] * 1000000) AS BIGINT) AS xq
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     ),
     cent AS (
@@ -7201,7 +7206,7 @@ def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xb9_market_share",
+    "market_share_q8",
     """
     WITH rev AS (
         SELECT year(o.o_orderdate) AS yr,
@@ -7245,7 +7250,7 @@ def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape that holds when lineitem is 100 TB",
     ("relational", "join", "analytics"),
 )
-def xb9_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     rev = (
         t["lineitem"]
@@ -7415,7 +7420,7 @@ def xcb_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta AS (
         SELECT od AS day, 1 AS d FROM span
         UNION ALL
-        SELECT cd + 1, -1 FROM span
+        SELECT greatest(od, cd + 1), -1 FROM span
     ),
     daily AS (
         SELECT day, CAST(sum(d) AS BIGINT) AS net_change FROM delta GROUP BY day
@@ -7429,7 +7434,9 @@ def xcb_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "many orders are in flight each day, the shape behind active-"
     "sessions and concurrency dashboards): each order's lifetime spans "
     "orderdate .. last lineitem shipdate (orders with no lineitems "
-    "have no interval -- inner join semantics, documented), every "
+    "have no interval -- inner join semantics, documented; inverted "
+    "spans, present in the r8 fixtures, clamp to a same-day zero-net "
+    "pair on BOTH engines so the curve never dips on bad data), every "
     "interval becomes a +1 open-day / -1 close-day+1 delta pair, "
     "daily net change by aggregation, and the curve as one running "
     "sum over the BOUNDED day axis (~2500 rows whatever the corpus "
@@ -7745,7 +7752,7 @@ def xcf_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xcg_waiting_orders_blame",
+    "waiting_orders_blame",
     """
     WITH li AS (
         SELECT l.l_orderkey, l.l_suppkey,
@@ -7781,7 +7788,7 @@ def xcf_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rewrite, not just the arithmetic",
     ("lineitem", "orders", "supplier", "relational", "join"),
 )
-def xcg_waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)

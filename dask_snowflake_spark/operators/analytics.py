@@ -124,9 +124,12 @@ def interval_occupancy(
     map-side, and the running sum is ONE window over the aggregated
     day axis — bounded by the calendar span, whatever the row count.
     NULL starts/ends are rejected by the caller's filter; intervals
-    with end < start contribute a +1/-1 pair that cancels in-order.
+    with end < start have their close clamped up to the start day, so
+    they contribute a same-day +1/-1 pair that nets to zero — the
+    occupancy curve can never go negative over a gap.
     """
     close = F.date_add(F.col(end_col), 1) if end_inclusive else F.col(end_col)
+    close = F.greatest(F.col(start_col), close)
     delta = df.select(
         F.explode(
             F.array(

@@ -1226,7 +1226,7 @@ def _scratch_dir(name: str) -> str:
 
 
 @query(
-    "file_csv_json_roundtrip",
+    "xa1_file_csv_json_roundtrip",
     """
     SELECT 'csv' AS fmt, o_orderstatus AS grp, count(*) AS n,
            round(sum(o_totalprice), 2) AS total
@@ -1242,7 +1242,7 @@ def _scratch_dir(name: str) -> str:
     "explicit schema, aggregate — tagged union of both formats",
     ("source", "sink"),
 )
-def file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_table
 
     t = _t(spark, sf_dir)

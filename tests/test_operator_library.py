@@ -134,6 +134,18 @@ def test_interval_occupancy_sweep(spark):
     rows2 = interval_occupancy(df, "s", "e", end_inclusive=False).collect()
     curve2 = {r.day.isoformat(): r.occupancy for r in rows2}
     assert curve2["2024-01-02"] == 1
+    # inverted interval (end < start): close clamps up to start, the
+    # +1/-1 pair nets to zero on the start day — never negative over
+    # the gap (end+1 < start used to put the -1 before the +1)
+    inv = spark.createDataFrame(
+        [(d(2024, 1, 10), d(2024, 1, 2)), (d(2024, 1, 12), d(2024, 1, 12))],
+        "s date, e date",
+    )
+    rows3 = interval_occupancy(inv, "s", "e").collect()
+    assert all(r.occupancy >= 0 for r in rows3)
+    curve3 = {r.day.isoformat(): r.occupancy for r in rows3}
+    assert curve3["2024-01-10"] == 0
+    assert curve3["2024-01-12"] == 1
 
 
 def test_last_touch_attribution_rows(spark):

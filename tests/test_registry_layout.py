@@ -17,9 +17,14 @@ def test_priority_window_is_exactly_50():
 
 def test_priority_window_covers_every_surface():
     window = sorted(registry())[:50]
+    # r8 rotation: partition_control demoted to x93_ (its repartition/
+    # coalesce surface also rides the connector bin-packing row) to make
+    # room for the round-7 flagships market_share_q8 (TPC-H Q8 shape)
+    # and waiting_orders_blame (Q21 double-correlated-EXISTS shape)
     prefixes = (
         "ann_", "asof_", "connector_", "dedup_", "doc_", "file_", "flow_",
-        "fn_udf_", "graph_", "mm_", "partition_", "pipeline_", "q0", "q1", "q2",
+        "fn_udf_", "graph_", "market_", "mm_", "pipeline_", "q0", "q1", "q2",
+        "waiting_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"
@@ -37,6 +42,22 @@ def test_registry_is_covered_by_survey_inventory():
     declared = set(re.findall(r"^\| `([a-z0-9_]+)` \|", survey, re.MULTILINE))
     missing = set(registry()) - declared
     assert not missing, f"registry queries missing a SURVEY table row: {sorted(missing)}"
+
+
+def test_survey_headline_count_matches_registry():
+    """SURVEY §8's '**N registry queries total' sentence must equal
+    len(registry()) — the count drifted 176 vs 187 in round 7 when
+    late-round queries landed without updating the prose."""
+    import pathlib
+    import re
+
+    survey = (pathlib.Path(__file__).parent.parent / "SURVEY.md").read_text()
+    m = re.search(r"\*\*(\d+) registry queries\s+total", survey)
+    assert m, "SURVEY §8 headline count sentence not found"
+    assert int(m.group(1)) == len(registry()), (
+        f"SURVEY says {m.group(1)} registry queries; registry holds "
+        f"{len(registry())} — update the §8 prose"
+    )
 
 
 def test_every_query_has_oracle_or_documented_rows_only():
