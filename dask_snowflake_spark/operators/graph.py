@@ -92,6 +92,17 @@ def connected_components(
     # Lazy filter of the checkpointed labels — not worth its own job.
     frontier = labels.filter(F.col("__lbl") != F.col("__u"))
 
+    # One hop per convergence probe — MEASURED as optimal (r8): probe
+    # batching (two hops per isEmpty) looked like it would halve the
+    # probe jobs, but a probe is a limit-1 read of an already-
+    # materialized localCheckpoint RDD (~free), while the extra hop a
+    # batch runs past the fixpoint is a full join+agg+checkpoint
+    # (3-4 AQE stage jobs). Both batching variants benched WORSE on
+    # the whole CC family (+3-4 jobs, +0.3-0.9 s per query); a lazy
+    # first-of-pair checkpoint was worst — its two consumers
+    # (frontier and labels) materialize through separate AQE plan
+    # compilations, so the unmaterialized subtree ran TWICE instead
+    # of deduping through the checkpoint RDD.
     for _ in range(max_iter):
         if frontier.isEmpty():
             break
@@ -226,39 +237,91 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, src: str, dst: str, *, _e: DataFrame | None = None) -> DataFrame:
+def _adjacency_deg(e: DataFrame) -> DataFrame:
+    """Cached ``(x, y, dx)``: both directed versions of every canonical
+    edge, annotated with the SOURCE endpoint's undirected degree by ONE
+    window count — replacing the groupBy + two degree self-joins of the
+    textbook formulation (three exchanges) with a single exchange on
+    ``x``. The window leaves the output hash-partitioned by ``x`` and
+    the cache preserves that partitioning for Catalyst, so downstream
+    per-vertex aggregations over ``x`` are exchange-free."""
+    from pyspark.sql.window import Window as W
+
+    from ..session import track_cache
+
+    return track_cache(
+        _both_directions(e, "u", "v")
+        .select(
+            F.col("__u").alias("x"),
+            F.col("__v").alias("y"),
+            F.count(F.lit(1)).over(W.partitionBy("__u")).alias("dx"),
+        )
+    )
+
+
+def triangles(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    _e: DataFrame | None = None,
+    _und_deg: DataFrame | None = None,
+) -> DataFrame:
     """Every triangle of the undirected graph ``edges``, each exactly
     once, as ``(a, b, c)`` — the classic degree-ordered orientation
     ("compact-forward"): orient each edge from its (degree, id)-smaller
     endpoint to the larger, enumerate wedges from each source's
-    oriented out-edges, and close them with a semi-join against the
-    canonical edge set. Orienting by degree bounds every out-degree by
-    O(sqrt(m)), so the wedge join materializes O(m^1.5) rows worst
-    case instead of sum(deg^2) — the difference between a power-law
-    hub exploding the join and not. All equi-joins; no cross product.
+    oriented out-neighbor ARRAY, and close them with a semi-join
+    against the canonical edge set. Orienting by degree bounds every
+    out-degree by O(sqrt(m)), so wedge generation materializes
+    O(m^1.5) rows worst case instead of sum(deg^2) — and because the
+    out-neighbor lists are sqrt-bounded they collect into per-vertex
+    arrays, turning the wedge step into a map-side explode of in-array
+    pairs instead of a shuffle self-join (the r8 rewrite: 33 -> ~21
+    jobs on the x94 census). All equi-joins; no cross product.
     """
-    from ..session import track_cache
-
     e = _canonical_edges(edges, src, dst) if _e is None else _e
-    und = e.union(e.select(F.col("v"), F.col("u")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg.select("u", F.col("deg").alias("du")), "u").join(
-        deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+    und_deg = _adjacency_deg(e) if _und_deg is None else _und_deg
+    # both endpoint degrees per canonical edge: one (u,v)-keyed agg over
+    # the two directed rows instead of two degree joins
+    ed = (
+        und_deg.select(
+            F.least("x", "y").alias("u"),
+            F.greatest("x", "y").alias("v"),
+            F.when(F.col("x") < F.col("y"), F.col("dx")).alias("du_p"),
+            F.when(F.col("x") > F.col("y"), F.col("dx")).alias("dv_p"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("du_p").alias("du"), F.max("dv_p").alias("dv"))
     )
     a_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    orient = track_cache(
-        ed.select(
-            F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(a_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    orient = ed.select(
+        F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(a_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # per-source oriented out-neighbors, sorted by (degree, id) — the
+    # orientation order, so in-array pair (i < j) IS the wedge ordering
+    # filter of the join formulation. Arrays are O(sqrt(m)) long by the
+    # orientation bound, safe to collect per vertex at any graph size.
+    nbrs = orient.groupBy("a").agg(
+        F.sort_array(F.collect_list(F.struct("db", "b"))).alias("nb")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("nb"),
+            lambda s, i: F.transform(
+                # slice length: total size is a safe upper bound and
+                # avoids re-evaluating a size() capture per element
+                F.slice(F.col("nb"), i + F.lit(2), F.size(F.col("nb"))),
+                lambda t: F.array(s["b"], t["b"]),
+            ),
         )
     )
-    x = orient.select("a", F.col("b").alias("b1"), F.col("db").alias("d1"))
-    y = orient.select("a", F.col("b").alias("b2"), F.col("db").alias("d2"))
-    wedges = x.join(y, "a").filter(
-        (F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    wedges = nbrs.select("a", F.explode(pair_arr).alias("p")).select(
+        "a", F.col("p")[0].alias("b1"), F.col("p")[1].alias("b2")
     )
     return (
         wedges.select(
@@ -279,16 +342,21 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ``n_wedges = sum(deg*(deg-1)/2)`` and ``global_cc`` is the global
     clustering coefficient ``3*triangles/wedges``, integer-quantized
     (``* 1e6 div wedges / 1e6``) so both engines emit the identical
-    double. Two bounded aggregations plus the ``triangles`` join."""
+    double. The degree/wedge statistics aggregate the SAME cached
+    ``(x, y, dx)`` adjacency the triangle path orients — per-vertex
+    degrees fall out exchange-free (the window's hash partitioning on
+    ``x`` survives the cache), so the census adds two bounded
+    aggregations to the ``triangles`` plan."""
     e = _canonical_edges(edges, src, dst)
-    und = e.union(e.select(F.col("v"), F.col("u")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    und_deg = _adjacency_deg(e)
+    # one row per vertex: every (x, *) row carries the same dx
+    deg = und_deg.groupBy("x").agg(F.max("dx").alias("deg"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.expr("CAST(sum(deg) div 2 AS BIGINT)").alias("n_edges"),
         F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)").alias("n_wedges"),
     )
-    tric = triangles(edges, src, dst, _e=e).agg(
+    tric = triangles(edges, src, dst, _e=e, _und_deg=und_deg).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     return (
