@@ -110,6 +110,143 @@ def test_weighted_median_matches_naive_cumulative(spark, sf_oracle):
         assert (r.total_tokens, r.wmedian_nchars) == (total, med), r
 
 
+def test_benford_matches_naive_digit_count(spark, sf_oracle):
+    """xcs's integer-quantized observed shares must equal the naive
+    first-digit tally: floor the double price in Python (same IEEE
+    double), take the decimal head, quantize n*1e6 // total."""
+    import math
+
+    from dask_snowflake_spark.ext_queries import _BENFORD
+
+    prices = [
+        r.o_totalprice
+        for r in _t(spark, sf_oracle)["orders"].select("o_totalprice").collect()
+        if r.o_totalprice >= 1
+    ]
+    counts = {d: 0 for d in range(1, 10)}
+    for p in prices:
+        counts[int(str(math.floor(p))[0])] += 1
+    total = sum(counts.values())
+
+    got = registry()["xcs_benford_audit"].spark_fn(spark, sf_oracle).collect()
+    assert len(got) == 9
+    for r in got:
+        n = counts[r.digit]
+        assert r.n == n, r
+        assert r.obs_share == (n * 1_000_000 // total) / 1e6, r
+        assert r.exp_share == _BENFORD[r.digit], r
+        assert r.deviation == abs((n * 1_000_000 // total) / 1e6 - _BENFORD[r.digit]), r
+
+
+def test_ewma_matches_naive_dyadic_fold(spark, sf_oracle):
+    """xcu's 8-tap window sum must equal the naive per-day walk: daily
+    revenue in integer cents (floor(v*100 + 0.5) per event, identical
+    IEEE doubles), then num = sum(rev[i-k] * 2^(7-k)) over ROW lags."""
+    import math
+
+    ev = (
+        _t(spark, sf_oracle)["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").cast("date").alias("day"), "value")
+        .collect()
+    )
+    daily: dict = {}
+    for r in ev:
+        daily[r.day] = daily.get(r.day, 0) + math.floor(r.value * 100 + 0.5)
+    days = sorted(daily)
+    expect = {}
+    for i in range(7, len(days)):
+        num = sum(daily[days[i - k]] * (1 << (7 - k)) for k in range(8))
+        expect[days[i]] = (daily[days[i]], num)
+
+    got = registry()["xcu_ewma_halflife"].spark_fn(spark, sf_oracle).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        rev, num = expect[r.day]
+        assert (r.rev_cents, r.ewma_num) == (rev, num), r
+        assert r.ewma_cents == num / 256.0, r
+
+
+def test_readability_matches_naive_flesch(spark, sf_oracle):
+    """xcv's integer cross-multiplied Flesch must equal the naive
+    per-doc computation: ASCII \\s+ word split (Java \\s semantics),
+    [.!?]+ sentence split with SPACE-only trim (Spark/DuckDB trim
+    strips 0x20 only — Python .strip() would disagree on newline-only
+    fragments), vowel-group syllable proxy, magnitude+sign division."""
+    import re
+
+    docs = _t(spark, sf_oracle)["documents"].select("lang", "text").collect()
+    agg: dict = {}
+    for r in docs:
+        text = r.text or ""
+        w = max(1, len([x for x in re.split(r"\s+", text, flags=re.ASCII) if x != ""]))
+        s = max(
+            1,
+            len([x for x in re.split(r"[.!?]+", text) if x.strip(" ") != ""]),
+        )
+        y = max(1, len(re.findall(r"[aeiouAEIOU]+", text)))
+        num = 206835 * s * w - 1015 * w * w - 84600 * y * s
+        den = 1000 * s * w
+        fm = (num * 1000) // den if num >= 0 else -((-num * 1000) // den)
+        nd, tw, ts_, fs = agg.get(r.lang, (0, 0, 0, 0))
+        agg[r.lang] = (nd + 1, tw + w, ts_ + s, fs + fm)
+
+    got = registry()["xcv_readability"].spark_fn(spark, sf_oracle).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        nd, tw, ts_, fs = agg[r.lang]
+        assert (r.n_docs, r.total_words, r.total_sentences) == (nd, tw, ts_), r
+        mean = (fs // nd if fs >= 0 else -((-fs) // nd)) / 1000.0
+        assert r.mean_flesch == mean, r
+
+
+def test_ols_matches_naive_closed_form(spark, sf_oracle):
+    """xce's exact-integer OLS sums must equal the naive per-segment
+    regression: x = days since the segment's min date, y = floor(v*100)
+    cents, slope/intercept as magnitude+sign integer divisions."""
+    import math
+
+    ev = (
+        _t(spark, sf_oracle)["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in ev:
+        by_seg.setdefault(r.event_type, []).append((r.d, math.floor(r.value * 100)))
+    expect = {}
+    for seg, rows in by_seg.items():
+        d0 = min(d for d, _ in rows)
+        pts = [((d - d0).days, y) for d, y in rows]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            expect[seg] = (n, None, None, None, None)
+            continue
+        s_sign = (num > 0) - (num < 0)
+        s_mag = abs(num) * 1000 // den
+        in_num = sy * 1000 - s_sign * s_mag * sx
+        i_sign = (in_num > 0) - (in_num < 0)
+        i_mag = abs(in_num) // n
+        expect[seg] = (n, s_sign, s_mag, i_sign, i_mag)
+
+    got = registry()["xce_segment_trend_ols"].spark_fn(spark, sf_oracle).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert (
+            r.n,
+            r.slope_sign,
+            r.slope_mag_milli,
+            r.intercept_sign,
+            r.intercept_mag_milli,
+        ) == expect[r.event_type], r
+
+
 def test_bootstrap_ci_is_ordered_and_reproducible(spark, sf_oracle):
     """xcl sanity: the CI must bracket a value near the full-sample
     mean, bounds ordered, and the whole statistic bit-stable across
