@@ -628,3 +628,24 @@ def test_rank_fusion_topk_is_distributed_and_exchange_free(spark, sf_oracle):
     assert p.count("TakeOrderedAndProject") >= 3, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
     assert "CartesianProduct" not in p, p
+
+
+def test_triangle_census_wedges_are_map_side(spark, sf_oracle):
+    """x94 (r8 rewrite): wedge enumeration must be the in-array pair
+    explode off the collected out-neighbor lists — exactly ONE Generate
+    — with NO self-join of the oriented edge set (the closure semi-join
+    and the stats crossJoin of one-row aggregates are the only joins;
+    no CartesianProduct of data-sized inputs, no sort aggregate)."""
+    p = plan(registry()["x94_triangle_census"].spark_fn(spark, sf_oracle))
+    assert "CartesianProduct" not in p, p
+    # the ONLY shuffled join is the closure semi-join against the
+    # canonical edge set; the oriented-edge self-join of the old
+    # formulation (a second shuffled join keyed on the wedge source) is
+    # gone — every other join is a broadcast (LSH verify joins + the
+    # one-row stats crossJoin's BroadcastNestedLoopJoin)
+    import re
+
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
+    assert "ShuffledHashJoin" not in p, p
+    assert p.count("Join type: LeftSemi") == 1, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
