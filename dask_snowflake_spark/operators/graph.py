@@ -238,24 +238,23 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _adjacency_deg(e: DataFrame) -> DataFrame:
-    """Cached ``(x, y, dx)``: both directed versions of every canonical
-    edge, annotated with the SOURCE endpoint's undirected degree by ONE
+    """``(x, y, dx)``: both directed versions of every canonical edge,
+    annotated with the SOURCE endpoint's undirected degree by ONE
     window count — replacing the groupBy + two degree self-joins of the
     textbook formulation (three exchanges) with a single exchange on
-    ``x``. The window leaves the output hash-partitioned by ``x`` and
-    the cache preserves that partitioning for Catalyst, so downstream
-    per-vertex aggregations over ``x`` are exchange-free."""
+    ``x``. Deliberately NOT cached: its only consumers (the census
+    stats and the orientation agg) sit in the same action, where
+    ReuseExchange already dedupes the window's exchange, and ``e`` —
+    the expensive subtree — is cached upstream; measured at sf0.1 the
+    eager cache was a pure materialization barrier (+0.5 s, +2 jobs on
+    x94). The window's hash partitioning on ``x`` still makes the
+    downstream per-vertex aggregation over ``x`` exchange-free."""
     from pyspark.sql.window import Window as W
 
-    from ..session import track_cache
-
-    return track_cache(
-        _both_directions(e, "u", "v")
-        .select(
-            F.col("__u").alias("x"),
-            F.col("__v").alias("y"),
-            F.count(F.lit(1)).over(W.partitionBy("__u")).alias("dx"),
-        )
+    return _both_directions(e, "u", "v").select(
+        F.col("__u").alias("x"),
+        F.col("__v").alias("y"),
+        F.count(F.lit(1)).over(W.partitionBy("__u")).alias("dx"),
     )
 
 
