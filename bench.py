@@ -119,6 +119,24 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(full, separators=(",", ":")))
+    # plan-stability vs the checked-in jobs baseline: job counts are
+    # deterministic per plan (identical across passes every round), so
+    # a job delta means the PLAN changed — wall deltas without one are
+    # host noise (see tools/bench_diff.py and the round-8 SCALE audit)
+    plan_deltas: dict[str, list[int]] | None = None
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_JOBS_BASELINE.json"
+    )
+    try:
+        with open(baseline_path) as f:
+            baseline_jobs = json.load(f)
+        plan_deltas = {
+            k: [baseline_jobs[k], jobs[k]]
+            for k in jobs
+            if k in baseline_jobs and baseline_jobs[k] != jobs[k]
+        }
+    except (OSError, ValueError):
+        pass
     headline = {
         "metric": "total_query_sec",
         "value": full["value"],
@@ -129,6 +147,10 @@ def main() -> None:
         "spread_total_sec": round(sum(spread.values()), 2),
         "detail": "BENCH_QUERIES.json",
     }
+    if plan_deltas is not None:
+        headline["plan_stable"] = not plan_deltas
+        if plan_deltas:
+            headline["job_deltas"] = plan_deltas
     print(json.dumps(headline, separators=(",", ":")))
 
 
