@@ -24,6 +24,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def plan_deltas_vs_baseline(
+    jobs: dict[str, int], sf_val, baseline_path: str
+):
+    """Plan-stability signal vs the checked-in jobs baseline: job counts
+    are deterministic per plan (identical across passes every round), so
+    a job delta means the PLAN changed — wall deltas without one are
+    host noise (tools/bench_diff.py and the round-8 SCALE audit).
+
+    The baseline is SF-specific: CC/recursive-CTE round counts are
+    data-driven (cluster diameter / hierarchy depth), so comparing an
+    sf0.001 run against the sf0.1 baseline reports phantom "plan
+    changes" — (in)stability is only claimed at the baseline's own SF.
+
+    Returns ``(deltas, baseline_sf)`` where ``deltas`` is a
+    ``{name: [baseline_jobs, run_jobs]}`` map (empty == plan-stable) or
+    ``None`` when no claim can be made (missing/unreadable baseline, or
+    the baseline was captured at a different SF).
+    """
+    baseline_sf = None
+    try:
+        with open(baseline_path) as f:
+            baseline_jobs = json.load(f)
+        baseline_sf = baseline_jobs.pop("__sf__", None)
+        if baseline_sf is None or baseline_sf == sf_val:
+            return (
+                {
+                    k: [baseline_jobs[k], jobs[k]]
+                    for k in jobs
+                    if k in baseline_jobs and baseline_jobs[k] != jobs[k]
+                },
+                baseline_sf,
+            )
+    except (OSError, ValueError):
+        pass
+    return None, baseline_sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dask_snowflake_spark.queries import registry
@@ -119,24 +156,10 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(full, separators=(",", ":")))
-    # plan-stability vs the checked-in jobs baseline: job counts are
-    # deterministic per plan (identical across passes every round), so
-    # a job delta means the PLAN changed — wall deltas without one are
-    # host noise (see tools/bench_diff.py and the round-8 SCALE audit)
-    plan_deltas: dict[str, list[int]] | None = None
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_JOBS_BASELINE.json"
     )
-    try:
-        with open(baseline_path) as f:
-            baseline_jobs = json.load(f)
-        plan_deltas = {
-            k: [baseline_jobs[k], jobs[k]]
-            for k in jobs
-            if k in baseline_jobs and baseline_jobs[k] != jobs[k]
-        }
-    except (OSError, ValueError):
-        pass
+    plan_deltas, baseline_sf = plan_deltas_vs_baseline(jobs, sf_val, baseline_path)
     headline = {
         "metric": "total_query_sec",
         "value": full["value"],
@@ -151,6 +174,8 @@ def main() -> None:
         headline["plan_stable"] = not plan_deltas
         if plan_deltas:
             headline["job_deltas"] = plan_deltas
+    elif baseline_sf is not None:
+        headline["plan_baseline_sf"] = baseline_sf
     print(json.dumps(headline, separators=(",", ":")))
 
 

@@ -1,0 +1,86 @@
+"""Contract tests for the bench harness's plan-stability signal.
+
+Job counts are deterministic per compiled plan, so bench.py compares the
+run's jobs map against the checked-in BENCH_JOBS_BASELINE.json and puts
+``plan_stable`` in its headline JSON.  These tests pin the comparison
+semantics — in particular the SF gate: CC and recursive-CTE round
+counts are data-driven, so the baseline is only comparable at the scale
+factor it was captured at (a cross-SF compare must make NO claim rather
+than report phantom plan changes).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _write(tmp_path, payload):
+    p = os.path.join(str(tmp_path), "baseline.json")
+    with open(p, "w") as f:
+        json.dump(payload, f)
+    return p
+
+
+def test_same_sf_reports_deltas(tmp_path):
+    p = _write(tmp_path, {"__sf__": 0.1, "a": 3, "b": 7})
+    deltas, sf = bench.plan_deltas_vs_baseline({"a": 3, "b": 9}, 0.1, p)
+    assert sf == 0.1
+    assert deltas == {"b": [7, 9]}
+
+
+def test_same_sf_stable_is_empty_dict_not_none(tmp_path):
+    p = _write(tmp_path, {"__sf__": 0.1, "a": 3})
+    deltas, _ = bench.plan_deltas_vs_baseline({"a": 3}, 0.1, p)
+    assert deltas == {}  # empty == plan-stable claim, distinct from None
+
+
+def test_cross_sf_makes_no_claim(tmp_path):
+    p = _write(tmp_path, {"__sf__": 0.1, "a": 3})
+    deltas, sf = bench.plan_deltas_vs_baseline({"a": 9}, 0.001, p)
+    assert deltas is None  # no phantom "plan change" across SFs
+    assert sf == 0.1
+
+
+def test_untagged_baseline_compares_at_any_sf(tmp_path):
+    # legacy baseline without __sf__: keep the old behavior
+    p = _write(tmp_path, {"a": 3})
+    deltas, sf = bench.plan_deltas_vs_baseline({"a": 4}, 0.001, p)
+    assert deltas == {"a": [3, 4]}
+    assert sf is None
+
+
+def test_missing_baseline_makes_no_claim(tmp_path):
+    deltas, sf = bench.plan_deltas_vs_baseline(
+        {"a": 1}, 0.1, os.path.join(str(tmp_path), "nope.json")
+    )
+    assert deltas is None and sf is None
+
+
+def test_new_queries_not_in_baseline_are_ignored(tmp_path):
+    # a freshly added query has no baseline row; it must not crash or
+    # count as a delta (bench_diff reports additions separately)
+    p = _write(tmp_path, {"__sf__": 0.1, "a": 3})
+    deltas, _ = bench.plan_deltas_vs_baseline({"a": 3, "zz_new": 5}, 0.1, p)
+    assert deltas == {}
+
+
+def test_checked_in_baseline_is_sf_tagged_and_covers_registry():
+    with open(os.path.join(REPO, "BENCH_JOBS_BASELINE.json")) as f:
+        baseline = json.load(f)
+    assert baseline.pop("__sf__", None) == 0.1
+
+    from dask_snowflake_spark.queries import registry
+
+    names = set(registry()) - {"x46_dedup_ngram_jaccard"}  # bench-excluded
+    missing = names - set(baseline)
+    stale = set(baseline) - names
+    assert not missing, f"baseline missing bench queries: {sorted(missing)}"
+    assert not stale, f"baseline has stale queries: {sorted(stale)}"

@@ -36,7 +36,14 @@ BASELINE = os.path.join(REPO, "BENCH_JOBS_BASELINE.json")
 def _jobs(path: str) -> dict[str, int]:
     with open(path) as f:
         d = json.load(f)
-    return d["jobs"] if "jobs" in d else d
+    d = d["jobs"] if "jobs" in d else d
+    return {k: v for k, v in d.items() if not k.startswith("__")}
+
+
+def _sf(path: str):
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("sf", d.get("__sf__"))
 
 
 def _queries(path: str) -> dict[str, float]:
@@ -48,17 +55,30 @@ def _queries(path: str) -> dict[str, float]:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--update-baseline" in sys.argv:
-        jobs = _jobs(CURRENT)
+        jobs = dict(_jobs(CURRENT))
+        sf = _sf(CURRENT)
+        if sf is not None:
+            # tag the baseline with the SF it was captured at: CC and
+            # recursive-CTE round counts are data-driven, so job maps
+            # are only comparable between runs at the SAME scale factor
+            jobs["__sf__"] = sf
         with open(BASELINE, "w") as f:
             json.dump(dict(sorted(jobs.items())), f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"baseline updated: {len(jobs)} queries -> {BASELINE}")
+        print(f"baseline updated: {len(jobs) - (sf is not None)} queries (sf={sf}) -> {BASELINE}")
         return 0
 
     old_path, new_path = (
         (args[0], args[1]) if len(args) == 2 else (BASELINE, CURRENT)
     )
     old, new = _jobs(old_path), _jobs(new_path)
+    sf_old, sf_new = _sf(old_path), _sf(new_path)
+    if sf_old is not None and sf_new is not None and sf_old != sf_new:
+        print(
+            f"note: comparing sf={sf_old} baseline vs sf={sf_new} run — "
+            "CC/recursive round counts are data-driven; job deltas in "
+            "those families are expected across SFs"
+        )
     qnew, qold = _queries(new_path), _queries(old_path)
 
     common = sorted(set(old) & set(new))
