@@ -7584,9 +7584,12 @@ def xcd_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calendar distance), y floored to integer cents at source, so "
     "every OLS sum (n, sx, sy, sxy, sxx) is an exact BIGINT and the "
     "slope num/den are exact integers. Slope and intercept are "
-    "reported MAGNITUDE + SIGN (the x73 lesson: Spark div truncates "
-    "toward zero while // floors, so signed floor-divs disagree -- "
-    "nonneg operands only), denominator-zero CASE-guarded. The "
+    "reported MAGNITUDE + SIGN (the x73 lesson, refined by the r8 "
+    "engine-pair probe: BIGINT // truncates like Spark div, but "
+    "Python cross-checks floor and DuckDB // silently degenerates to "
+    "plain division on non-integer operands -- so keep quotient "
+    "operands integral AND non-negative), denominator-zero "
+    "CASE-guarded. The "
     "event_type window partitioning feeds the same-keyed groupBy "
     "exchange-free. Magnitude budget: |num|*1000 < 2^63 holds "
     "through sf0.1 x 100 with a month-scale span",

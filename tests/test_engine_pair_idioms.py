@@ -1,0 +1,251 @@
+"""Engine-pair property tests of the repo's quantization idioms.
+
+Every oracle-checked query relies on a small set of determinism idioms
+(CLAUDE.md's rules): magnitude+sign quantization, non-negative integer
+ratio quantization, double-cast float32 quantization, microsecond
+timestamp diffs.  The driver's hash gate only proves those idioms agree
+on the CURRENT fixture — round-8's ADVICE found a query (xb6) whose
+engines disagreed on 119/32000 elements yet still hashed equal because
+no quotient happened to flip.  These tests run each idiom pair (Spark
+expression vs DuckDB SQL vs naive Python) over ADVERSARIAL literals —
+exact halfway points, negatives, denormals, float32 mantissa edges,
+second-boundary-straddling timestamps — independent of any fixture, so
+a divergence is caught the day it is introduced, not the round a
+regenerated fixture happens to expose it.
+
+The trap tests pin the MEASURED divergences the idioms exist to avoid
+(duckdb 1.0.0 / Spark 4.1): native-float32 arithmetic, second-unit
+timestamp diffs, `//` on non-integer operands.  If an engine upgrade
+changes any pinned behavior, the test fails and the rule gets re-audited
+instead of an oracle silently breaking.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _lcg(seed: int, n: int) -> list[int]:
+    """Deterministic 63-bit value stream (no random module: fixed
+    literals keep every run byte-identical)."""
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(x)
+    return out
+
+
+def _duck(pdf: pd.DataFrame, sql: str):
+    con = duckdb.connect()
+    con.register("t", pdf)
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _spark_rows(spark, pdf: pd.DataFrame, *exprs: str):
+    return (
+        spark.createDataFrame(pdf).selectExpr("i", *exprs).orderBy("i").collect()
+    )
+
+
+def test_magnitude_sign_quantization(spark):
+    # the x73/xce idiom: floor(abs(z) * 1e6) magnitude + separate sign.
+    # Flooring the MAGNITUDE (not the signed value) keeps the
+    # quantization symmetric around zero; both engines floor a
+    # non-negative double identically because double * 1e6 is
+    # correctly-rounded arithmetic on both.
+    zs = [
+        0.0, -0.0,
+        5e-07, -5e-07,              # exactly half a quantum
+        1.0000005, -1.0000005,      # halfway point above 1
+        2.5e-06, -2.5e-06,
+        123.4567895, -123.4567895,  # 9-digit halfway
+        4.9e-324, -4.9e-324,        # denormal min
+        9e9, -9e9,                  # near the BIGINT/1e6 ceiling
+    ] + [((v % (1 << 53)) / (1 << 26)) - 67108864.0 for v in _lcg(7, 40)]
+    pdf = pd.DataFrame({"i": range(len(zs)), "z": zs})
+    srows = _spark_rows(
+        spark, pdf,
+        "CAST(floor(abs(z) * 1000000) AS BIGINT) AS m",
+        "CAST(sign(z) AS INT) AS sg",
+    )
+    drows = _duck(pdf, (
+        "SELECT i, CAST(floor(abs(z) * 1000000) AS BIGINT) m, "
+        "CAST(sign(z) AS INT) sg FROM t ORDER BY i"
+    ))
+    for sr, dr in zip(srows, drows):
+        z = zs[sr.i]
+        py_m = int(math.floor(abs(z) * 1e6))
+        py_sg = 0 if z == 0 else (1 if z > 0 else -1)
+        assert (sr.m, sr.sg) == (dr[1], dr[2]) == (py_m, py_sg), f"z={z!r}"
+
+
+def test_nonneg_integer_ratio_quantization(spark):
+    # the ratio idiom: (c * 1_000_000) div n instead of round(c/n, 6) —
+    # c/n lands exactly on 6-decimal halfway points (20/512) where
+    # Python banker's rounding and SQL round-half-away disagree; the
+    # integer quotient is exact on both engines for non-negative
+    # operands (floor == truncate when nothing is negative).
+    pairs = [(20, 512), (0, 7), (1, 3), (2, 3), (999999, 1000000),
+             (1, 1000000), (7, 14), (5, 8)] + [
+        (a % 9_000_000, (b % 999_983) + 1)
+        for a, b in zip(_lcg(11, 30), _lcg(13, 30))
+    ]
+    pdf = pd.DataFrame(
+        {"i": range(len(pairs)),
+         "c": [p[0] for p in pairs], "n": [p[1] for p in pairs]}
+    )
+    srows = _spark_rows(spark, pdf, "(c * 1000000) div n AS q")
+    drows = _duck(pdf, "SELECT i, (c * 1000000) // n q FROM t ORDER BY i")
+    for sr, dr in zip(srows, drows):
+        c, n = pairs[sr.i]
+        assert sr.q == dr[1] == (c * 1_000_000) // n, f"(c,n)=({c},{n})"
+
+
+def test_signed_bigint_division_truncates_identically(spark):
+    # measured (duckdb 1.0.0, Spark 4.1): on BIGINT operands BOTH
+    # engines truncate toward zero (-7//2 == -7 div 2 == -3), while
+    # Python's // floors (-4).  So Spark div vs DuckDB // is exact on
+    # integers of ANY sign — the reason queries still decompose signed
+    # quotients into magnitude+sign is (a) naive-Python cross-checks
+    # use //, and (b) the // operator silently changes meaning on
+    # non-integer operands (pinned below).
+    pairs = [(-7, 2), (7, -2), (-7, -2), (7, 2), (-1, 3), (1, -3),
+             (-6, 3), (0, 5), (-999999, 1000)]
+    pdf = pd.DataFrame(
+        {"i": range(len(pairs)),
+         "a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}
+    )
+    srows = _spark_rows(spark, pdf, "a div b AS q")
+    drows = _duck(pdf, "SELECT i, a // b q FROM t ORDER BY i")
+    for sr, dr in zip(srows, drows):
+        a, b = pairs[sr.i]
+        trunc = int(a / b) if b else None  # toward-zero
+        assert sr.q == dr[1] == trunc, f"(a,b)=({a},{b})"
+    # and the Python-floor divergence the decomposition protects
+    # cross-checks from:
+    assert (-7) // 2 == -4  # floor, != the engines' -3
+
+
+def test_duckdb_floor_div_degenerates_on_doubles():
+    # pinned trap: DuckDB's // is integer division ONLY on integer
+    # operands — on DOUBLE (and DECIMAL) it evaluates as PLAIN division
+    # (-7.0 // 2.0 == -3.5, not -4).  Any oracle quotient must therefore
+    # keep both operands integral; if a duckdb upgrade makes // floor
+    # doubles, this pin fails and the rule gets re-audited.
+    con = duckdb.connect()
+    try:
+        got = con.execute(
+            "SELECT CAST(-7 AS DOUBLE) // CAST(2 AS DOUBLE), -7.0 // 2.0"
+        ).fetchone()
+    finally:
+        con.close()
+    assert got == (-3.5, pytest.approx(-3.5))
+
+
+def test_float32_quantization_requires_double_cast(spark):
+    # the xb6 ADVICE fix: a float32 embedding element must be CAST to
+    # DOUBLE before * 1e6 — a 24-bit mantissa times 1e6 is exactly
+    # representable in double, so floor() is then bit-identical on both
+    # engines.  Arithmetic kept IN float32 (DuckDB's list<float> * INT
+    # stays FLOAT) rounds to 24 bits and floors differently.
+    f32 = np.array(
+        [0.1, 0.2, 1 / 3, 5e-07, 123.456789, 6.1e-05, 0.9999999, 1e-38]
+        + [((v % (1 << 24)) / (1 << 24)) * 200.0 - 100.0 for v in _lcg(17, 40)],
+        dtype=np.float32,
+    )
+    pdf = pd.DataFrame({"i": range(len(f32)), "f": f32})
+    srows = _spark_rows(
+        spark, pdf, "CAST(floor(CAST(f AS DOUBLE) * 1000000) AS BIGINT) AS xq"
+    )
+    drows = _duck(pdf, (
+        "SELECT i, CAST(floor(CAST(f AS DOUBLE) * 1000000) AS BIGINT) xq, "
+        "CAST(floor(f * 1000000) AS BIGINT) xq_f32 FROM t ORDER BY i"
+    ))
+    n_f32_diverge = 0
+    for sr, dr in zip(srows, drows):
+        py = math.floor(float(f32[sr.i]) * 1e6)
+        assert sr.xq == dr[1] == py, f"f={f32[sr.i]!r}"
+        n_f32_diverge += dr[1] != dr[2]
+    # the measured failure mode the cast exists for: float32-native
+    # flooring DOES diverge on real mantissas (123.45679f -> 123456784
+    # vs 123456787).  If this ever stops diverging, the cast is still
+    # correct — but re-check the engine's list-arithmetic typing.
+    assert n_f32_diverge > 0
+
+
+def test_timestamp_diff_micros_exact_seconds_trap(spark):
+    # the x81/x82 rule: diff timestamps in MICROSECONDS (exact integer
+    # on both engines) and derive seconds from micros.  The SECOND unit
+    # is the trap being avoided: Spark floor-truncates the exact diff
+    # while DuckDB counts BOUNDARY CROSSINGS, so 0.9s -> 1.1s is 0
+    # seconds to Spark and 1 to DuckDB.
+    a = pd.to_datetime([
+        "2024-01-01 00:00:00.900000",   # straddles a second boundary
+        "2024-01-01 00:00:00.000001",
+        "2024-01-01 00:00:01.000000",
+        "2024-01-01 23:59:59.999999",   # straddles day boundary
+        "2024-02-29 00:00:00.500000",   # leap day
+    ]).astype("datetime64[us]")
+    b = pd.to_datetime([
+        "2024-01-01 00:00:01.100000",
+        "2024-01-01 00:00:00.999999",
+        "2024-01-01 00:00:02.000000",
+        "2024-01-02 00:00:00.000001",
+        "2024-03-01 00:00:00.400000",
+    ]).astype("datetime64[us]")
+    pdf = pd.DataFrame({"i": range(len(a)), "a": a, "b": b})
+    srows = _spark_rows(
+        spark, pdf,
+        "timestampdiff(MICROSECOND, a, b) AS us",
+        "timestampdiff(SECOND, a, b) AS s",
+    )
+    drows = _duck(pdf, (
+        "SELECT i, date_diff('microseconds', a, b) us, "
+        "date_diff('second', a, b) s FROM t ORDER BY i"
+    ))
+    for sr, dr in zip(srows, drows):
+        us_py = int((b[sr.i] - a[sr.i]).value // 1000)  # pandas ns -> us
+        assert sr.us == dr[1] == us_py, f"row {sr.i}"
+    # pinned divergence on the straddle rows (0 and 4):
+    assert srows[0].s == 0 and drows[0][2] == 1
+    assert srows[4].s == 86399 and drows[4][2] == 86400
+
+
+def test_ln_quantization_engine_identical_on_spread(spark):
+    # floor(ln(x) * 1e6) — used by the corpus-freq / NLL / PMI family.
+    # ln() is LIBM-dependent, so engines are NOT guaranteed equal in
+    # general; tests/test_fixture_contracts.py guards each query's
+    # actual inputs against boundary proximity.  This spread check is
+    # the early-warning layer: exact agreement over six decades of
+    # deterministic values on this host/engine pair.
+    xs = [1.0, 2.0, math.e, 10.0, 0.5, 1e-6, 1e6, 3.0, 7.0] + [
+        ((v % (1 << 40)) + 1) / (1 << 20) for v in _lcg(23, 50)
+    ]
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": xs})
+    srows = _spark_rows(spark, pdf, "CAST(floor(ln(x) * 1000000) AS BIGINT) AS q")
+    drows = _duck(
+        pdf, "SELECT i, CAST(floor(ln(x) * 1000000) AS BIGINT) q FROM t ORDER BY i"
+    )
+    diverged = [
+        (xs[sr.i], sr.q, dr[1]) for sr, dr in zip(srows, drows) if sr.q != dr[1]
+    ]
+    assert not diverged, f"ln floors diverged: {diverged[:5]}"
+
+
+def test_spark_sequence_descends_below_start(spark):
+    # the xa0 trap: Spark's sequence(1, n) DESCENDS when n < 1 instead
+    # of returning empty, so adjacent-pair explodes must filter
+    # length >= 2 on BOTH sides.  Pin the behavior the guard exists for.
+    row = spark.sql(
+        "SELECT sequence(1, 0) AS down, sequence(1, 1) AS one, "
+        "size(sequence(1, 0)) AS n"
+    ).collect()[0]
+    assert row.down == [1, 0] and row.one == [1] and row.n == 2
