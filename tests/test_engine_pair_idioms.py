@@ -240,6 +240,66 @@ def test_ln_quantization_engine_identical_on_spread(spark):
     assert not diverged, f"ln floors diverged: {diverged[:5]}"
 
 
+def test_md5_and_char_length_identical(spark):
+    # every dedup/fingerprint oracle leans on md5(shingle) agreeing
+    # byte-for-byte across engines; length() must count CHARACTERS (not
+    # bytes) on both for the text-quality thresholds. Pin both against
+    # hashlib/Python over unicode, emoji, control chars, and empty.
+    import hashlib
+
+    ss = ["", "a", "héllo wörld", "tab\tsep", "emoji \U0001f389",
+          "line\nbreak", "ß", "é vs é"]  # composed vs combining
+    pdf = pd.DataFrame({"i": range(len(ss)), "s": ss})
+    srows = _spark_rows(spark, pdf, "md5(s) AS h", "length(s) AS l")
+    drows = _duck(pdf, "SELECT i, md5(s) h, length(s) l FROM t ORDER BY i")
+    for sr, dr in zip(srows, drows):
+        s = ss[sr.i]
+        assert sr.h == dr[1] == hashlib.md5(s.encode()).hexdigest(), repr(s)
+        assert sr.l == dr[2] == len(s), repr(s)
+
+
+def test_collection_and_regex_trap_pins(spark):
+    # the CLAUDE.md trap battery, pinned engine-pair so an engine
+    # upgrade that changes any behavior fails here first:
+    srow = spark.sql(
+        "SELECT CAST(date_trunc('week', DATE'2024-01-04') AS DATE) wk, "
+        "array_join(filter(array(CAST(NULL AS STRING)), x -> x IS NOT NULL), ',') aj, "
+        "element_at(map('k', 7), 'k') ea, "
+        "regexp_replace('aaa', 'a', 'b') rr, "
+        "concat_ws('-', 'x', NULL, 'y') cw"
+    ).collect()[0]
+    con = duckdb.connect()
+    try:
+        drow = con.execute(
+            "SELECT CAST(date_trunc('week', DATE'2024-01-04') AS DATE) wk, "
+            "array_to_string(list_filter([NULL::VARCHAR], x -> x IS NOT NULL), ',') aj, "
+            "coalesce(array_to_string(list_filter([NULL::VARCHAR], x -> x IS NOT NULL), ','), '') aj_fixed, "
+            "element_at(map(['k'], [7]), 'k') ea, "
+            "regexp_replace('aaa', 'a', 'b') rr_bare, "
+            "regexp_replace('aaa', 'a', 'b', 'g') rr_g, "
+            "concat_ws('-', 'x', NULL, 'y') cw"
+        ).fetchone()
+    finally:
+        con.close()
+    import datetime
+
+    # date_trunc('week') lands on the same Monday once CAST to DATE on
+    # both sides (Spark returns timestamp, DuckDB returns date — the
+    # cast is the rule)
+    assert srow.wk == drow[0] == datetime.date(2024, 1, 1)
+    # all-NULL list: Spark array_join yields '', DuckDB NULL — oracle
+    # must coalesce (pinned divergence + pinned fix)
+    assert srow.aj == "" and drow[1] is None and drow[2] == ""
+    # element_at(map, k): scalar in Spark, LIST in DuckDB — oracle
+    # needs [1]
+    assert srow.ea == 7 and drow[3] == [7]
+    # regexp_replace: global in Spark, FIRST-match in DuckDB without
+    # the 'g' flag
+    assert srow.rr == "bbb" and drow[4] == "baa" and drow[5] == "bbb"
+    # concat_ws skips NULLs identically on both
+    assert srow.cw == drow[6] == "x-y"
+
+
 def test_spark_sequence_descends_below_start(spark):
     # the xa0 trap: Spark's sequence(1, n) DESCENDS when n < 1 instead
     # of returning empty, so adjacent-pair explodes must filter
