@@ -8993,3 +8993,101 @@ def xcv_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000.0
         ).alias("mean_flesch"),
     ).orderBy("lang")
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled bounded-peel oracle for ``xcw_kcore_onion``: alive sets
+    alive0..alive{rounds}, each round keeping vertices whose degree
+    among the previous round's alive vertices is >= k. The alive sets
+    are NESTED (peeling only removes), so a vertex's layer falls out of
+    how many rounds it survived: n_surv = rounds means core (layer 0),
+    else layer = n_surv + 1. Unrolling to a FIXED depth makes the SQL a
+    total function identical to the Spark operator's bounded semantics
+    on any fixture, converged or not — no recursive CTE (peeling needs
+    an aggregate over the recursive term, which recursive SQL forbids).
+
+    Every alive CTE is ``AS MATERIALIZED``: each round references the
+    previous alive set TWICE (one join per endpoint), and DuckDB
+    inlines plain CTEs, so without materialization the unrolled plan
+    doubles per round — 2^rounds subtree copies. Materialization makes
+    the oracle linear in rounds, mirroring the Spark loop's per-round
+    checkpoint.
+    """
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )""",
+        "und AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u AS p FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""alive{r} AS MATERIALIZED (
+        SELECT e.u AS p FROM und e
+        JOIN alive{r - 1} au ON e.u = au.p
+        JOIN alive{r - 1} av ON e.v = av.p
+        GROUP BY e.u HAVING count(*) >= {k}
+    )"""
+        )
+    surv = " UNION ALL ".join(f"SELECT p FROM alive{r}" for r in range(1, rounds + 1))
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_sql},
+    surv AS ({surv}),
+    agg AS (
+        SELECT a0.p, count(s.p) AS n_surv
+        FROM alive0 a0 LEFT JOIN surv s ON s.p = a0.p
+        GROUP BY a0.p
+    )
+    SELECT CAST(p AS BIGINT) AS part_key,
+           CAST(CASE WHEN n_surv = {rounds} THEN 0 ELSE n_surv + 1 END AS INTEGER) AS layer
+    FROM agg ORDER BY part_key
+    """
+
+
+@query(
+    "xcw_kcore_onion",
+    _kcore_oracle_sql(),
+    "K-CORE ONION DECOMPOSITION (bounded iterative vertex peeling — "
+    "the degree-based dual of the CC family's label propagation, and "
+    "the standard graph-QA lens for separating incidental periphery "
+    "from load-bearing dense structure): support-2 co-purchase edges "
+    "(distinct (order, part) items, within-order self-pairing bounded "
+    "by basket-size choose 2 — never a cross-catalog pairing), then up "
+    "to 8 simultaneous peels of every part whose degree among the "
+    "still-alive parts is < 2; layer = peel round, 0 = surviving core. "
+    "The 8-round cap makes the semantics a total function both engines "
+    "compute identically on ANY fixture (the oracle unrolls exactly 8 "
+    "alive sets; the Spark loop exits early at the fixpoint, which is "
+    "observationally identical) — converges in 3-5 rounds on all three "
+    "SFs today. Spark side: static both-directions edge list cached "
+    "pre-partitioned on the join key (never re-shuffles across "
+    "rounds), alive set shrinks monotonically (broadcast-sized once "
+    "peeling bites), one localCheckpoint per round bounds lineage; "
+    "data-driven round count — CC-family member for the jobs baseline",
+    ("lineitem", "graph", "analytics"),
+)
+def xcw_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import kcore_onion
+
+    t = _t(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "__bk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n_ab"))
+        .filter(F.col("__n_ab") >= 2)
+        .select("u", "v")
+    )
+    return (
+        kcore_onion(edges, "u", "v", k=2, max_rounds=8)
+        .select(F.col("vertex").cast("long").alias("part_key"), "layer")
+        .orderBy("part_key")
+    )

@@ -236,3 +236,83 @@ def test_triangle_stats_clique_and_path(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(6)], "a long, b long")
     s = triangle_stats(path, "a", "b").collect()[0]
     assert s.n_triangles == 0 and s.global_cc == 0.0
+
+
+def _naive_onion(edges, k=2, max_rounds=8):
+    """Textbook synchronous bounded peel, computed independently in
+    plain Python — the third verification layer for kcore_onion."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    layers = {}
+    for rnd in range(1, max_rounds + 1):
+        peel = {p for p in alive if sum(1 for q in adj[p] if q in alive) < k}
+        if not peel:
+            break
+        for p in peel:
+            layers[p] = rnd
+        alive -= peel
+    for p in alive:
+        layers[p] = 0
+    return layers
+
+
+def _onion(spark, edges, **kw):
+    from dask_snowflake_spark.operators.graph import kcore_onion
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r["vertex"]: r["layer"] for r in kcore_onion(df, "a", "b", **kw).collect()
+    }
+
+
+def test_kcore_path_fully_peels(spark) -> None:
+    # a path peels from both ends inward: 0-1-2-3-4-5 under k=2
+    got = _onion(spark, [(i, i + 1) for i in range(5)])
+    assert got == {0: 1, 5: 1, 1: 2, 4: 2, 2: 3, 3: 3}
+
+
+def test_kcore_clique_is_all_core(spark) -> None:
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _onion(spark, edges) == {v: 0 for v in range(4)}
+
+
+def test_kcore_lollipop(spark) -> None:
+    # triangle core + a 2-vertex tail: tail peels layer 1 then 2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    assert _onion(spark, edges) == {4: 1, 3: 2, 0: 0, 1: 0, 2: 0}
+
+
+def test_kcore_round_cap_is_the_oracle_semantics(spark) -> None:
+    # a 6-path needs 3 peel rounds; capped at 2 the middle pair
+    # survives as "core" — the same total function the unrolled SQL
+    # oracle computes, converged or not
+    edges = [(i, i + 1) for i in range(5)]
+    got = _onion(spark, edges, max_rounds=2)
+    assert got == {0: 1, 5: 1, 1: 2, 4: 2, 2: 0, 3: 0}
+
+
+def test_kcore_random_graphs_match_naive_python(spark) -> None:
+    import hashlib
+
+    for seed in range(3):
+        n_vertices, n_edges = 30, 45
+        edges = []
+        for i in range(n_edges):
+            h = hashlib.md5(f"kc{seed}:{i}".encode()).hexdigest()
+            a, b = int(h[:8], 16) % n_vertices, int(h[8:16], 16) % n_vertices
+            if a != b:
+                edges.append((a, b))
+        for k in (2, 3):
+            assert _onion(spark, edges, k=k) == _naive_onion(edges, k=k), (seed, k)
+
+
+def test_kcore_empty_edge_list(spark) -> None:
+    df = spark.createDataFrame([], "a long, b long")
+    from dask_snowflake_spark.operators.graph import kcore_onion
+
+    assert kcore_onion(df, "a", "b").count() == 0
