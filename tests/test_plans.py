@@ -649,3 +649,21 @@ def test_triangle_census_wedges_are_map_side(spark, sf_oracle):
     assert "ShuffledHashJoin" not in p, p
     assert p.count("Join type: LeftSemi") == 1, p
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
+
+
+def test_kcore_output_is_one_exchange_no_joins(spark, sf_oracle):
+    """xcw: after the peel loop, layers must come from ONE union +
+    survival-count aggregation over the checkpointed alive sets — a
+    map-side partial HashAggregate, exactly one Exchange, and zero
+    joins (the first draft's per-round lazy anti-joins all re-evaluated
+    here). The per-round degree joins live inside the already-
+    materialized checkpoints, not in this plan."""
+    import re
+
+    p = plan(registry()["xcw_kcore_onion"].spark_fn(spark, sf_oracle))
+    assert "Union" in p, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    # one exchange for the survival count; the orderBy adds range
+    # partitioning on top — nothing else may shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "SortAggregate" not in p, p
