@@ -231,3 +231,53 @@ def test_xb3_bigram_nll_away_from_boundaries() -> None:
         scaled = math.log((c1[a] + v) * 1.0 / (c + 1)) * 1_000_000
         terms.append((f"bigram {a}->{b}", scaled))
     _assert_clear(terms, "xb3 bigram NLL")
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_xcw_kcore_converges_within_round_cap(sf_dir: str) -> None:
+    """xcw's 8-round peel cap is a TOTAL-function device (both engines
+    compute the identical bounded peel either way), but layer 0 only
+    means "true 2-core" when the fixture graph converges within the
+    cap. Pin that it does on every shipped SF — naive Python peeling
+    over the same support-2 co-purchase edges (duckdb-built, engine-
+    independent), so a regenerated fixture that peels deeper than 8
+    fails HERE with a clear message instead of silently weakening the
+    query's documented meaning."""
+    import duckdb
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{sf_dir} fixtures absent")
+    con = duckdb.connect()
+    edges = con.execute(
+        """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM read_parquet(?)
+        )
+        SELECT a.l_partkey, b.l_partkey
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        [path],
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    rounds = 0
+    while rounds <= 8:
+        peel = {p for p in alive if sum(1 for q in adj[p] if q in alive) < 2}
+        if not peel:
+            break
+        rounds += 1
+        alive -= peel
+    assert rounds <= 8, (
+        f"{sf_dir}: co-purchase peel needs {rounds}+ rounds; xcw's layer-0 "
+        "no longer equals the true 2-core — raise the cap in BOTH the "
+        "operator call and _kcore_oracle_sql (they must move together)"
+    )
