@@ -24,6 +24,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def job_deltas(old: dict[str, int], new: dict[str, int]) -> dict:
+    """``{name: [old_jobs, new_jobs]}`` for every query whose count
+    changed, plus ``[old_jobs, None]`` for queries in the old map but
+    missing from the new one (deleted/renamed coverage is instability,
+    not silence). THE single definition of job-map comparison — bench's
+    headline and tools/bench_diff.py both call it, so the two can never
+    report different stability verdicts for the same run."""
+    deltas = {k: [old[k], new[k]] for k in new if k in old and old[k] != new[k]}
+    deltas.update({k: [v, None] for k, v in old.items() if k not in new})
+    return deltas
+
+
 def plan_deltas_vs_baseline(
     jobs: dict[str, int], sf_val, baseline_path: str
 ):
@@ -46,16 +58,14 @@ def plan_deltas_vs_baseline(
     try:
         with open(baseline_path) as f:
             baseline_jobs = json.load(f)
+        # a malformed baseline (non-dict JSON from a bad merge) must
+        # degrade to "no claim", never crash after the 10-minute bench
+        # loop and lose the headline line the driver tails for
+        if not isinstance(baseline_jobs, dict):
+            return None, None
         baseline_sf = baseline_jobs.pop("__sf__", None)
         if baseline_sf is None or baseline_sf == sf_val:
-            return (
-                {
-                    k: [baseline_jobs[k], jobs[k]]
-                    for k in jobs
-                    if k in baseline_jobs and baseline_jobs[k] != jobs[k]
-                },
-                baseline_sf,
-            )
+            return job_deltas(baseline_jobs, jobs), baseline_sf
     except (OSError, ValueError):
         pass
     return None, baseline_sf

@@ -276,8 +276,9 @@ def triangles(
     O(m^1.5) rows worst case instead of sum(deg^2) — and because the
     out-neighbor lists are sqrt-bounded they collect into per-vertex
     arrays, turning the wedge step into a map-side explode of in-array
-    pairs instead of a shuffle self-join (the r8 rewrite: 33 -> ~21
-    jobs on the x94 census). All equi-joins; no cross product.
+    pairs instead of a shuffle self-join (the r8 rewrite: 33 -> 26
+    jobs on the x94 census, pinned in BENCH_JOBS_BASELINE.json). All
+    equi-joins; no cross product.
     """
     e = _canonical_edges(edges, src, dst) if _e is None else _e
     und_deg = _adjacency_deg(e) if _und_deg is None else _und_deg
@@ -341,10 +342,13 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ``n_wedges = sum(deg*(deg-1)/2)`` and ``global_cc`` is the global
     clustering coefficient ``3*triangles/wedges``, integer-quantized
     (``* 1e6 div wedges / 1e6``) so both engines emit the identical
-    double. The degree/wedge statistics aggregate the SAME cached
-    ``(x, y, dx)`` adjacency the triangle path orients — per-vertex
-    degrees fall out exchange-free (the window's hash partitioning on
-    ``x`` survives the cache), so the census adds two bounded
+    double. The degree/wedge statistics aggregate the SAME
+    ``(x, y, dx)`` adjacency expression the triangle path orients —
+    deliberately UNcached (see ``_adjacency_deg``: both consumers sit
+    in one action where ReuseExchange dedupes the window's exchange,
+    and the measured eager cache was a pure barrier); per-vertex
+    degrees still fall out exchange-free off the window's hash
+    partitioning on ``x``, so the census adds two bounded
     aggregations to the ``triangles`` plan."""
     e = _canonical_edges(edges, src, dst)
     und_deg = _adjacency_deg(e)
@@ -423,12 +427,20 @@ def kcore_onion(
     Deterministic: no RNG, no order dependence, integer degrees only.
 
     Returns ``(vertex, layer)`` for every vertex with at least one
-    edge, ``layer`` int (0 = core, else peel round).
+    non-self-loop edge (self-loops are dropped — they say nothing
+    about coreness and would inflate the degree), ``layer`` int
+    (0 = core, else peel round).
     """
     from ..session import track_cache
 
+    # drop self-loops up front: a (u,u) edge would inflate u's degree
+    # by one and shift its peel layer vs the textbook semantics (a
+    # self-loop says nothing about coreness); CC tolerates them, the
+    # degree-based peel does not
     und = track_cache(
-        _both_directions(edges, src, dst).distinct().repartition("__v")
+        _both_directions(edges.filter(F.col(src) != F.col(dst)), src, dst)
+        .distinct()
+        .repartition("__v")
     )
     alive = und.select("__u").distinct().localCheckpoint(eager=True)
     n_alive = alive.count()

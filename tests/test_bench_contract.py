@@ -84,3 +84,30 @@ def test_checked_in_baseline_is_sf_tagged_and_covers_registry():
     stale = set(baseline) - names
     assert not missing, f"baseline missing bench queries: {sorted(missing)}"
     assert not stale, f"baseline has stale queries: {sorted(stale)}"
+
+
+def test_removed_queries_count_as_deltas(tmp_path):
+    # a query deleted/renamed without refreshing the baseline must NOT
+    # read as plan-stable: coverage shrank (surfaces as [old, None])
+    p = _write(tmp_path, {"__sf__": 0.1, "a": 3, "gone": 7})
+    deltas, _ = bench.plan_deltas_vs_baseline({"a": 3}, 0.1, p)
+    assert deltas == {"gone": [7, None]}
+
+
+def test_malformed_baseline_makes_no_claim(tmp_path):
+    # a non-dict baseline (bad merge) must degrade to "no claim", never
+    # crash after the bench loop and lose the driver-tailed headline
+    p = os.path.join(str(tmp_path), "baseline.json")
+    with open(p, "w") as f:
+        f.write('["not", "a", "jobs", "map"]')
+    deltas, sf = bench.plan_deltas_vs_baseline({"a": 1}, 0.1, p)
+    assert deltas is None and sf is None
+
+
+def test_job_deltas_is_the_single_comparison():
+    # shared by the bench headline and tools/bench_diff.py: changed
+    # commons + old-side-only queries; new-side-only ignored
+    assert bench.job_deltas({"a": 3, "b": 7, "c": 1}, {"a": 3, "b": 9, "d": 2}) == {
+        "b": [7, 9],
+        "c": [1, None],
+    }

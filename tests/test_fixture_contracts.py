@@ -264,20 +264,17 @@ def test_xcw_kcore_converges_within_round_cap(sf_dir: str) -> None:
         [path],
     ).fetchall()
     con.close()
-    adj: dict[int, set[int]] = {}
-    for u, v in edges:
-        adj.setdefault(u, set()).add(v)
-        adj.setdefault(v, set()).add(u)
-    alive = set(adj)
-    rounds = 0
-    while rounds <= 8:
-        peel = {p for p in alive if sum(1 for q in adj[p] if q in alive) < 2}
-        if not peel:
-            break
-        rounds += 1
-        alive -= peel
-    assert rounds <= 8, (
-        f"{sf_dir}: co-purchase peel needs {rounds}+ rounds; xcw's layer-0 "
-        "no longer equals the true 2-core — raise the cap in BOTH the "
-        "operator call and _kcore_oracle_sql (they must move together)"
+    # ONE naive-peel implementation repo-wide (test_graph._naive_onion,
+    # the operator's own third verification layer): converged within 8
+    # rounds <=> an 8-capped and a 9-capped peel produce identical
+    # layers (an unconverged graph would peel someone at round 9)
+    from .test_graph import _naive_onion
+
+    assert _naive_onion(edges, k=2, max_rounds=8) == _naive_onion(
+        edges, k=2, max_rounds=9
+    ), (
+        f"{sf_dir}: co-purchase peel does not converge within 8 rounds; "
+        "xcw's layer-0 no longer equals the true 2-core — raise the cap "
+        "in BOTH the operator call and _kcore_oracle_sql (they must "
+        "move together)"
     )

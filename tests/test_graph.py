@@ -316,3 +316,13 @@ def test_kcore_empty_edge_list(spark) -> None:
     from dask_snowflake_spark.operators.graph import kcore_onion
 
     assert kcore_onion(df, "a", "b").count() == 0
+
+
+def test_kcore_drops_self_loops(spark) -> None:
+    # a self-loop must not inflate degree: with (5,5) kept, vertex 5
+    # would survive round 1 and shift the whole chain's layers; dropped,
+    # the 3-path peels ends first (round 1) then the middle (round 2) —
+    # identical to _naive_onion, which skips a == b
+    edges = [(5, 5), (5, 6), (6, 7)]
+    got = _onion(spark, edges)
+    assert got == _naive_onion(edges) == {5: 1, 6: 2, 7: 1}

@@ -55,6 +55,15 @@ def _queries(path: str) -> dict[str, float]:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--update-baseline" in sys.argv:
+        if args:
+            # the update path always snapshots BENCH_QUERIES.json; a
+            # positional file here means the caller expected THAT file
+            # to become the baseline — refuse rather than silently
+            # committing a stale snapshot as the round's gate
+            raise SystemExit(
+                "--update-baseline takes no file arguments (it snapshots "
+                f"{CURRENT}); re-run bench.py first, then update"
+            )
         jobs = dict(_jobs(CURRENT))
         sf = _sf(CURRENT)
         if sf is not None:
@@ -83,8 +92,26 @@ def main() -> int:
 
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
-    deltas = [(k, old[k], new[k]) for k in common if old[k] != new[k]]
+    if not common:
+        # zero overlap is a failed comparison (wrong file format, wrong
+        # artifact), not stability — never green-light it
+        print(
+            f"ERROR: no common queries between {old_path} and {new_path} "
+            f"({len(old)} vs {len(new)} entries) — wrong file(s)?"
+        )
+        return 1
+    # the SAME comparison the bench headline uses (bench.job_deltas):
+    # common-query changes plus baseline queries missing from the run
+    import importlib.util
+
+    _spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bench)
+    deltas = sorted(
+        (k, a, b) for k, (a, b) in bench.job_deltas(old, new).items()
+    )
 
     if qold and qnew:
         ratios = [qnew[k] / qold[k] for k in common if k in qold and k in qnew and qold[k] > 0]
@@ -95,8 +122,7 @@ def main() -> int:
             )
     if added:
         print(f"new queries ({len(added)}): {', '.join(added)}")
-    if removed:
-        print(f"removed queries ({len(removed)}): {', '.join(removed)}")
+    # removed queries surface as [old, None] deltas via bench.job_deltas
 
     if not deltas:
         print(f"PLAN-STABLE: {len(common)} common queries, zero job-count deltas")
@@ -106,7 +132,8 @@ def main() -> int:
         wall = ""
         if k in qold and k in qnew:
             wall = f"  wall {qold[k]:.2f}s -> {qnew[k]:.2f}s"
-        print(f"  {k}: jobs {a} -> {b}{wall}")
+        tgt = "REMOVED from run" if b is None else b
+        print(f"  {k}: jobs {a} -> {tgt}{wall}")
     return 1
 
 
