@@ -44,8 +44,13 @@ def constraint_audit(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     ``(rule, n_rows, n_violations, pass_ratio)``, ordered by rule name.
 
     The plan is a single scan + one map-side-combinable aggregate of
-    conditional sums + an in-plan stack unpivot — adding a rule adds a
-    column to the aggregate, not a pass over the data.
+    conditional sums + an in-plan explode unpivot — adding a rule adds
+    a column to the aggregate, not a pass over the data. Rule names are
+    carried as ``F.lit`` columns, never interpolated into SQL text (a
+    quote or backslash in a name must not break or inject into the
+    plan). On an empty input every rule reports ``n_violations = 0``
+    and ``pass_ratio = 1.0`` (a vacuous audit passes) rather than NULLs
+    a downstream ``== 0`` gate would silently treat as falsy.
     """
     if not rules:
         raise ValueError("constraint_audit needs at least one rule")
@@ -53,20 +58,32 @@ def constraint_audit(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for i, name in enumerate(names):
         aggs.append(
-            F.sum(F.when(rules[name], 0).otherwise(1)).cast("long").alias(f"__v{i}")
+            F.coalesce(F.sum(F.when(rules[name], 0).otherwise(1)), F.lit(0))
+            .cast("long")
+            .alias(f"__v{i}")
         )
-    stack_args = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("rule"), F.col(f"__v{i}").alias("n_violations")
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+    )
     return (
         df.agg(*aggs)
+        .select(F.col("__n"), pairs.alias("__p"))
         .select(
-            F.col("__n"),
-            F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
-        )
-        .select(
-            "rule",
+            F.col("__p.rule").alias("rule"),
             F.col("__n").alias("n_rows"),
-            "n_violations",
-            (F.expr("((__n - n_violations) * 1000000) div __n") / 1e6).alias("pass_ratio"),
+            F.col("__p.n_violations").alias("n_violations"),
+            F.when(F.col("__n") == 0, F.lit(1.0))
+            .otherwise(
+                F.expr("((__n - __p.n_violations) * 1000000) div __n") / 1e6
+            )
+            .alias("pass_ratio"),
         )
         .orderBy("rule")
     )
@@ -126,14 +143,20 @@ def interval_occupancy(
     NULL starts/ends are rejected by the caller's filter; intervals
     with end < start have their close clamped up to the start day, so
     they contribute a same-day +1/-1 pair that nets to zero — the
-    occupancy curve can never go negative over a gap.
+    occupancy curve can never go negative over a gap. Both columns are
+    cast to DATE inside the operator: a TIMESTAMP input would otherwise
+    put intra-day opens and midnight-coerced closes on a
+    mixed-granularity axis (``date_add`` yields DATE) and the "per day
+    where the count changes" contract would silently break.
     """
-    close = F.date_add(F.col(end_col), 1) if end_inclusive else F.col(end_col)
-    close = F.greatest(F.col(start_col), close)
+    start = F.col(start_col).cast("date")
+    end = F.col(end_col).cast("date")
+    close = F.date_add(end, 1) if end_inclusive else end
+    close = F.greatest(start, close)
     delta = df.select(
         F.explode(
             F.array(
-                F.struct(F.col(start_col).alias("day"), F.lit(1).alias("d")),
+                F.struct(start.alias("day"), F.lit(1).alias("d")),
                 F.struct(close.alias("day"), F.lit(-1).alias("d")),
             )
         ).alias("e")
@@ -164,9 +187,13 @@ def last_touch_attribution(
     timestamp diffs disagree across engines), or ``'none'``.
 
     ``order_cols`` must be unique per entity. Touch state and touch
-    time come from two ``last(..., ignorenulls)`` expressions over ONE
-    window node (same frame); the credit decision is pure projection —
-    one entity-keyed shuffle regardless of lookback. Callers aggregate
+    time come from ONE atomic ``last(struct(ts, state), ignorenulls)``
+    window expression — two independent ``last`` calls would
+    desynchronize when a touch row carries a NULL timestamp (the state
+    of the latest touch paired with the time of an EARLIER one, wrong
+    credit); atomically, a latest touch with NULL ts simply fails the
+    lookback check. The credit decision is pure projection — one
+    entity-keyed shuffle regardless of lookback. Callers aggregate
     (channel counts, revenue) on top.
     """
     w = (
@@ -175,27 +202,32 @@ def last_touch_attribution(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     is_touch = F.col(state_col).isin(*touch_states)
-    within = F.col("__touch_type").isNotNull()
+    within = F.col("__touch.state").isNotNull()
     if lookback_micros is not None:
         within = within & (
-            F.timestamp_diff("MICROSECOND", F.col("__touch_ts"), F.col(ts_col))
+            F.timestamp_diff("MICROSECOND", F.col("__touch.ts"), F.col(ts_col))
             <= lookback_micros
         )
     return (
         df.select(
             "*",
-            F.last(F.when(is_touch, F.col(state_col)), ignorenulls=True)
+            F.last(
+                F.when(
+                    is_touch,
+                    F.struct(
+                        F.col(ts_col).alias("ts"), F.col(state_col).alias("state")
+                    ),
+                ),
+                ignorenulls=True,
+            )
             .over(w)
-            .alias("__touch_type"),
-            F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True)
-            .over(w)
-            .alias("__touch_ts"),
+            .alias("__touch"),
         )
         .filter(F.col(state_col) == conversion_state)
         .withColumn(
-            "channel", F.when(within, F.col("__touch_type")).otherwise("none")
+            "channel", F.when(within, F.col("__touch.state")).otherwise("none")
         )
-        .drop("__touch_type", "__touch_ts")
+        .drop("__touch")
     )
 
 
@@ -211,7 +243,14 @@ def basket_affinity(
     cross-catalog pairing — co-partitioned on the basket key. Item
     frequencies are |items|-bounded and broadcast back; the basket
     total rides a one-row broadcast cross join. Lift is the
-    integer-quantized exact ratio ``n_ab * n_baskets / (n_a * n_b)``.
+    integer-quantized exact ratio ``n_ab * n_baskets / (n_a * n_b)``
+    — exact while ``n_ab * n_baskets <= 9.2e12`` (the BIGINT bound
+    over the 1e6 quantizer; e.g. 15M baskets with pair support up to
+    ~600k). Beyond that ANSI mode fails LOUDLY with an arithmetic
+    overflow rather than silently wrapping; at that scale pre-scale
+    the quantizer or the counts — any reordering of the products
+    trades exactness for range, so the operator does not do it
+    silently.
     The shared item subtree is deliberately recomputed per consumer:
     persisting it was measured wall-neutral with more jobs (CLAUDE.md).
     """

@@ -30,7 +30,14 @@ _BUCKETS = 1_000_000
 
 
 def _bucket(key: Column, salt: str) -> Column:
-    return F.pmod(portable_hash(key, F.lit(salt)), F.lit(_BUCKETS))
+    # NULL keys hash to NULL (md5(concat(..., NULL)) is NULL), which
+    # would silently DROP the row from every sample (filter on NULL)
+    # and dump it into the when-chain's otherwise() split — coalesce to
+    # a sentinel so NULL-keyed rows get one deterministic fate like any
+    # other key (a literal key equal to the sentinel shares that fate;
+    # pick keys accordingly)
+    keyed = F.coalesce(key.cast("string"), F.lit("\x00<null-key>"))
+    return F.pmod(portable_hash(keyed, F.lit(salt)), F.lit(_BUCKETS))
 
 
 def deterministic_sample(
@@ -61,6 +68,11 @@ def split_assign(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
+    bad = {n: wt for n, wt in weights.items() if not 0.0 <= wt <= 1.0}
+    if bad:
+        # a negative weight can still sum to 1 (e.g. {-0.5, 1.5}) and
+        # would silently produce an empty split
+        raise ValueError(f"weights must each be in [0, 1], got {bad}")
     b = _bucket(F.col(key), salt)
     expr = None
     hi = 0

@@ -191,3 +191,76 @@ def test_basket_affinity_lift(spark):
     assert (r.item_a, r.item_b, r.n_ab, r.n_a, r.n_b) == ("a", "b", 2, 3, 3)
     # lift = 2*4/(3*3) = 0.888888.. -> floor at 6dp
     assert r.lift == 0.888888
+
+
+def test_constraint_audit_rule_names_are_not_sql(spark):
+    """Rule names ride as literal columns, never interpolated SQL text:
+    quotes/backslashes in a name must neither break the plan nor inject
+    into it (the old stack() f-string did both)."""
+    from dask_snowflake_spark.operators.analytics import constraint_audit
+
+    df = spark.createDataFrame([(1,), (0,)], "k int")
+    rows = constraint_audit(
+        df, {"supplier's key, \\ backslash": F.col("k") > 0}
+    ).collect()
+    assert rows[0].rule == "supplier's key, \\ backslash"
+    assert rows[0].n_violations == 1
+
+
+def test_constraint_audit_empty_input_is_vacuous_pass(spark):
+    """0 rows: n_violations must be 0 (not NULL) and pass_ratio 1.0 —
+    NULLs would make a `n_violations == 0` gate silently falsy, and the
+    quantized ratio would divide by zero under ANSI."""
+    from dask_snowflake_spark.operators.analytics import constraint_audit
+
+    df = spark.createDataFrame([], "k int")
+    rows = constraint_audit(df, {"r1": F.col("k") > 0}).collect()
+    assert [(r.n_rows, r.n_violations, r.pass_ratio) for r in rows] == [(0, 0, 1.0)]
+
+
+def test_interval_occupancy_casts_timestamps_to_days(spark):
+    """TIMESTAMP inputs collapse to a pure DATE axis — intra-day opens
+    must not sit beside midnight-coerced closes on a mixed axis."""
+    from dask_snowflake_spark.operators.analytics import interval_occupancy
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 2, 9, 0))],
+        "s timestamp, e timestamp",
+    )
+    rows = interval_occupancy(df, "s", "e").collect()
+    curve = {r.day.isoformat(): r.occupancy for r in rows}
+    assert curve == {"2024-01-01": 1, "2024-01-03": 0}
+    assert all(type(r.day) is dt.date for r in rows)
+
+
+def test_last_touch_touch_state_and_time_move_atomically(spark):
+    """A latest touch with a NULL timestamp must NOT borrow an earlier
+    touch's time (two independent last(ignorenulls) did): atomically it
+    simply fails the lookback and credits 'none'."""
+    import datetime as dt
+
+    from dask_snowflake_spark.operators.analytics import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 1, t0, "ad"),                                  # touch, in window
+            (1, 2, None, "email"),                             # touch, NULL ts
+            (1, 3, t0 + dt.timedelta(seconds=30), "buy"),      # conversion
+        ],
+        "uid int, seq int, ts timestamp, state string",
+    )
+    rows = last_touch_attribution(
+        df,
+        "uid",
+        ["seq"],
+        "ts",
+        "state",
+        ["ad", "email"],
+        "buy",
+        lookback_micros=60_000_000,
+    ).collect()
+    # latest touch is 'email' (NULL ts): must be 'none', never 'email'
+    # credited with the 'ad' row's timestamp
+    assert [r.channel for r in rows] == ["none"]

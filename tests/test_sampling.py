@@ -65,3 +65,33 @@ def test_stratified_fractions(spark, sf_oracle):
     assert got[full_lang] == base[full_lang]
     for lang in sorted(langs)[1:]:
         assert got.get(lang, 0) < base[lang] * 0.6, (lang, got, base)
+
+
+def test_null_keys_are_sampled_not_dropped(spark):
+    """NULL sampling keys hash via a sentinel: fraction=1.0 keeps ALL
+    rows (NULL hash used to silently drop them), and split_assign gives
+    NULL-keyed rows one deterministic split, not the sorted-last
+    fallback."""
+    from dask_snowflake_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    assert deterministic_sample(df, "k", 1.0).count() == 3
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+    splits = {r.k: r.split for r in split_assign(
+        df, "k", {"train": 0.5, "test": 0.5}).collect()}
+    assert splits[None] in ("train", "test")
+
+
+def test_split_assign_rejects_out_of_range_weights(spark):
+    """Weights like {-0.5, 1.5} sum to 1 but would silently produce an
+    empty split — each weight must be validated individually."""
+    import pytest
+
+    from dask_snowflake_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="each"):
+        split_assign(df, "k", {"a": -0.5, "b": 1.5})
