@@ -593,15 +593,20 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "flow_windows",
     """
+    -- Spark's F.window FLOORS raw micros (pre-epoch 23:59:59.4 ->
+    -- window 18:00 of the PREVIOUS bucket); DuckDB's BIGINT //
+    -- truncates, so floor via double division (exact: |epoch_us| <<
+    -- 2^53 and bucket boundaries are >1 quotient-ulp away from any
+    -- integer micros) — engine-pair pinned
     SELECT 'tumbling' AS kind,
-           make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+           make_timestamp(CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) * 21600000000) AS window_start,
            event_type,
            count(*) AS n
     FROM events
     GROUP BY 2, 3
     UNION ALL
     SELECT 'sliding',
-           make_timestamp(((epoch_us(ts) - k.off * 21600000000) // 43200000000) * 43200000000
+           make_timestamp(CAST(floor((epoch_us(ts) - k.off * 21600000000) / 43200000000.0) AS BIGINT) * 43200000000
                           + k.off * 21600000000),
            event_type, count(*)
     FROM events CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) k(off)
@@ -1168,8 +1173,12 @@ def x19_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x20_gap_fill",
     """
     WITH actual AS (
+        -- trunc-to-second then FLOOR-divide, matching Spark's
+        -- floor(unix_timestamp/21600) exactly: a bare epoch_us //
+        -- 21600000000 TRUNCATES and diverges on pre-epoch mid-bucket
+        -- timestamps (engine-pair pinned)
         SELECT user_id,
-               make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+               make_timestamp(CAST(floor((epoch_us(ts) // 1000000) / 21600.0) AS BIGINT) * 21600000000) AS bucket,
                count(*) AS n,
                round(sum(value), 2) AS total
         FROM events

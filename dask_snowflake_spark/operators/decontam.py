@@ -36,23 +36,36 @@ def ngram_overlap(
     Returns (doc, n_shingles, n_overlap, overlap_frac) — one row per
     training document that has at least one shingle. ``overlap_frac``
     is integer-quantized to 6 decimals (floor), engine-portable.
+
+    Both counts come from ONE doc-keyed aggregation over the
+    broadcast-marked shingle stream (a left join against the eval set
+    with a hit marker; ``count(marker)`` counts non-nulls) — the
+    two-aggregation + doc-join formulation paid a second full shuffle
+    of the corpus shingles for the same numbers.
+
+    Contract note: ``dedup.shingles`` emits one PARTIAL shingle for a
+    document shorter than ``n`` words, so a 2-word training doc whose
+    prefix appears in the eval set reports ``overlap_frac = 1.0`` from
+    that single partial match. That is the shared shingling definition
+    (the oracle replicates it identically); callers screening corpora
+    with ultra-short documents should length-filter first if they want
+    strictly-n-gram evidence.
     """
     tr = shingles(train, text_col, id_col, n)
     ev = shingles(evalset, text_col, id_col, n).select("shingle").distinct()
-    hits = (
-        tr.join(F.broadcast(ev), "shingle", "left_semi")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    per_doc = tr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
-        per_doc.join(hits, "doc", "left")
+        tr.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
         .select(
             "doc",
             "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-            (
-                F.expr("coalesce(n_overlap, 0) * 1000000 div n_shingles") / 1e6
-            ).alias("overlap_frac"),
+            "n_overlap",
+            (F.expr("n_overlap * 1000000 div n_shingles") / 1e6).alias(
+                "overlap_frac"
+            ),
         )
     )

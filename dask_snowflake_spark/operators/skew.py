@@ -28,8 +28,16 @@ from pyspark.sql import functions as F
 def with_salt(df: DataFrame, num_salts: int, deterministic_by: str | None = None) -> DataFrame:
     """Add a ``__salt`` column in [0, num_salts). With
     ``deterministic_by`` set, the salt derives from that column's hash
-    (reproducible, oracle-friendly); otherwise it's random per row
-    (better spread, nondeterministic)."""
+    (reproducible, oracle-friendly) — it must therefore be a column
+    whose values VARY WITHIN each hot key's rows (an id, a timestamp);
+    salting by the aggregation/join key itself hashes every hot-key row
+    to the SAME salt and silently mitigates nothing (``salted_agg``
+    rejects that). Otherwise the salt is random per row (better spread,
+    nondeterministic)."""
+    if num_salts < 1:
+        # sequence(0, num_salts-1) silently DESCENDS for <= 0 and
+        # pmod(hash, 0) is a runtime divide-by-zero deep in the job
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     if deterministic_by is not None:
         salt = F.pmod(F.hash(F.col(deterministic_by)), F.lit(num_salts))
     else:
@@ -62,7 +70,17 @@ def salted_agg(
 
     The hot key's rows hit ``num_salts`` reducers in stage 1; stage 2
     reduces num_salts partial rows per key — never a hot partition.
+    ``salt_by`` must vary within a key group, so the grouping keys
+    themselves are rejected (hash(key) is constant across a hot key's
+    rows — all of them would still land on one stage-1 reducer).
     """
+    if salt_by is not None and salt_by in keys:
+        raise ValueError(
+            f"salt_by={salt_by!r} is one of the grouping keys: its hash is "
+            "constant within each key group, so the hot key still lands on "
+            "one reducer — salt by a column that varies within the key "
+            "(an id, a timestamp), or pass salt_by=None for random salts"
+        )
     salted = with_salt(df, num_salts, salt_by)
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]

@@ -21,11 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..session import track_cache
-
 
 def time_bucket(ts: Column, bucket_seconds: int) -> Column:
-    """Floor a timestamp onto a regular grid (epoch-aligned)."""
+    """Floor a timestamp onto a regular grid (epoch-aligned).
+
+    Semantics, engine-pair pinned (tests/test_engine_pair_idioms.py):
+    truncate to whole SECONDS first (``unix_timestamp`` truncates the
+    sub-second part toward zero — visible only pre-epoch, where
+    23:59:59.4 lands in bucket 0, not -1), then FLOOR-divide the
+    seconds (floor of a double division — exact for any timestamp
+    within ±2^53 µs of the epoch). A DuckDB oracle must replicate BOTH
+    steps: ``floor((epoch_us(ts) // 1000000) / <bucket>.0)`` — a bare
+    ``epoch_us // (bucket * 1e6)`` TRUNCATES the division and buckets
+    pre-epoch mid-bucket timestamps one slot higher than Spark.
+    ``unix_timestamp`` (not a LONG cast) also keeps TIMESTAMP_NTZ
+    inputs working — ANSI forbids casting NTZ to numeric."""
     return F.timestamp_seconds(
         F.floor(F.unix_timestamp(ts) / bucket_seconds).cast("long") * bucket_seconds
     )
@@ -45,18 +55,28 @@ def gap_fill(
     over its own [min, max] bucket range, and fill the generated gaps:
     ``fill_zero`` columns get 0, ``fill_forward`` columns carry the last
     observed value (last(ignorenulls) over an ordered window).
+    ``fill_zero``/``fill_forward`` names must exist in ``agg_cols`` and
+    not overlap — a typo would otherwise silently leave every gap row
+    NULL in the column the caller thought was being filled.
     """
-    bucket = time_bucket(F.col(ts_col), bucket_seconds)
-    # persist the per-(key, bucket) aggregate: it is referenced by BOTH
-    # the spine (min/max bounds) and the fill join, and Spark recomputes
-    # shared subtrees — without this the raw events scan runs twice (or
-    # more under AQE). The aggregate is keys x buckets, far smaller than
-    # the input; callers with long-lived pipelines may unpersist the
-    # result's lineage when done.
-    actual = track_cache(
-        events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
-            *[expr.alias(name) for name, expr in agg_cols.items()]
+    fz, ff = set(fill_zero), set(fill_forward)
+    unknown = (fz | ff) - set(agg_cols)
+    if unknown:
+        raise ValueError(
+            f"fill columns not in agg_cols: {sorted(unknown)} "
+            f"(agg_cols: {sorted(agg_cols)})"
         )
+    if fz & ff:
+        raise ValueError(f"columns in both fill_zero and fill_forward: {sorted(fz & ff)}")
+    bucket = time_bucket(F.col(ts_col), bucket_seconds)
+    # the per-(key, bucket) aggregate feeds BOTH the spine (min/max
+    # bounds) and the fill join, but both consumers sit in ONE action —
+    # ReuseExchange dedupes the shared aggregation exchange, and a
+    # persist() here was MEASURED as a pure materialization barrier
+    # (x20 at sf0.1: cached 1.20 s / 8 jobs vs uncached 1.15 s / 6 —
+    # the CLAUDE.md cache counter-lesson's fifth datapoint)
+    actual = events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        *[expr.alias(name) for name, expr in agg_cols.items()]
     )
     step = F.expr(f"INTERVAL {bucket_seconds} SECONDS")
     spine = (

@@ -309,3 +309,54 @@ def test_spark_sequence_descends_below_start(spark):
         "size(sequence(1, 0)) AS n"
     ).collect()[0]
     assert row.down == [1, 0] and row.one == [1] and row.n == 2
+
+
+def test_time_bucketing_floor_idioms_pre_epoch(spark):
+    # Two bucketing constructs, each with its own engine-exact oracle
+    # form; the shared trap is DuckDB's BIGINT `//`, which TRUNCATES
+    # where both Spark constructs FLOOR — invisible post-epoch (the
+    # fixtures), divergent on every pre-epoch mid-bucket timestamp.
+    #
+    # (a) operators/timeseries.time_bucket =
+    #     floor(unix_timestamp(ts) / B): truncate to whole seconds
+    #     first (unix_timestamp drops the sub-second part toward zero),
+    #     THEN floor-divide.  Oracle: floor((epoch_us // 1e6) / B.0).
+    # (b) F.window(ts, ...).start: floors the RAW micros (no second
+    #     truncation).  Oracle: floor(epoch_us / (B*1e6.0)).
+    B = 21600
+    ts = pd.to_datetime([
+        "1969-12-31 20:00:00.000000",   # pre-epoch, mid-bucket: the trap row
+        "1969-12-31 23:59:59.400000",   # pre-epoch sub-second: (a) and (b) differ
+        "1969-12-31 18:00:00.000000",   # pre-epoch exact boundary
+        "1970-01-01 00:00:00.000000",
+        "2024-03-01 05:59:59.999999",   # post-epoch: all forms agree
+    ]).astype("datetime64[us]")
+    pdf = pd.DataFrame({"i": range(len(ts)), "ts": ts})
+    srows = (
+        spark.createDataFrame(pdf)
+        .selectExpr(
+            "i",
+            f"cast(floor(unix_timestamp(ts) / {B}) as bigint) AS tb",
+            f"cast(cast(window(ts, '{B} seconds').start as long) / {B} as bigint) AS wb",
+        )
+        .orderBy("i")
+        .collect()
+    )
+    drows = _duck(pdf, (
+        f"SELECT i, CAST(floor((epoch_us(ts) // 1000000) / {B}.0) AS BIGINT) tb, "
+        f"CAST(floor(epoch_us(ts) / {B * 1_000_000}.0) AS BIGINT) wb, "
+        f"epoch_us(ts) // {B * 1_000_000} trunc_wb "
+        "FROM t ORDER BY i"
+    ))
+    # naive python, spelled explicitly: trunc seconds toward zero, then floor-div
+    def trunc_sec(us: int) -> int:
+        return us // 1_000_000 if us >= 0 else -((-us) // 1_000_000)
+    for sr, dr in zip(srows, drows):
+        us = int(ts[sr.i].value // 1000)
+        assert sr.tb == dr[1] == math.floor(trunc_sec(us) / B), f"tb row {sr.i}"
+        assert sr.wb == dr[2] == math.floor(us / (B * 1_000_000)), f"wb row {sr.i}"
+    # the pinned trap: bare `//` truncation puts the pre-epoch mid-bucket
+    # rows one slot HIGHER than both Spark constructs
+    assert drows[0][3] == 0 and srows[0].tb == srows[0].wb == -1
+    # and the two constructs legitimately differ on sub-second pre-epoch
+    assert srows[1].tb == 0 and srows[1].wb == -1

@@ -35,7 +35,15 @@ def test_ngram_overlap_plan_broadcasts_eval(spark) -> None:
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # one broadcast LEFT join against the marked eval set feeds ONE
+    # doc-keyed aggregation computing both counts (the old
+    # semi-join + second agg + doc-join paid an extra corpus shuffle)
+    import re
+
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "LeftSemi" not in plan
+    doc_exchanges = re.findall(r"hashpartitioning\(doc#\d+L, \d+\)", plan)
+    assert len(doc_exchanges) == 1, plan
 
 
 def test_redact_counts_and_placeholders(spark) -> None:
