@@ -54,16 +54,35 @@ def asof_join(
     # the tolerance delta (and the union'd __ts ordering) dispatches on
     # the timestamp type — a timestamp left against a numeric right
     # would silently compare epoch-micros to raw numbers
-    l_is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
-    r_is_ts = right.schema[right_ts].dataType.typeName().startswith("timestamp")
-    if l_is_ts != r_is_ts:
+    l_tn = left.schema[left_ts].dataType.typeName()
+    r_tn = right.schema[right_ts].dataType.typeName()
+    l_is_ts = l_tn.startswith("timestamp")
+    r_is_ts = r_tn.startswith("timestamp")
+    if l_is_ts != r_is_ts or (l_is_ts and l_tn != r_tn):
+        # same FAMILY is not enough: a TIMESTAMP_NTZ left union'd with a
+        # TIMESTAMP_LTZ right coerces NTZ through the session timezone,
+        # silently shifting every comparison by the UTC offset (r4+
+        # parquet fixtures read NTZ while the streaming path emits LTZ)
         raise TypeError(
             f"left_ts {left_ts!r} ({left.schema[left_ts].dataType.simpleString()}) and "
             f"right_ts {right_ts!r} ({right.schema[right_ts].dataType.simpleString()}) "
-            "must both be timestamps or both be numeric"
+            "must be the SAME type: both numeric, both TIMESTAMP, or both "
+            "TIMESTAMP_NTZ (mixed timestamp types coerce through the session "
+            "timezone inside the union)"
         )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    else:
+        # right_ts is always appended as {right_ts}{suffix}; a caller
+        # listing it in right_cols would otherwise build a struct with
+        # duplicate fields and fail extraction with an ambiguous-
+        # reference error
+        right_cols = [c for c in right_cols if c != right_ts]
+    # equi-join key semantics (DuckDB ASOF JOIN, merge_asof by=): a NULL
+    # key matches nothing — NULL-key RIGHT rows are dropped here, which
+    # leaves NULL-key left rows alone in their window partition, so they
+    # surface with a NULL match instead of matching each other
+    right = right.filter(F.col(on).isNotNull())
 
     lhs = left.select(
         F.col(on).alias("__key"),
@@ -94,15 +113,22 @@ def asof_join(
         )
         match = F.last("__right", ignorenulls=True).over(w)
     else:
-        # forward: left rows sort before right rows at equal ts
-        # (__is_left desc), so the equal-ts right is ahead of the left
-        # row inside the forward-looking frame
+        # forward: scan in DESCENDING ts order with a GROWING frame —
+        # last non-null right in [start, current] is the smallest
+        # right_ts >= left_ts. The natural first(...) over a shrinking
+        # [currentRow, unboundedFollowing] frame computes the same
+        # value but Spark evaluates shrinking frames by re-aggregating
+        # from each row to the partition end (UnboundedFollowing frame
+        # processor) — O(rows^2) per key partition; the growing frame
+        # is incremental O(rows), same as the backward path. Right
+        # rows sort before left rows at equal ts (__is_left asc under
+        # desc ts) so ties stay visible.
         w = (
             W.partitionBy("__key")
-            .orderBy(F.col("__ts"), F.col("__is_left").desc())
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        match = F.first("__right", ignorenulls=True).over(w)
+        match = F.last("__right", ignorenulls=True).over(w)
     merged = (
         lhs.unionByName(rhs)
         .withColumn("__match", match)

@@ -114,16 +114,19 @@ def decode_metadata(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [decode(b) for b in pdf[asset_col]]
+            # NULL asset bytes are a legal state (external-URI rows in
+            # the module's schema convention): metadata columns go NULL
+            # instead of the kernel crashing the task on len(None)
+            metas = [decode(b) if b is not None else None for b in pdf[asset_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "n_bytes": [len(b) for b in pdf[asset_col]],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "n_frames": [m["n_frames"] for m in metas],
-                    "duration_ms": [m["duration_ms"] for m in metas],
-                    "codec": [m["codec"] for m in metas],
+                    "n_bytes": [len(b) if b is not None else None for b in pdf[asset_col]],
+                    "width": [m["width"] if m else None for m in metas],
+                    "height": [m["height"] if m else None for m in metas],
+                    "n_frames": [m["n_frames"] if m else None for m in metas],
+                    "duration_ms": [m["duration_ms"] if m else None for m in metas],
+                    "codec": [m["codec"] if m else None for m in metas],
                 }
             )
 
@@ -135,13 +138,18 @@ def frame_sample(
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame (here:
     fake frames from the stub decoder). Shows the 1->N mapInPandas
-    shape a real video pipeline uses."""
+    shape a real video pipeline uses. NULL assets contribute no
+    frames."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     out_schema = f"{id_col} long, frame_idx int, frame_bytes binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, blobs = [], [], []
             for doc, payload in zip(pdf[id_col], pdf[asset_col]):
+                if payload is None:
+                    continue
                 meta = _fake_decode(payload)
                 for i in range(0, meta["n_frames"], every_n):
                     ids.append(doc)
@@ -284,5 +292,9 @@ def ahash_near_dup(
     from ..session import track_cache
     from .dedup import banded_hamming_pairs
 
-    fp = track_cache(ahash60(df, asset_col, id_col))
+    # NULL/empty assets all fingerprint to the same constant, which
+    # would band-collide into one O(k^2) all-pairs clique of falsely
+    # "identical" non-images — excluded here so no caller has to know
+    assets = df.filter(F.col(asset_col).isNotNull() & (F.length(asset_col) > 0))
+    fp = track_cache(ahash60(assets, asset_col, id_col))
     return banded_hamming_pairs(fp, "ahash", id_col, bits=60, max_hamming=max_hamming)

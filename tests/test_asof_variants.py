@@ -71,3 +71,68 @@ def test_bad_direction_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="ts", direction="nearest")
+
+
+def test_asof_rejects_mixed_timestamp_types(spark):
+    """NTZ vs LTZ must raise, not silently coerce through the session
+    timezone inside the union (r4+ parquet fixtures read NTZ while the
+    streaming path emits LTZ)."""
+    import pytest
+
+    left = spark.sql(
+        "SELECT 1 AS k, cast('2024-01-01 00:00:00' AS timestamp_ntz) AS ts"
+    )
+    right = spark.sql(
+        "SELECT 1 AS k, cast('2024-01-01 00:00:00' AS timestamp) AS ts, 1.0 AS v"
+    )
+    with pytest.raises(TypeError, match="SAME type"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+
+
+def test_asof_right_cols_may_name_right_ts(spark):
+    """Listing right_ts in right_cols must not build a duplicate-field
+    struct (ambiguous-reference error); ts_asof is appended exactly
+    once either way."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 8, 1.5)], "k int, ts int, v double")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v", "ts"]
+    )
+    assert out.columns == ["k", "ts", "v_asof", "ts_asof"]
+    assert out.collect()[0].ts_asof == 8
+
+
+def test_asof_null_keys_match_nothing(spark):
+    """Equi-join key semantics: a NULL-key left row is kept with a NULL
+    match; NULL-key right rows match nothing (the window formulation
+    would otherwise pair them with each other)."""
+    left = spark.createDataFrame([(None, 10), (1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(None, 8, 9.9), (1, 8, 1.5)], "k int, ts int, v double")
+    rows = {r.k: r.v_asof for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts").collect()}
+    assert rows == {None: None, 1: 1.5}
+
+
+def test_asof_forward_descending_frame_matches_naive(spark):
+    """The O(n) descending-frame forward formulation == naive python
+    forward as-of (smallest right_ts >= left_ts, ties included,
+    tolerance nulls applied) on a dense fixture."""
+    lrows = [(k, t) for k in (1, 2) for t in range(0, 40, 3)]
+    rrows = [(k, t, float(k * 100 + t)) for k in (1, 2) for t in range(0, 40, 5)]
+    left = spark.createDataFrame(lrows, "k int, ts int")
+    right = spark.createDataFrame(rrows, "k int, ts int, v double")
+    got = {
+        (r.k, r.ts): (r.v_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            direction="forward", tolerance_seconds=4,
+        ).collect()
+    }
+    for k, t in lrows:
+        cand = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt >= t]
+        want = (None, None)
+        if cand:
+            rt, v = min(cand)
+            if rt - t <= 4:
+                want = (v, rt)
+        assert got[(k, t)] == want, (k, t)

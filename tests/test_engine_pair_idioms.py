@@ -360,3 +360,40 @@ def test_time_bucketing_floor_idioms_pre_epoch(spark):
     assert drows[0][3] == 0 and srows[0].tb == srows[0].wb == -1
     # and the two constructs legitimately differ on sub-second pre-epoch
     assert srows[1].tb == 0 and srows[1].wb == -1
+
+
+def test_bpe_ish_token_regex_identical(spark):
+    # doc_stats' n_bpe_ish: letter runs | digit runs | single
+    # punctuation marks, counted with the IDENTICAL regex on both
+    # engines.  The trap being pinned away is any split-based
+    # formulation: the pre-r8 lookaround split counted 'hello, world'
+    # as 2 where the oracle's regexp_extract_all counts 3 — green only
+    # while fixtures contained no glued punctuation (the xb6 class).
+    import re
+
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    cases = [
+        "hello, world", "aB test", "x!! y", "a_b c", "", "   ",
+        "don't-stop... 12ab3", "a,b;c", "tab\tnl\nmix", "+-*/=()[]{}",
+        "CamelCase99x", ".leading trailing.",
+    ]
+    pdf = pd.DataFrame({"i": range(len(cases)), "text": cases})
+    from pyspark.sql import functions as F
+
+    srows = (
+        spark.createDataFrame(pdf)
+        .select("i", F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    drows = _duck(pdf, (
+        r"SELECT i, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) n "
+        "FROM t ORDER BY i"
+    ))
+    cre = re.compile(pat)
+    for sr, dr, c in zip(srows, drows, cases):
+        assert sr.n == dr[1] == len(cre.findall(c)), repr(c)
+    # the banned formulation really does disagree: python replica of the
+    # old lookaround split on the glued-punct case
+    old = [p for p in re.split(r"\s+|(?<=[a-z])(?=[A-Z])", "hello, world") if p]
+    assert len(old) == 2 and len(cre.findall("hello, world")) == 3

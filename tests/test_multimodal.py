@@ -82,3 +82,39 @@ def test_ahash60_samples_span_whole_payload(spark):
     hs = {r.doc_id: r.ahash for r in mm.ahash60(df).collect()}
     assert hs[1] == 0  # constant payload: no sample exceeds the mean
     assert hs[2] != hs[1], "tail byte must influence the fingerprint"
+
+
+def test_decode_meta_null_assets_yield_null_metadata(spark):
+    """NULL asset bytes (external-URI rows) must produce NULL metadata
+    columns, not a len(None) TypeError killing the task."""
+    from dask_snowflake_spark.operators.multimodal import decode_metadata
+
+    df = spark.createDataFrame([(1, b"abc"), (2, None)], "doc_id long, asset binary")
+    rows = {r.doc_id: r for r in decode_metadata(df).collect()}
+    assert rows[1].n_bytes == 3 and rows[1].codec == "synthetic"
+    assert rows[2].n_bytes is None and rows[2].width is None and rows[2].codec is None
+
+
+def test_frame_sample_null_assets_and_bad_every_n(spark):
+    from dask_snowflake_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, b"x" * 40), (2, None)], "doc_id long, asset binary")
+    rows = frame_sample(df, every_n=2).collect()
+    assert {r.doc_id for r in rows} == {1}
+    import pytest
+
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample(df, every_n=0)
+
+
+def test_ahash_near_dup_excludes_empty_assets(spark):
+    """NULL/empty assets share one constant fingerprint — they must not
+    surface as an all-pairs 'duplicate' clique."""
+    from dask_snowflake_spark.operators.multimodal import ahash_near_dup
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b""), (3, None), (4, b"payload-a"), (5, b"payload-a")],
+        "doc_id long, asset binary",
+    )
+    pairs = {(r[0], r[1]) for r in ahash_near_dup(df).select("doc_a", "doc_b").collect()}
+    assert pairs == {(4, 5)}

@@ -264,3 +264,35 @@ def test_last_touch_touch_state_and_time_move_atomically(spark):
     # latest touch is 'email' (NULL ts): must be 'none', never 'email'
     # credited with the 'ad' row's timestamp
     assert [r.channel for r in rows] == ["none"]
+
+
+def test_quality_features_and_lang_id_agree_with_doc_stats(spark, sf_oracle):
+    """The standalone quality_features / lang_id operators and the
+    fused word_profile path inside the driver-green doc_stats query
+    compute the SAME features two independent ways — this pin is what
+    keeps the standalone operators from silently drifting from the
+    oracle-checked formulation (they had no caller before it)."""
+    from dask_snowflake_spark.operators.text import lang_id, quality_features
+    from dask_snowflake_spark.queries import registry
+
+    docs = _t(spark, sf_oracle)["documents"].filter(F.col("doc_id") < 150)
+    qf = {
+        r.doc_id: (
+            r.n_words, r.distinct_ratio, r.stopword_ratio, r.punct_ratio,
+            r.digit_ratio, r.mean_word_len, round(r.quality_score, 6),
+        )
+        for r in quality_features(docs).collect()
+    }
+    li = {r.doc_id: r.detected_lang for r in lang_id(docs).collect()}
+    ds = (
+        registry()["doc_stats"].spark_fn(spark, sf_oracle)
+        .filter(F.col("doc_id") < 150)
+        .collect()
+    )
+    assert len(ds) == len(qf) > 0
+    for r in ds:
+        assert qf[r.doc_id] == (
+            r.n_words, r.distinct_ratio, r.stopword_ratio, r.punct_ratio,
+            r.digit_ratio, r.mean_word_len, round(r.quality_score, 6),
+        ), r.doc_id
+        assert li[r.doc_id] == r.detected_lang, r.doc_id
