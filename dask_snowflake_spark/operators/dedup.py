@@ -45,7 +45,12 @@ def portable_hash(col: Column, seed: int | Column = 0) -> Column:
 def exact_dedup(df: DataFrame, cols: list[str] | None = None, key: str | None = None) -> DataFrame:
     """Exact dedup. With ``key`` given, keeps the row with the smallest
     key per duplicate group (deterministic — plain ``dropDuplicates``
-    keeps an arbitrary row, which can't be oracle-checked)."""
+    keeps an arbitrary row, which can't be oracle-checked). ``key``
+    must be UNIQUE within each group (a row id): rows tying at the
+    minimum are all kept — min-filtering cannot pick one of several
+    identical keys, and any single-keeper choice among them would be
+    nondeterministic, which is the problem this variant exists to
+    avoid."""
     if key is None:
         return df.dropDuplicates(cols)
     group_cols = cols or [c for c in df.columns if c != key]
@@ -214,8 +219,25 @@ def lsh_bands(sig: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
     band_sig concatenates the band's minhashes in seed order — docs
     agreeing on a whole band become join candidates. Map-side explode of
-    k/rows_per_band rows per doc."""
-    n_bands = F.size(F.col("sig")) / rows_per_band
+    k/rows_per_band rows per doc. ``rows_per_band`` must divide the
+    signature length: a remainder would silently drop the trailing
+    minhashes from every band (recall quietly differing from the
+    (k, b, r) S-curve the caller tuned), so the band-count expression
+    itself raises on a remainder (the guard lives INSIDE the consumed
+    expression — a dropped guard column would be pruned by Catalyst and
+    never evaluate)."""
+    n_bands = F.when(
+        F.size(F.col("sig")) % rows_per_band == 0,
+        F.size(F.col("sig")) / rows_per_band,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lsh_bands: rows_per_band={rows_per_band} must divide the "
+                "signature length; a remainder would silently drop trailing "
+                "minhashes from the banding"
+            )
+        )
+    )
     bands = F.transform(
         F.sequence(F.lit(0), (n_bands - 1).cast("int")),
         lambda b: F.struct(
@@ -492,7 +514,14 @@ def simhash(
     from the counts in a single projection. Equivalent to (and hash-
     checked against) the per-bit majority formulation."""
     words = (
-        docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        docs.select(
+            F.col(id_col).alias("doc"),
+            # \s+ split, like every other text operator here AND the
+            # x18 oracle's regexp_split_to_array(text, '\s+') — the
+            # old single-space split treated 'a\tb' as ONE token where
+            # the oracle saw two (green only on single-spaced fixtures)
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        )
         .filter(F.col("w") != "")
         .dropDuplicates(["doc", "w"])
         .withColumn("h", portable_hash(F.col("w")))

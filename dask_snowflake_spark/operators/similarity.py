@@ -224,10 +224,15 @@ def embedding_near_dup_pairs_bucketed(
     Arrow-batched ``applyInPandas`` computes the pair matrix with BLAS
     (numpy matmul) as a PREFILTER, then re-computes the exact
     sequential-order dot product in double precision for the few
-    surviving pairs — bit-identical to the JVM/oracle arithmetic, so
-    results match :func:`embedding_near_dup_pairs` exactly while the
-    heavy lifting runs at matrix-multiply speed (~5x faster than the
-    interpreted higher-order-function dot at 5k vectors).
+    surviving pairs — bit-identical to the JVM/oracle arithmetic — and
+    ROUNDING/THRESHOLDING happen JVM-side with ``F.round`` on the raw
+    kernel dots (python's ``round`` is banker's on the binary value
+    where F.round/DuckDB are half-up on the shortest decimal repr —
+    they disagree on halfway sims, the engine-pair trap), so results
+    match :func:`embedding_near_dup_pairs` exactly while the heavy
+    lifting runs at matrix-multiply speed (~5x faster than the
+    interpreted higher-order-function dot at 5k vectors). NULL-bucket
+    rows are dropped, matching the equi-join variant's semantics.
 
     This is the "Pandas UDF where built-ins can't express it
     efficiently" escape hatch: the all-pairs kernel is a matmul, which
@@ -235,7 +240,10 @@ def embedding_near_dup_pairs_bucketed(
     import numpy as np
     import pandas as pd
 
-    margin = 10.0 ** (-round_digits) / 2
+    # half a rounding quantum for the threshold prefilter, plus float
+    # headroom: the BLAS pairwise sum differs from the exact sequential
+    # dot by ~1e-14, which a bare half-quantum margin would not absorb
+    margin = 10.0 ** (-round_digits) / 2 + 1e-9
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -259,17 +267,20 @@ def embedding_near_dup_pairs_bucketed(
             acc = 0.0  # exact sequential dot, the arithmetic of record
             for x, y in zip(nmat[i], nmat[j]):
                 acc += x * y
-            s = round(acc, round_digits)
-            if s >= threshold:
+            if acc >= threshold - margin:  # final round/filter is JVM-side
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-                out_s.append(s)
+                out_s.append(acc)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
+    id_t = embeddings.schema[id_col].dataType.simpleString()
     return (
         embeddings.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
+        .filter(F.col(bucket_col).isNotNull())
         .groupBy(bucket_col)
-        .applyInPandas(per_bucket, "id_a long, id_b long, sim double")
+        .applyInPandas(per_bucket, f"id_a {id_t}, id_b {id_t}, sim double")
+        .select("id_a", "id_b", F.round("sim", round_digits).alias("sim"))
+        .filter(F.col("sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
 
@@ -280,15 +291,30 @@ def srp_signature(vec: Column, *, num_planes: int = 16, dim: int = 64) -> Column
     Hyperplane components are md5-derived pseudo-random values in
     [-1, 1] — deterministic across runs and engines, no stored model.
     Two vectors with cosine ~1 share most sign bits; bucketing on the
-    signature (or bands of it) prunes the candidate space."""
+    signature (or bands of it) prunes the candidate space.
+
+    The plane values are computed in PYTHON (hashlib.md5, bit-identical
+    to ``portable_hash(lit(f"{p}:{d}"))`` — same "0:p:d" md5 input,
+    same 15-hex-digit int, same /2^59 - 1 double arithmetic) and shipped
+    through the memoized ``lit_matrix`` as one numpy literal per plane:
+    the previous per-component Column construction built ~num_planes*dim
+    md5 expression trees at ~0.8 ms of py4j traffic each — the round-7
+    literal-matrix storm — before any job ran."""
+    import hashlib
+
+    planes = [
+        [
+            int(hashlib.md5(f"0:{p}:{d}".encode()).hexdigest()[:15], 16)
+            / float(2**59)
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+    pm = lit_matrix(planes)
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(
-            *[
-                (portable_hash(F.lit(f"{p}:{d}")) / F.lit(float(2**59)) - 1.0)
-                for d in range(dim)
-            ]
-        )
+        plane = pm[p]
         d_ = F.aggregate(
             F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -314,18 +340,28 @@ def srp_lsh_near_dup(
     # persist: the bucket self-join reads both sides, and the SRP
     # signature (num_planes dot products per row, interpreted lambdas)
     # is far too expensive to compute twice
-    sig = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        srp_signature(F.col(vec_col), num_planes=num_planes, dim=dim).alias("bucket"),
+    sig = with_normalized(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col),
+            srp_signature(F.col(vec_col), num_planes=num_planes, dim=dim).alias(
+                "bucket"
+            ),
+        ),
+        vec_col,
+        "vec",
+        ["id", "bucket"],
     )
     sig = track_cache(sig)
     a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    # verify with dot over the ONCE-normalized vectors — the same
+    # arithmetic as embedding_near_dup_pairs; cosine() would recompute
+    # both norms per candidate pair (O(pairs * dim) interpreted work)
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("sim", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

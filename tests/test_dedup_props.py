@@ -217,3 +217,31 @@ def test_jaccard_prefix_join_exact_duplicates_only(spark):
         for r in jaccard_prefix_pairs(df, threshold=(1, 1)).collect()
     }
     assert got == {(1, 2, 1.0), (4, 5, 1.0)}
+
+
+def test_simhash_tokenizes_on_any_whitespace(spark):
+    """simhash must split on \\s+ like every other text operator AND
+    the x18 oracle (regexp_split_to_array '\\s+'): the old single-space
+    split hashed 'a\\tb' as ONE token — fixture-luck green only while
+    documents were single-spaced."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha\tbeta\ngamma"), (3, "alpha  beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert fps[1] == fps[2] == fps[3]
+
+
+def test_lsh_bands_rejects_remainder(spark):
+    """A rows_per_band that does not divide the signature length must
+    raise (in the consumed band-count expression — a standalone guard
+    column would be pruned), never silently drop trailing minhashes."""
+    import pytest
+
+    from dask_snowflake_spark.operators.dedup import lsh_bands
+
+    ok = spark.createDataFrame([(1, [11, 22, 33, 44])], "doc long, sig array<int>")
+    assert lsh_bands(ok, 2).count() == 2
+    bad = spark.createDataFrame([(1, [11, 22, 33])], "doc long, sig array<int>")
+    with pytest.raises(Exception, match="must divide"):
+        lsh_bands(bad, 2).count()

@@ -397,3 +397,33 @@ def test_bpe_ish_token_regex_identical(spark):
     # old lookaround split on the glued-punct case
     old = [p for p in re.split(r"\s+|(?<=[a-z])(?=[A-Z])", "hello, world") if p]
     assert len(old) == 2 and len(cre.findall("hello, world")) == 3
+
+
+def test_count_ratio_round6_engine_identical(spark):
+    # The jaccard family rounds count ratios with F.round(x, 6) and the
+    # oracle mirrors round(x, 6): pin that Spark's BigDecimal-HALF_UP on
+    # the shortest decimal repr and DuckDB's scaled half-away-from-zero
+    # agree on adversarial count ratios — including exactly-representable
+    # 6-decimal halfway points (the 20/512 class), where PYTHON's
+    # banker's round is the odd one out (pinned too: the reason kernels
+    # must not round with python's round()).
+    pairs = [
+        (20, 512), (1, 512), (3, 512), (1, 3), (2, 3), (1, 7), (5, 7),
+        (1, 2048), (3, 2048), (999999, 2000000), (1, 1600000), (7, 1 << 21),
+    ] + [((a % 997) + 1, (b % 99991) + 2) for a, b in zip(_lcg(23, 40), _lcg(29, 40))]
+    pdf = pd.DataFrame(
+        {"i": range(len(pairs)),
+         "c": [p[0] for p in pairs], "u": [p[1] for p in pairs]}
+    )
+    srows = _spark_rows(spark, pdf, "round(c / u, 6) AS j")
+    drows = _duck(pdf, "SELECT i, round(c / CAST(u AS DOUBLE), 6) j FROM t ORDER BY i")
+    diverged_from_python = 0
+    for sr, dr in zip(srows, drows):
+        c, u = pairs[sr.i]
+        assert sr.j == dr[1], f"(c,u)=({c},{u}): spark {sr.j} vs duckdb {dr[1]}"
+        diverged_from_python += round(c / u, 6) != sr.j
+    # the python-banker divergence the JVM-side rounding rule avoids
+    # really exists on the halfway cases (20/512 = 0.0390625 -> python
+    # 0.039062, engines 0.039063)
+    assert round(20 / 512, 6) == 0.039062 and srows[0].j == 0.039063
+    assert diverged_from_python >= 1
