@@ -901,12 +901,19 @@ def xae_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "flow_stateful_counters",
     """
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    -- integer-cents total (x66 idiom): floor(value*100) per row is
+    -- exact IEEE on both engines (values non-negative), the BIGINT sum
+    -- is order-independent, and /100.0 is the identical correctly-
+    -- rounded double everywhere — the old round(sum(value), 2) paired
+    -- a python banker's round over pandas partial sums against the SQL
+    -- half-up round of a differently-ordered sum (fixture-luck green)
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY user_id
     """,
-    "applyInPandasWithState custom stateful operator: per-user running counters; final state == batch aggregation",
+    "applyInPandasWithState custom stateful operator: per-user running counters (integer-cents state, engine-exact); final state == batch aggregation",
     ("streaming", "udf"),
 )
 def flow_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,6 +94,10 @@ def get_session(app_name: str = "dask_snowflake_spark") -> SparkSession:
 # long-lived session (the grading driver's 78-query sweep) from
 # accumulating every query's cache in storage memory.
 _LIVE_CACHES: list[DataFrame] = []
+# Broadcast variables with the same lifecycle problem (read_snowflake's
+# batch-descriptor broadcast outlives the call that made it; with the
+# duckdb stub the descriptors embed the staged payload bytes).
+_LIVE_BROADCASTS: list = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -108,6 +112,15 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Register a Broadcast for :func:`release_caches` — same lifecycle
+    discipline as :func:`track_cache` (the variable outlives the call
+    that created it; a long-lived session sweeping many reads would
+    otherwise pin every result's descriptors in memory)."""
+    _LIVE_BROADCASTS.append(bc)
+    return bc
+
+
 def release_caches() -> None:
     """Unpersist every tracked intermediate from prior queries."""
     while _LIVE_CACHES:
@@ -116,6 +129,12 @@ def release_caches() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped; nothing to free
+    while _LIVE_BROADCASTS:
+        bc = _LIVE_BROADCASTS.pop()
+        try:
+            bc.unpersist()
+        except Exception:
+            pass
 
 
 def _register_data_sources(spark: SparkSession) -> None:
@@ -184,6 +203,7 @@ def _ensure_executor_package(spark: SparkSession) -> None:
     if getattr(sc, "_dss_pyfile_added", False):
         return
     try:
+        import uuid
         import zipfile
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -202,14 +222,19 @@ def _ensure_executor_package(spark: SparkSession) -> None:
             default=0.0,
         )
         if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
-            with zipfile.ZipFile(zip_path + ".part", "w") as zf:
+            # per-process temp name: two concurrent sessions (bench +
+            # pytest after a source edit) both rebuilding a stale zip
+            # would interleave writes into one shared '.part' file and
+            # os.replace a corrupt archive into place
+            part = f"{zip_path}.{os.getpid()}.{uuid.uuid4().hex}.part"
+            with zipfile.ZipFile(part, "w") as zf:
                 for root, _dirs, files in os.walk(pkg_dir):
                     for f in files:
                         if f.endswith(".py"):
                             full = os.path.join(root, f)
                             rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                             zf.write(full, rel)
-            os.replace(zip_path + ".part", zip_path)
+            os.replace(part, zip_path)
         sc.addPyFile(zip_path)
         sc._dss_pyfile_added = True
     except Exception:

@@ -124,17 +124,30 @@ class _PlannedRead:
 
 class _SnowflakeNativeReader(DataSourceReader):
     def __init__(self, planned: _PlannedRead):
-        self._planned = planned
+        self._groups = planned.groups
+        self._arrow_schema = planned.arrow_schema
+
+    def __getstate__(self):
+        # the reader is pickled PER TASK alongside one partition:
+        # shipping the full descriptor list would send every partition's
+        # batches to every task (the duckdb stub embeds payload bytes —
+        # O(result x partitions) transfer). read() needs only the schema;
+        # partitions() runs driver-side on the original object.
+        return {"_arrow_schema": self._arrow_schema}
+
+    def __setstate__(self, state):
+        self._arrow_schema = state["_arrow_schema"]
+        self._groups = None
 
     def partitions(self) -> list[InputPartition]:
-        groups = self._planned.groups
+        groups = self._groups
         if not groups:
             # empty result: one empty partition, schema preserved
             return [_BatchGroupPartition(batches=[])]
         return [_BatchGroupPartition(batches=g) for g in groups]
 
     def read(self, partition: _BatchGroupPartition) -> Iterator[pa.RecordBatch]:
-        target = self._planned.arrow_schema
+        target = self._arrow_schema
         for descriptor in partition.batches:
             table = descriptor.to_arrow()
             if table.schema != target:
@@ -244,7 +257,9 @@ def read_snowflake(
     # conversion. (Real warehouse descriptors are presigned URLs, so the
     # broadcast is small; the duckdb stub embeds payload bytes.)
     arrow_schema = planned.arrow_schema
-    groups_bc = spark.sparkContext.broadcast(planned.groups)
+    from ..session import track_broadcast
+
+    groups_bc = track_broadcast(spark.sparkContext.broadcast(planned.groups))
     seed = spark.range(0, len(planned.groups), numPartitions=len(planned.groups))
 
     def fetch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -326,8 +341,19 @@ def schema_to_ddl(schema: StructType) -> str:
         name = f.dataType.simpleString()
         if name.startswith("decimal"):
             sql_type = name.upper()
+        elif name in _SPARK_TO_SQL:
+            sql_type = _SPARK_TO_SQL[name]
         else:
-            sql_type = _SPARK_TO_SQL.get(name, "VARCHAR")
+            # array/map/struct/interval: a silent VARCHAR here would
+            # stage real nested parquet against a string column and
+            # fail (or stringify) only at the COPY step, after every
+            # partition was written — fail at DDL time like the
+            # identifier guards above instead
+            raise ValueError(
+                f"column {f.name!r} has type {name!r}, which to_snowflake "
+                "cannot map to a warehouse column type; serialize it "
+                "explicitly (e.g. to_json) before writing"
+            )
         cols.append(f"{ident} {sql_type}")
     return ", ".join(cols)
 
@@ -377,6 +403,14 @@ def to_snowflake(
 
     def run() -> int:
         be = resolve_backend(backend_name)
+        if getattr(be, "writes_need_database", False) and not kwargs.get("database"):
+            raise ValueError(
+                f"backend {backend_name!r} needs a file 'database' in "
+                "connection_kwargs to write: an in-memory database is a "
+                "fresh empty warehouse per connection, so the bootstrap "
+                "DDL, the staged partitions, and the final COPY would "
+                "never meet"
+            )
         # 1. bootstrap, sequenced before the fan-out (CREATE race,
         #    reference core.py:110-116)
         conn = be.connect(**kwargs)
@@ -388,8 +422,12 @@ def to_snowflake(
             be.close(conn)
 
         part_kwargs = {k: v for k, v in wp_kwargs.items() if k != "overwrite"}
-        # duckdb stub stages partition files next to the database (PUT step)
-        part_kwargs["_database"] = kwargs.get("database")
+        # duckdb stub stages partition files next to the database (PUT
+        # step). The default must match finalize_write's lookup exactly
+        # — a None here once staged into a literal 'None.stage.T' dir
+        # that finalize (defaulting ':memory:') never read: rows
+        # "written" but silently absent
+        part_kwargs["_database"] = kwargs.get("database") or ":memory:"
 
         # 2. per-partition bulk load (reference core.py:20-40), Arrow in
         def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -2,9 +2,21 @@
 per-user running counters over the events stream.
 
 This is the "custom operator Spark lacks" extension point for streams
-(SURVEY.md §2.C): arbitrary per-key state evolved batch by batch, with
-timeout-based eviction bounding state size — the streaming analog of
-the engine's batch mapInPandas operators.
+(SURVEY.md §2.C): arbitrary per-key state evolved batch by batch — the
+streaming analog of the engine's batch mapInPandas operators. State is
+one fixed-width tuple per user (bounded by user cardinality, not event
+count); this demo operator keeps NoTimeout because its oracle is the
+full-history batch aggregate — a production deployment bounds idle-key
+state with GroupStateTimeout.ProcessingTimeTimeout + a hasTimedOut
+branch emitting/dropping the final state.
+
+Determinism: the running total is an INTEGER number of cents, quantized
+PER ROW JVM-side (floor(value * 100) — exact IEEE on both engines,
+values are non-negative) before the python kernel, so the state sum is
+exact and order-independent and the final division by 100.0 is the
+identical correctly-rounded double on Spark, DuckDB, and python — no
+pandas accumulation-order ulp, no python banker's rounding (round() is
+banker's-on-binary; the engines round half-up — the xb6 class).
 """
 
 from __future__ import annotations
@@ -17,23 +29,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, n_batches long"
-STATE_SCHEMA = "n long, total double, batches long"
+STATE_SCHEMA = "n long, total_cents long, batches long"
 
 
 def _update(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, batches = state.get if state.exists else (0, 0.0, 0)
+    n, total_cents, batches = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total_cents += int(pdf["__cents"].sum())  # exact integer sum
         batches += 1
-    state.update((n, total, batches))
+    state.update((n, total_cents, batches))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            # exact integer / 100.0: the same correctly-rounded double
+            # on every engine — never python round() (banker's)
+            "total_value": [total_cents / 100.0],
             "n_batches": [batches],
         }
     )
@@ -42,8 +56,16 @@ def _update(
 def running_user_counters(events: DataFrame) -> DataFrame:
     """Streaming per-user counters with arbitrary state. ``events`` must
     be a streaming DataFrame with (user_id, value)."""
+    from pyspark.sql import functions as F
+
+    from ..session import _ensure_runtime_confs
+
+    _ensure_runtime_confs(events.sparkSession)
     return (
-        events.select("user_id", "value")
+        events.select(
+            "user_id",
+            F.expr("cast(floor(value * 100) as bigint)").alias("__cents"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _update,

@@ -89,17 +89,10 @@ def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "com
     ``_stream_session`` clone for ``_events_stream`` sources), so no
     session-global conf is touched — the memory-sink view lives in the
     clone's catalog, which is why callers must consume the returned
-    DataFrame rather than ``spark.table(name)``."""
-    spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    DataFrame rather than ``spark.table(name)``. Thin wrapper over
+    :func:`run_streams_to_tables` so the sink/trigger chain exists in
+    exactly one place."""
+    return run_streams_to_tables([(stream_df, name)], output_mode)[0]
 
 
 def tumbling_counts(events: DataFrame, duration: str = "6 hours") -> DataFrame:

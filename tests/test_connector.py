@@ -300,3 +300,55 @@ def test_ddl_rejects_unsafe_identifiers(spark, warehouse):
     both = spark.createDataFrame([(1, 2)], "a long, A long")
     with pytest.raises(ValueError, match="collide"):
         to_snowflake(both, "t_dup", connection_kwargs=warehouse, backend="duckdb")
+
+
+def test_to_snowflake_requires_file_database(spark):
+    """Every duckdb :memory: connection is a fresh empty database — the
+    DDL bootstrap, the staged partitions, and the final COPY would each
+    see a different vanishing warehouse. Previously this returned a
+    positive rows-written count with the data silently absent; now it
+    refuses up front."""
+    import pytest
+
+    from dask_snowflake_spark import to_snowflake
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    with pytest.raises(ValueError, match="file 'database'"):
+        to_snowflake(df, "t_nodb", connection_kwargs={}, backend="duckdb")
+
+
+def test_schema_to_ddl_rejects_complex_types(spark):
+    """array/map/struct must fail at DDL time with a clear message, not
+    stage nested parquet against a silent VARCHAR column and die (or
+    stringify) at the COPY step after every partition was written."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_snowflake_spark.sources.snowflake import schema_to_ddl
+
+    df = spark.range(1).select(F.array(F.col("id")).alias("ids"))
+    with pytest.raises(ValueError, match="cannot map"):
+        schema_to_ddl(df.schema)
+
+
+def test_datasource_reader_does_not_pickle_descriptors(spark):
+    """The per-task pickled reader must carry only the schema: shipping
+    the full descriptor list would send every partition's batches to
+    every task (duckdb descriptors embed payload bytes)."""
+    import pickle
+
+    from dask_snowflake_spark.sources.snowflake import (
+        _PlannedRead,
+        _SnowflakeNativeReader,
+    )
+    import pyarrow as pa
+
+    planned = _PlannedRead(
+        spark_schema=None,
+        arrow_schema=pa.schema([("x", pa.int64())]),
+        groups=[[object()]],  # unpicklable on purpose: must not travel
+    )
+    reader = _SnowflakeNativeReader(planned)
+    clone = pickle.loads(pickle.dumps(reader))
+    assert clone._arrow_schema == planned.arrow_schema
+    assert clone._groups is None
