@@ -83,7 +83,34 @@ def plan_partitions(
     if npartitions is not None:
         if npartitions < 1:
             raise ValueError(f"npartitions must be >= 1, got {npartitions}")
-        target_rows = max(1, total_rows // npartitions)
+        # Per-group QUOTAS, not one fixed target: a single integer
+        # target t yields ~ceil(total/t) greedy groups, and for many
+        # (total, n) no integer t lands within ±2 of n (floor(100/7)=1
+        # packs 13 units into 13 groups; at n=28 the best of floor/ceil
+        # still misses by 3). Spreading the remainder — the first
+        # total%n groups get base+1 rows — packs fine batches into
+        # EXACTLY n groups; coarse batches can still straddle a quota
+        # (a batch is never split client-side), which is what the ±2
+        # contract allows for.
+        base, rem = divmod(total_rows, npartitions)
+        quotas = [base + 1] * rem + [max(1, base)] * (npartitions - rem)
+        groups = []
+        current: list[int] = []
+        current_rows = 0
+        qi = 0
+        for i, rc in enumerate(rowcounts):
+            if rc <= 0:
+                continue
+            quota = quotas[min(qi, len(quotas) - 1)]
+            if current and current_rows + rc > quota:
+                groups.append(current)
+                current, current_rows = [], 0
+                qi += 1
+            current.append(i)
+            current_rows += rc
+        if current:
+            groups.append(current)
+        return groups
     else:
         size = partition_size if partition_size is not None else DEFAULT_PARTITION_SIZE
         target_bytes = parse_bytes(size)

@@ -43,6 +43,13 @@ _REGISTRY: dict[str, QueryDef] = {}
 
 def query(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            # registry naming is LOAD-BEARING (the driver's priority
+            # window is the alphabetical top-50): a silent overwrite
+            # drops the shadowed query's coverage and can shift a
+            # different query into the window — fail the day the
+            # collision is introduced
+            raise ValueError(f"duplicate query name {name!r} in the registry")
         _REGISTRY[name] = QueryDef(name, fn, oracle, description, tags)
         return fn
 
@@ -355,7 +362,7 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            upper(p_brand)                                   AS brand_uc,
            p_size * 2 + 1                                   AS size_expr,
-           round(p_retailprice * 1.1, 2)                    AS marked_up,
+           CAST(round(p_retailprice * 100) AS BIGINT) * 11 / 1000.0 AS marked_up,
            CASE WHEN p_size > 25 THEN 'large'
                 WHEN p_size > 10 THEN 'medium'
                 ELSE 'small' END                            AS size_class
@@ -373,7 +380,15 @@ def q03_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.upper("p_brand").alias("brand_uc"),
             (F.col("p_size") * 2 + 1).alias("size_expr"),
-            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+            # integer mills: cents (exact for the 2dp source) * 11 is an
+            # exact BIGINT and /1000.0 the identical double on both
+            # engines. round(price * 1.1, 2) rounded a 3-true-decimal
+            # product at 2dp: at sf>=1 TPC-H prices hit repr-exact
+            # halfway values (2048.95 * 1.1 = 2253.845) where Spark's
+            # repr-based HALF_UP says .85 and DuckDB's binary round .84
+            (F.expr("cast(round(p_retailprice * 100) as bigint) * 11") / 1000.0).alias(
+                "marked_up"
+            ),
             F.when(F.col("p_size") > 25, "large")
             .when(F.col("p_size") > 10, "medium")
             .otherwise("small")
@@ -793,7 +808,13 @@ def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["part"]
         .select(
             "p_partkey",
-            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            # concat_ws('', a, ':', b), NOT concat_ws(':', a, b): the
+            # oracle's concat() skips NULLs but keeps the ':' literal
+            # ('Brand#13:' for NULL p_type) — the separator form would
+            # drop the colon with the NULL, and F.concat would go NULL
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias(
+                "brand_type"
+            ),
             F.substring("p_name", 1, 8).alias("name_prefix"),
             F.length("p_name").alias("name_len"),
             F.trim(F.upper("p_brand")).alias("brand_uc"),
@@ -1134,10 +1155,14 @@ def x06_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x08_having",
     """
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    -- integer cents: the float-sum threshold could flip a group on an
+    -- agg-order ulp straddle of the 200000 literal; the cents sum is
+    -- exact and order-independent on both engines
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
     FROM orders
     GROUP BY o_custkey
-    HAVING count(*) >= 5 AND sum(o_totalprice) > 200000
+    HAVING count(*) >= 5 AND sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 20000000
     ORDER BY o_custkey
     """,
     "post-aggregation HAVING filter",
@@ -1150,11 +1175,10 @@ def x08_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.sum("o_totalprice").alias("__raw_total"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("__cents"),
         )
-        .filter((F.col("n_orders") >= 5) & (F.col("__raw_total") > 200000))
-        .drop("__raw_total")
+        .filter((F.col("n_orders") >= 5) & (F.col("__cents") > 20000000))
+        .select("o_custkey", "n_orders", (F.col("__cents") / 100.0).alias("total"))
         .orderBy("o_custkey")
     )
 
@@ -1243,8 +1267,6 @@ def _scratch_dir(name: str) -> str:
     ("source", "sink"),
 )
 def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .session import load_table
-
     t = _t(spark, sf_dir)
     csv_path = _scratch_dir("file_rt_csv")
     t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
@@ -1260,7 +1282,9 @@ def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     json_path = _scratch_dir("file_rt_json")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # reuse the session-memoized registry view (one footer read per
+    # session) instead of a second load_table code path
+    ev = t["events"].select("event_id", "event_type", "value")
     ev.write.mode("overwrite").json(json_path)
     json_back = spark.read.schema("event_id long, event_type string, value double").json(
         json_path

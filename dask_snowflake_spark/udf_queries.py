@@ -105,7 +105,10 @@ def fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_nationkey": pdf["c_nationkey"],
-                "acctbal_scaled": scaled.round(6),
+                # RAW ratio out of the kernel: numpy's .round(6) is
+                # banker's-on-binary where the SQL oracle rounds
+                # half-up — round JVM-side like every other kernel
+                "acctbal_scaled": scaled,
             }
         )
 
@@ -113,6 +116,11 @@ def fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .groupBy("c_nationkey")
         .applyInPandas(scale, "c_custkey long, c_nationkey int, acctbal_scaled double")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("acctbal_scaled", 6).alias("acctbal_scaled"),
+        )
         .orderBy("c_custkey")
     )
 

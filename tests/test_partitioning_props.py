@@ -43,3 +43,14 @@ def test_order_preserved(rc):
     groups = plan_partitions(rc, bytes_per_row=10.0, npartitions=4)
     flat = [i for g in groups for i in g]
     assert flat == sorted(flat)
+
+
+def test_npartitions_ceil_target_holds_tolerance_on_unit_batches():
+    """13 unit batches at npartitions=7: the floored row target (1)
+    produced 13 partitions — |13-7| far past the ±2 contract; the ceil
+    target (2) packs exactly 7."""
+    groups = plan_partitions([1] * 13, bytes_per_row=1.0, npartitions=7)
+    assert len(groups) == 7
+    for n in range(1, 30):
+        got = len(plan_partitions([1] * 100, bytes_per_row=1.0, npartitions=n))
+        assert abs(got - n) <= 2, (n, got)
