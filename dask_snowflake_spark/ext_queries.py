@@ -1493,13 +1493,18 @@ def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x26_column_profile",
     """
     WITH base AS (
+        -- means are QUANTIZED (exact integer 1e-4-unit sums / count):
+        -- a raw avg() is summation-order dependent across engines and
+        -- round(...,4) of it flips near halfway boundaries
         SELECT count(*) AS n_rows,
                count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
                round(min(l_quantity)::DOUBLE, 4) AS mn_q, round(max(l_quantity)::DOUBLE, 4) AS mx_q,
-               round(avg(l_quantity::DOUBLE), 4) AS av_q,
+               round(CAST(sum(CAST(round(l_quantity::DOUBLE * 10000) AS BIGINT)) AS BIGINT)
+                     / (10000.0 * count(l_quantity)), 4) AS av_q,
                count(l_extendedprice) AS nn_p, count(DISTINCT l_extendedprice) AS nd_p,
                round(min(l_extendedprice)::DOUBLE, 4) AS mn_p, round(max(l_extendedprice)::DOUBLE, 4) AS mx_p,
-               round(avg(l_extendedprice::DOUBLE), 4) AS av_p
+               round(CAST(sum(CAST(round(l_extendedprice::DOUBLE * 10000) AS BIGINT)) AS BIGINT)
+                     / (10000.0 * count(l_extendedprice)), 4) AS av_p
         FROM lineitem
     )
     SELECT u.column_name, u.metric, u.value
@@ -2066,29 +2071,46 @@ def x36_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x37_anomaly_zscore",
     """
-    WITH w AS (
-        SELECT user_id, event_id, ts, value,
-               avg(value)    OVER win AS mu,
-               stddev(value) OVER win AS sigma,
-               count(*)      OVER win AS n_win
-        FROM events
-        WHERE event_type = 'purchase'
+    -- the ENTIRE statistic pipeline is exact-integer-sourced (x66
+    -- idiom taken to its conclusion): per-row integer cents make the
+    -- windowed sums S1/S2 exact and order-independent, every derived
+    -- double (mean, sample variance in one fixed expression order,
+    -- sqrt, z) is then the IDENTICAL correctly-rounded value on both
+    -- engines — the previous avg/stddev windows summed floats in
+    -- engine-specific orders, so floor(z*1e4) could flip on an ulp.
+    -- z is quantized by MAGNITUDE with the sign reapplied (flooring
+    -- the signed z would let negative outliers pass at |z|>2.9999).
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT user_id, event_id, cents,
+               sum(cents)         OVER win AS s1,
+               sum(cents * cents) OVER win AS s2,
+               count(*)           OVER win AS n_win
+        FROM c
         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT user_id, event_id, cents, s1, n_win,
+               (s2 - s1 * s1 / (1.0 * n_win)) / (n_win - 1) AS var_c,
+               cents - s1 / (1.0 * n_win) AS dev_c
+        FROM w WHERE n_win >= 5
+    ),
+    q AS (
+        SELECT user_id, event_id, cents, s1, n_win, dev_c,
+               CAST(floor(abs(dev_c) / sqrt(var_c) * 10000) AS BIGINT) AS zq_mag
+        FROM z WHERE var_c > 0
     )
     SELECT user_id, event_id,
-           round(value, 2) AS value,
-           -- floor-quantized, not round(): means of 2-decimal values
-           -- land EXACTLY on 4dp halfway points (e.g. sum/16 =
-           -- 15.24125) where engine rounding rules disagree
-           CAST(floor(mu * 10000) AS BIGINT) / 1e4 AS trailing_mean,
-           CAST(floor((value - mu) / sigma * 10000) AS BIGINT) / 1e4 AS zscore
-    FROM w
-    -- outlier test on the SAME floor-quantized z the output carries:
-    -- an unquantized |z| > 3 would flip row membership when per-engine
-    -- float summation puts z within an ulp of 3
-    WHERE n_win >= 5 AND sigma > 0
-      AND abs(CAST(floor((value - mu) / sigma * 10000) AS BIGINT) / 1e4) > 3
+           cents / 100.0 AS value,
+           ((s1 * 100) // n_win) / 1e4 AS trailing_mean,
+           (CASE WHEN dev_c >= 0 THEN zq_mag ELSE -zq_mag END) / 1e4 AS zscore
+    FROM q
+    WHERE zq_mag > 30000
     ORDER BY user_id, event_id
     """,
     "streaming-style anomaly detection on the event stream: per-user "
@@ -2101,37 +2123,58 @@ def x37_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
-    win = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-20, -1)
-    )
-    w = (
+    win = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    c = (
         t["events"]
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
             "event_id",
             "ts",
-            "value",
-            F.avg("value").over(win).alias("mu"),
-            F.stddev("value").over(win).alias("sigma"),
-            F.count(F.lit(1)).over(win).alias("n_win"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
         )
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
-    zq = F.floor(z * 10000) / 1e4  # filter + output share this quantization
-    return (
-        w.filter((F.col("n_win") >= 5) & (F.col("sigma") > 0) & (F.abs(zq) > 3))
-        .select(
-            "user_id",
-            "event_id",
-            F.round("value", 2).alias("value"),
-            (F.floor(F.col("mu") * 10000) / 1e4).alias("trailing_mean"),
-            zq.alias("zscore"),
-        )
-        .orderBy("user_id", "event_id")
-    )
+    w = c.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    ).filter(F.col("n_win") >= 5)
+    # fixed expression order, every operand an exact integer or a
+    # single division of exact integers -> identical doubles everywhere
+    z = w.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "s1",
+        "n_win",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / (1.0 * F.col("n_win")))
+         / (F.col("n_win") - 1)).alias("var_c"),
+        (F.col("cents") - F.col("s1") / (1.0 * F.col("n_win"))).alias("dev_c"),
+    ).filter(F.col("var_c") > 0)
+    q = z.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "s1",
+        "n_win",
+        "dev_c",
+        F.floor(F.abs(F.col("dev_c")) / F.sqrt("var_c") * 10000)
+        .cast("long")
+        .alias("zq_mag"),
+    ).filter(F.col("zq_mag") > 30000)
+    return q.select(
+        "user_id",
+        "event_id",
+        (F.col("cents") / 100.0).alias("value"),
+        (F.expr("(s1 * 100) div n_win") / 1e4).alias("trailing_mean"),
+        (
+            F.when(F.col("dev_c") >= 0, F.col("zq_mag")).otherwise(-F.col("zq_mag"))
+            / 1e4
+        ).alias("zscore"),
+    ).orderBy("user_id", "event_id")
 
 
 @query(

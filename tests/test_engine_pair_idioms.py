@@ -407,9 +407,17 @@ def test_count_ratio_round6_engine_identical(spark):
     # 6-decimal halfway points (the 20/512 class), where PYTHON's
     # banker's round is the odd one out (pinned too: the reason kernels
     # must not round with python's round()).
+    # includes the jaccard-shaped adversarial 519/640 = 0.8109375 (an
+    # exact 7-decimal halfway) — and a note on WHY this battery settles
+    # the class: a count ratio c/u with u < ~1e8 either lands EXACTLY on
+    # a 6-decimal halfway (c*1e6 divisible by u up to the .5 — these
+    # rows) or sits at least 1/(2u) >> one double ulp away from it, so
+    # the near-halfway-by-an-ulp scenario that could split the engines'
+    # round implementations cannot arise for count ratios at all.
     pairs = [
         (20, 512), (1, 512), (3, 512), (1, 3), (2, 3), (1, 7), (5, 7),
-        (1, 2048), (3, 2048), (999999, 2000000), (1, 1600000), (7, 1 << 21),
+        (519, 640), (173, 640), (1, 2048), (3, 2048), (999999, 2000000),
+        (1, 1600000), (7, 1 << 21), (111111, 1 << 19),
     ] + [((a % 997) + 1, (b % 99991) + 2) for a, b in zip(_lcg(23, 40), _lcg(29, 40))]
     pdf = pd.DataFrame(
         {"i": range(len(pairs)),
