@@ -258,3 +258,61 @@ def test_bootstrap_ci_is_ordered_and_reproducible(spark, sf_oracle):
     assert a.ci_lo <= a.ci_hi
     assert a.ci_lo <= a.mean_price * 1.05 and a.ci_hi >= a.mean_price * 0.95
     assert a.n_replicates == 64
+
+
+def test_anomaly_zscore_matches_naive_trailing_window(spark, sf_oracle):
+    """x37's exact-integer pipeline == a textbook trailing-window
+    z-score computed independently in python over the collected fixture
+    events: same cents quantization, same 20-row frame, same sample
+    variance, same magnitude+sign 1e-4 floor."""
+    import math
+
+    ev = (
+        _t(spark, sf_oracle)["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, rows in by_user.items():
+        cents = [round(r.value * 100) for r in rows]
+        for i, r in enumerate(rows):
+            frame = cents[max(0, i - 20) : i]
+            n = len(frame)
+            if n < 5:
+                continue
+            s1, s2 = sum(frame), sum(c * c for c in frame)
+            var_c = (s2 - s1 * s1 / (1.0 * n)) / (n - 1)
+            if var_c <= 0:
+                continue
+            dev = cents[i] - s1 / (1.0 * n)
+            zq = math.floor(abs(dev) / math.sqrt(var_c) * 10000)
+            if zq > 30000:
+                want[(uid, r.event_id)] = (
+                    cents[i] / 100.0,
+                    (s1 * 100) // n / 1e4,
+                    (zq if dev >= 0 else -zq) / 1e4,
+                )
+    got = {
+        (r.user_id, r.event_id): (r.value, r.trailing_mean, r.zscore)
+        for r in registry()["x37_anomaly_zscore"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_profile_means_match_naive_quantized_mean(spark, sf_oracle):
+    """x26's quantized-integer mean == the same formula in python over
+    the collected column — and equals the true mean exactly for the
+    2dp-valued money column."""
+    rows = _t(spark, sf_oracle)["lineitem"].select("l_extendedprice").collect()
+    vals = [r.l_extendedprice for r in rows]
+    cents4 = sum(round(v * 10000) for v in vals)
+    want = round(cents4 / (10000.0 * len(vals)), 4)
+    got = {
+        (r.column_name, r.metric): r.value
+        for r in registry()["x26_column_profile"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got[("l_extendedprice", "mean")] == want
