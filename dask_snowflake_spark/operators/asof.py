@@ -81,8 +81,13 @@ def asof_join(
     # equi-join key semantics (DuckDB ASOF JOIN, merge_asof by=): a NULL
     # key matches nothing — NULL-key RIGHT rows are dropped here, which
     # leaves NULL-key left rows alone in their window partition, so they
-    # surface with a NULL match instead of matching each other
-    right = right.filter(F.col(on).isNotNull())
+    # surface with a NULL match instead of matching each other. A NULL
+    # right TIMESTAMP is equally unmatchable (merge_asof/DuckDB ASOF
+    # never emit it) — but without the filter it sorts NULLS FIRST in
+    # the backward window and its non-null __right struct would be
+    # carried as the "latest" match for left rows preceding any real
+    # right row.
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
 
     lhs = left.select(
         F.col(on).alias("__key"),

@@ -231,6 +231,22 @@ class SnowflakeBackend:
         13: pa.bool_(),           # BOOLEAN
     }
 
+    def _arrow_type_for(self, d: Any) -> pa.DataType:
+        """Arrow type for one cursor-description entry. FIXED (type_code
+        0) carries precision/scale in the description (ResultMetadata
+        fields 4/5) — use them so an EMPTY result of a FIXED(p, s>0)
+        column gets the same decimal schema a non-empty read of the
+        identical query derives from its first batch; (38, 0) is only
+        the fallback when the connector omits them."""
+        if d[1] == 0:
+            try:
+                precision, scale = d[4], d[5]
+                if precision is not None and scale is not None:
+                    return pa.decimal128(int(precision), int(scale))
+            except (IndexError, TypeError, ValueError):
+                pass
+        return self._TYPE_CODE_TO_ARROW.get(d[1], pa.string())
+
     def execute_batches(
         self, conn: Any, query: str, params: Any
     ) -> tuple[pa.Schema | None, list[ResultBatch]]:
@@ -242,7 +258,7 @@ class SnowflakeBackend:
             try:
                 schema = pa.schema(
                     [
-                        (d[0], self._TYPE_CODE_TO_ARROW.get(d[1], pa.string()))
+                        (d[0], self._arrow_type_for(d))
                         for d in (cur.description or [])
                     ]
                 )

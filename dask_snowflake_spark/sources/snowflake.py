@@ -141,6 +141,16 @@ class _SnowflakeNativeReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         groups = self._groups
+        if groups is None:
+            # None means this is a deserialized task-side copy
+            # (__setstate__ drops the descriptors on purpose). If a
+            # future Spark version ever calls partitions() on such a
+            # copy, returning the empty-result partition would silently
+            # read zero rows — fail loudly instead.
+            raise RuntimeError(
+                "partitions() called on a deserialized reader copy; "
+                "batch descriptors exist only on the driver-side original"
+            )
         if not groups:
             # empty result: one empty partition, schema preserved
             return [_BatchGroupPartition(batches=[])]

@@ -11,12 +11,18 @@ state with GroupStateTimeout.ProcessingTimeTimeout + a hasTimedOut
 branch emitting/dropping the final state.
 
 Determinism: the running total is an INTEGER number of cents, quantized
-PER ROW JVM-side (floor(value * 100) — exact IEEE on both engines,
-values are non-negative) before the python kernel, so the state sum is
-exact and order-independent and the final division by 100.0 is the
-identical correctly-rounded double on Spark, DuckDB, and python — no
-pandas accumulation-order ulp, no python banker's rounding (round() is
-banker's-on-binary; the engines round half-up — the xb6 class).
+PER ROW JVM-side (floor(value * 100)) before the python kernel. Note
+this is deterministic and engine-identical — both engines compute the
+same IEEE double product and floor it — but NOT exact cents
+(floor(0.29 * 100) == 28 because double(0.29)*100 rounds just below
+29). What matters is that the oracle applies the IDENTICAL floor
+(ext_queries.py:911), so the integer state sum is order-independent and
+the final division by 100.0 is the identical correctly-rounded double
+on Spark, DuckDB, and python — no pandas accumulation-order ulp, no
+python banker's rounding (round() is banker's-on-binary; the engines
+round half-up — the xb6 class). Do NOT copy this floor() to a site
+whose oracle uses round(value*100) (x37/q03/x08 style) — mixed
+floor/round on 3-decimal doubles IS an xb6-class divergence.
 """
 
 from __future__ import annotations

@@ -113,6 +113,25 @@ def test_asof_null_keys_match_nothing(spark):
     assert rows == {None: None, 1: 1.5}
 
 
+def test_asof_null_ts_right_rows_match_nothing(spark):
+    """A NULL-timestamp right row is unmatchable (merge_asof/DuckDB ASOF
+    never emit it). In the backward window it sorts NULLS FIRST, so
+    without the right_ts filter its non-null struct would be carried as
+    the 'latest' match for left rows preceding any real right row."""
+    left = spark.createDataFrame([(1, 5), (1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 8, 1.5)], "k int, ts int, v double"
+    )
+    got = {
+        r.ts: (r.v_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # ts=5 precedes every real right row: NULL match, never the NULL-ts row
+    assert got == {5: (None, None), 10: (1.5, 8)}
+
+
 def test_asof_forward_descending_frame_matches_naive(spark):
     """The O(n) descending-frame forward formulation == naive python
     forward as-of (smallest right_ts >= left_ts, ties included,

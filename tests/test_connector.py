@@ -352,3 +352,50 @@ def test_datasource_reader_does_not_pickle_descriptors(spark):
     clone = pickle.loads(pickle.dumps(reader))
     assert clone._arrow_schema == planned.arrow_schema
     assert clone._groups is None
+
+
+def test_datasource_reader_pickled_copy_partitions_raises(spark):
+    """partitions() on a deserialized task-side copy must fail loudly —
+    _groups=None means the descriptors were dropped on purpose; treating
+    it as 'empty result' would silently read zero rows (ADVICE r8)."""
+    import pickle
+
+    import pyarrow as pa
+
+    from dask_snowflake_spark.sources.snowflake import (
+        _PlannedRead,
+        _SnowflakeNativeReader,
+    )
+
+    planned = _PlannedRead(
+        spark_schema=None,
+        arrow_schema=pa.schema([("x", pa.int64())]),
+        groups=[],
+    )
+    # the driver-side original with truly-empty groups: one empty partition
+    assert len(_SnowflakeNativeReader(planned).partitions()) == 1
+    clone = pickle.loads(pickle.dumps(_SnowflakeNativeReader(planned)))
+    with pytest.raises(RuntimeError, match="deserialized reader copy"):
+        clone.partitions()
+
+
+def test_snowflake_backend_fixed_type_uses_description_scale():
+    """FIXED (type_code 0) empty-result schema must honor the cursor
+    description's precision/scale: an empty NUMBER(10,2) column must
+    not come back as decimal128(38, 0) and disagree with the
+    batch-derived schema of non-empty reads (ADVICE r8)."""
+    import pyarrow as pa
+
+    from dask_snowflake_spark.sources.backends import SnowflakeBackend
+
+    b = SnowflakeBackend()
+    # ResultMetadata shape: (name, type_code, display_size,
+    # internal_size, precision, scale, is_nullable)
+    assert b._arrow_type_for(("amt", 0, None, None, 10, 2, True)) == pa.decimal128(10, 2)
+    assert b._arrow_type_for(("n", 0, None, None, 38, 0, True)) == pa.decimal128(38, 0)
+    # connector omits precision/scale -> documented fallback
+    assert b._arrow_type_for(("n", 0, None, None, None, None, True)) == pa.decimal128(38, 0)
+    # short description tuple -> fallback, no crash
+    assert b._arrow_type_for(("n", 0)) == pa.decimal128(38, 0)
+    # non-FIXED codes unaffected
+    assert b._arrow_type_for(("s", 2, None, None, None, None, True)) == pa.string()
