@@ -45,7 +45,7 @@ def _scratch_db(prefix: str) -> str:
 
 
 @query(
-    "dedup_exact",
+    "xcx_dedup_exact",
     """
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies, any_value(n_chars) AS n_chars
     FROM documents
@@ -55,7 +55,7 @@ def _scratch_db(prefix: str) -> str:
     "exact dedup: hash-groupBy on full text, deterministic min-id representative",
     ("dedup",),
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xcx_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["documents"]
@@ -6624,7 +6624,7 @@ def xb4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xb1_profile_columns",
+    "profile_columns",
     """
     WITH agg AS (
         SELECT count(*) AS n_rows,
@@ -6702,7 +6702,7 @@ def xb4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     "values, not computed aggregates, so the 2dp cast is lossless)",
     ("relational", "quality", "analytics"),
 )
-def xb1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     li = t["lineitem"]
     num_cols = {"l_quantity", "l_extendedprice"}
@@ -9055,7 +9055,7 @@ def xcv_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
-    """Unrolled bounded-peel oracle for ``xcw_kcore_onion``: alive sets
+    """Unrolled bounded-peel oracle for ``graph_kcore_onion``: alive sets
     alive0..alive{rounds}, each round keeping vertices whose degree
     among the previous round's alive vertices is >= k. The alive sets
     are NESTED (peeling only removes), so a vertex's layer falls out of
@@ -9109,7 +9109,7 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
 
 
 @query(
-    "xcw_kcore_onion",
+    "graph_kcore_onion",
     _kcore_oracle_sql(),
     "K-CORE ONION DECOMPOSITION (bounded iterative vertex peeling — "
     "the degree-based dual of the CC family's label propagation, and "
@@ -9130,7 +9130,7 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
     "data-driven round count — CC-family member for the jobs baseline",
     ("lineitem", "graph", "analytics"),
 )
-def xcw_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import kcore_onion
 
     t = _t(spark, sf_dir)

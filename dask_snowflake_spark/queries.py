@@ -742,7 +742,7 @@ def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_set_ops",
+    "xcy_set_ops",
     """
     WITH c AS (SELECT c_nationkey AS k FROM customer),
          s AS (SELECT s_nationkey AS k FROM supplier)
@@ -758,7 +758,7 @@ def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set operations: union all / union distinct / intersect / except",
     ("setops",),
 )
-def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xcy_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     c = t["customer"].select(F.col("c_nationkey").alias("k"))
     s = t["supplier"].select(F.col("s_nationkey").alias("k"))

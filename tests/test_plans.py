@@ -411,7 +411,7 @@ def test_profiler_avoids_expand_and_sort_agg(spark, sf_oracle):
     would 7x the shuffle at 100 TB — pin its absence."""
     import re
 
-    p = plan(registry()["xb1_profile_columns"].spark_fn(spark, sf_oracle))
+    p = plan(registry()["profile_columns"].spark_fn(spark, sf_oracle))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
     assert "Expand" not in p, p
     # the distinct path (explode + two HashAggregate levels) must never
@@ -660,7 +660,7 @@ def test_kcore_output_is_one_exchange_no_joins(spark, sf_oracle):
     materialized checkpoints, not in this plan."""
     import re
 
-    p = plan(registry()["xcw_kcore_onion"].spark_fn(spark, sf_oracle))
+    p = plan(registry()["graph_kcore_onion"].spark_fn(spark, sf_oracle))
     assert "Union" in p, p
     assert "Join" not in p and "CartesianProduct" not in p, p
     # one exchange for the survival count; the orderBy adds range

@@ -20,11 +20,17 @@ def test_priority_window_covers_every_surface():
     # r8 rotation: partition_control demoted to x93_ (its repartition/
     # coalesce surface also rides the connector bin-packing row) to make
     # room for the round-7 flagships market_share_q8 (TPC-H Q8 shape)
-    # and waiting_orders_blame (Q21 double-correlated-EXISTS shape)
+    # and waiting_orders_blame (Q21 double-correlated-EXISTS shape).
+    # r9 rotation: dedup_exact demoted to xcx_ (its mechanism is
+    # driver-exercised inside pipeline_text_prep and dedup_apply) and
+    # q16_set_ops to xcy_ (union/distinct shapes ride a dozen green
+    # rows) to make room for graph_kcore_onion (r8's k-core peeling
+    # flagship, ex-xcw) and profile_columns (the one-pass-per-family
+    # column profiler, ex-xb1).
     prefixes = (
         "ann_", "asof_", "connector_", "dedup_", "doc_", "file_", "flow_",
-        "fn_udf_", "graph_", "market_", "mm_", "pipeline_", "q0", "q1", "q2",
-        "waiting_",
+        "fn_udf_", "graph_", "market_", "mm_", "pipeline_", "profile_",
+        "q0", "q1", "q2", "waiting_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"
