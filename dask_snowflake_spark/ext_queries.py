@@ -4428,45 +4428,50 @@ def x74_mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(u) AS BIGINT) AS sum_ids
     FROM tree GROUP BY depth ORDER BY depth
     """,
-    "RECURSIVE CTE hierarchy traversal (org chart / BOM expansion "
-    "shape): a synthetic binary hierarchy over the event users "
-    "(parent = id div 2) walked root-down with WITH RECURSIVE — "
-    "Spark 4's recursive CTE executes it as iterated joins, each level "
-    "one equi-join of the remaining nodes against the frontier (the "
-    "same delta-iteration shape as operators/graph.py, but declared in "
-    "pure SQL); per-depth rollup with an id checksum",
+    "Recursive hierarchy traversal (org chart / BOM expansion — the "
+    "WITH RECURSIVE shape): a synthetic binary hierarchy over the "
+    "event users (parent = id div 2) walked root-down by "
+    "graph.tree_descend — a BOUNDED checkpointed-frontier loop whose "
+    "round count is the closed-form depth bound floor(log2(max_id)) "
+    "(a halving parent key), zero convergence probes; per-depth "
+    "rollup with an id checksum. Oracle = the equivalent WITH "
+    "RECURSIVE in DuckDB. Spark 4's own recursive CTE computes the "
+    "identical result but its UnionLoop re-plans every level (66 jobs "
+    "/ 4.1 s at sf0.1 vs 31 / 2.6 s for this loop, measured "
+    "interleaved r9) — the engine surface stays pinned by "
+    "test_graph.py::test_spark_recursive_cte_matches_tree_descend",
     ("sql", "graph"),
 )
 def x75_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .query import sql as run_sql
+    import math
+
+    from .operators.graph import tree_descend
     from .session import track_cache
 
-    # The non-recursive `nodes` leg (DISTINCT over events) sits INSIDE
-    # the recursion's join, and Spark's UnionLoop re-evaluates it every
-    # round — at sf0.1 that was 20 of the 74 per-run jobs re-running
-    # the same distinct. Materializing it once as a cached temp view
-    # cuts each round to the frontier join itself (74 -> 54 jobs,
-    # ~40% wall); the remaining per-round jobs are the engine's
-    # recursive-CTE bookkeeping, driven by hierarchy DEPTH, not data
-    # volume (SCALE.md).
     t = _t(spark, sf_dir)
     nodes = track_cache(t["events"].select(F.col("user_id").alias("u")).distinct())
-    nodes.createOrReplaceTempView("x75_nodes")
-    return run_sql(
-        spark,
-        """
-        WITH RECURSIVE tree(u, root, depth) AS (
-            SELECT u, u, 0 FROM x75_nodes WHERE u < 2
-            UNION ALL
-            SELECT n.u, t.root, t.depth + 1
-            FROM x75_nodes n JOIN tree t ON t.u = n.u div 2
-            WHERE n.u >= 2
+    # parent = u div 2 halves the id every level, so depth(u) <=
+    # floor(log2(max_id)) — ONE tiny agg job buys an exact loop bound
+    # and deletes every per-round convergence probe
+    max_id = nodes.agg(F.max("u")).first()[0]
+    rounds = int(math.floor(math.log2(max_id))) if max_id is not None and max_id >= 2 else 0
+    tree = tree_descend(
+        nodes.filter(F.col("u") >= 2).select("u", F.expr("u div 2").alias("p")),
+        nodes.filter(F.col("u") < 2).select("u", F.col("u").alias("root")),
+        child="u",
+        parent="p",
+        node="u",
+        max_depth=rounds,
+    )
+    return (
+        tree.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("u").alias("min_id"),
+            F.max("u").alias("max_id"),
+            F.sum("u").cast("long").alias("sum_ids"),
         )
-        SELECT depth, count(*) AS n_nodes, min(u) AS min_id, max(u) AS max_id,
-               sum(u) AS sum_ids
-        FROM tree GROUP BY depth ORDER BY depth
-        """,
-        sf_dir=sf_dir,
+        .orderBy("depth")
     )
 
 
