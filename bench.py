@@ -71,6 +71,45 @@ def plan_deltas_vs_baseline(
     return None, baseline_sf
 
 
+# Fixed calibration microbench: a data-independent CPU-bound plan
+# whose warm wall-clock probes the HOST's current speed — the r8
+# headline swung 270 -> 206 s with ZERO job deltas (pure host drift;
+# the round-over-round wall compare was noise-bound without a
+# yardstick). Plan selection was measured (r9): shuffle-bearing
+# groupBy plans showed ±30% cross-session min drift (AQE/shuffle
+# scheduling noise), while this shuffle-free single-stage hash-sum
+# (4B rows, 64 tasks, whole-stage codegen, tiny partial-agg exchange)
+# repeats its min-of-reps to 0.7% across fresh sessions (1.045 vs
+# 1.052 s). CALIB_REF_SEC anchors the factor: the best warm run on the
+# round-9 build host. host_factor = calib/REF, so
+# value_host_normalized compares across rounds even when the shared
+# host's speed moves between runs. The jobs map — not any wall number
+# — remains the plan gate (tools/bench_diff.py).
+CALIB_REF_SEC = 1.045
+
+
+def _calibration_sec(spark) -> list[float]:
+    """Three warm runs of the fixed calibration plan (seconds each);
+    callers take the MIN (best = least-stalled host sample; the first
+    rep also absorbs this plan's own codegen first-touch)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_000_000_000, 1, 64)
+            # mod before sum keeps the ANSI-mode sum inside bigint range
+            .select((F.xxhash64("id") % 1000003).alias("h"))
+            .agg(F.sum("h").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dask_snowflake_spark.queries import registry
@@ -101,6 +140,10 @@ def main() -> None:
     # costs (r2: agg_skew_salted 0.55s -> 3.24s purely by running first).
     warm_name, warm_qd = ordered[0]
     warm_qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # host-speed sample BEFORE the timed loop (post-warmup, so JVM/
+    # codegen first-touch doesn't pollute the calibration)
+    calib_start = _calibration_sec(spark)
 
     # Per-query Spark job counts ride along with the wall times: the
     # scheduler's job-id counter delta is NOISE-FREE (deterministic per
@@ -137,6 +180,12 @@ def main() -> None:
         if max(jr[name] for jr in job_runs) != jobs[name]
     }
 
+    # host-speed sample AFTER the loop: start/end disagreement means the
+    # host drifted WITHIN the run (the r8 audit saw 1.17x intra-round)
+    calib_end = _calibration_sec(spark)
+    calib_sec = min(calib_start + calib_end)
+    host_factor = round(calib_sec / CALIB_REF_SEC, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -153,6 +202,9 @@ def main() -> None:
         "jobs": jobs,
         "job_runs": job_runs,
         "jobs_spread": jobs_spread,
+        "calib_start": calib_start,
+        "calib_end": calib_end,
+        "host_factor": host_factor,
     }
     # The driver captures a bounded TAIL of stdout, so a single long line
     # gets its FRONT truncated and never parses (r1+r2 both hit this).
@@ -178,6 +230,15 @@ def main() -> None:
         "n_queries": len(timings),
         "n_passes": len(runs),
         "spread_total_sec": round(sum(spread.values()), 2),
+        # raw + normalized pair: `value` is the measured wall;
+        # `value_host_normalized` divides out the calibration factor so
+        # round-over-round wall compares survive host drift. Plans are
+        # still judged ONLY by the jobs map.
+        "calib_sec": calib_sec,
+        "host_factor": host_factor,
+        "value_host_normalized": round(full["value"] / host_factor, 2)
+        if host_factor > 0
+        else full["value"],
         "detail": "BENCH_QUERIES.json",
     }
     if plan_deltas is not None:
