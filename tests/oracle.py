@@ -39,12 +39,26 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_value(v: Any) -> Any:
+    import decimal
+
     if v is None:
         return None
+    if isinstance(v, bool):
+        # TAGGED before int: python's True == 1 would let a bool column
+        # on one engine compare equal to an int column on the other,
+        # while the driver's string-based value hash ("True" vs "1")
+        # rejects it — the exact gate must be at least as strict
+        return f"bool:{v}"
     if isinstance(v, float):
         # repr-compare: catches -0.0-vs-0.0 and NaN payload differences
         # that numeric == would hide but a value HASH would not
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # str-tagged so Decimal('123.40') != Decimal('123.4'): scale is
+        # part of what per-engine canonicalization hashes (raw DECIMAL
+        # is banned driver-facing anyway — CLAUDE.md — but the exact
+        # gate should reject a scale split, not numerically forgive it)
+        return f"decimal:{v}"
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
@@ -137,6 +151,13 @@ def _canon_pd_cell(v: Any) -> str:
         v = v.tz_localize(None) if v.tzinfo is not None else v
         return v.isoformat()
     if isinstance(v, dt.datetime):
+        # pd.NaT passes isinstance(dt.datetime) but NOT pd.Timestamp,
+        # so it lands here: without the isna check it rendered "NaT" —
+        # not "NULL" — and a None-vs-NaT representational split (which
+        # the driver's hash provably tolerates: asof_join_events ships
+        # NULL timestamps driver-green) would false-fail the gate
+        if pd.isna(v):
+            return "NULL"
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
         # pandas has no date dtype: DuckDB's .df() widens DATE to
