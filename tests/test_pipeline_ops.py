@@ -119,3 +119,44 @@ def test_gopher_rules_edges(spark) -> None:
         assert names == [n for n in GOPHER_RULES if n in names]
     # no internal feature columns leak
     assert not [c for c in out[0].__fields__ if c.startswith("__gr_")]
+
+
+def test_xa3_binaryfile_tree_memoization_is_content_fingerprinted(spark, sf_smoke):
+    """The memoized binaryFile tree must be invalidated by CONTENT, not
+    existence: fixtures regenerate between rounds while .tmp persists
+    (the r4/r8 staleness lesson), so a tree written for older text must
+    be rewritten, and a matching fingerprint must skip the write."""
+    import os
+
+    from dask_snowflake_spark.ext_queries import xa3_binaryfile_ingest
+    from dask_snowflake_spark.queries import _scratch_dir
+
+    path = _scratch_dir("xa3_binfiles")
+    marker = path + ".fingerprint"
+
+    first = xa3_binaryfile_ingest(spark, sf_smoke).collect()
+    assert os.path.isfile(marker) and os.path.isdir(path)
+    fp = open(marker).read()
+    assert fp.startswith(sf_smoke + "|")
+
+    # matching fingerprint: the tree is reused (mtime untouched by a
+    # second run — the write would bump it)
+    stamp = os.path.getmtime(marker)
+    again = xa3_binaryfile_ingest(spark, sf_smoke).collect()
+    assert again == first
+    assert os.path.getmtime(marker) == stamp
+
+    # corrupted fingerprint (stands in for regenerated fixtures): the
+    # run must rewrite and restore a correct tree + marker
+    with open(marker, "w") as fh:
+        fh.write("stale|0")
+    rebuilt = xa3_binaryfile_ingest(spark, sf_smoke).collect()
+    assert rebuilt == first
+    assert open(marker).read() == fp
+
+    # missing tree with intact marker: must also rewrite
+    import shutil
+
+    shutil.rmtree(path)
+    rebuilt2 = xa3_binaryfile_ingest(spark, sf_smoke).collect()
+    assert rebuilt2 == first and os.path.isdir(path)
