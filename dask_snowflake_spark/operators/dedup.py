@@ -297,16 +297,52 @@ def _jaccard_from_intersections(sh: DataFrame, inter: DataFrame) -> DataFrame:
 
 
 def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard over shingle sets for the given candidate pairs."""
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    """Exact Jaccard over shingle sets for the given candidate pairs.
+
+    Verify-by-array: collect each doc's (distinct) shingles once, join
+    each pair with the two arrays, and count the intersection with
+    ``array_intersect`` — two doc-keyed joins, no per-candidate
+    explosion. The earlier shape (explode the pair's doc_a shingles,
+    equi-join on (doc_b, shingle), re-aggregate, join sizes twice)
+    shuffled |A| rows per candidate; the array verify benched 15 -> 13
+    jobs / 3.5 -> 2.6 s warm inside the LSH path at sf0.1, identical
+    rows. Contract preserved from the join formulation: pairs with an
+    EMPTY intersection are dropped, not emitted at jaccard 0 (x89
+    counts the returned candidates). Per-pair state is the two docs'
+    shingle arrays — the bound a single document already imposes.
+    """
+    sets_ = sh.groupBy("doc").agg(
+        F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    return _jaccard_from_intersections(sh, inter)
+    return (
+        pairs.join(
+            sets_.select(
+                F.col("doc").alias("doc_a"), F.col("s").alias("s_a"), F.col("n").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc").alias("doc_b"), F.col("s").alias("s_b"), F.col("n").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("s_a", "s_b")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+        .filter(F.col("n_common") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
 
 
 def minhash_near_dup(
