@@ -3229,23 +3229,11 @@ def x57_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_ops.minhash_signatures(sh, num_hashes=16, prehashed=True)
     bands = track_cache(dedup_ops.lsh_bands(sig, rows_per_band=2))
     cand = dedup_ops.lsh_candidate_pairs(bands)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    sh_b = sh.select(F.col("doc").alias("__db"), F.col("shingle").alias("__shb"))
-    inter = (
-        cand.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("__db")) & (F.col("shingle") == F.col("__shb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    # intersection + sizes in one array-verify pass (dedup.pair_
+    # intersections): two doc-keyed joins, no per-candidate explosion
+    inter = dedup_ops.pair_intersections(sh, cand).withColumnRenamed("n_common", "c")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
+        inter.filter(
             (F.col("c") * 10 >= F.col("n_a") * 9) | (F.col("c") * 10 >= F.col("n_b") * 9)
         )
         .select(

@@ -296,8 +296,9 @@ def _jaccard_from_intersections(sh: DataFrame, inter: DataFrame) -> DataFrame:
     )
 
 
-def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard over shingle sets for the given candidate pairs.
+def pair_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact intersection counts for candidate pairs over per-doc
+    shingle sets: ``(doc_a, doc_b, n_common, n_a, n_b)``.
 
     Verify-by-array: collect each doc's (distinct) shingles once, join
     each pair with the two arrays, and count the intersection with
@@ -307,9 +308,9 @@ def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     shuffled |A| rows per candidate; the array verify benched 15 -> 13
     jobs / 3.5 -> 2.6 s warm inside the LSH path at sf0.1, identical
     rows. Contract preserved from the join formulation: pairs with an
-    EMPTY intersection are dropped, not emitted at jaccard 0 (x89
-    counts the returned candidates). Per-pair state is the two docs'
-    shingle arrays — the bound a single document already imposes.
+    EMPTY intersection are dropped, not emitted at 0 (x89 counts the
+    returned candidates). Per-pair state is the two docs' shingle
+    arrays — the bound a single document already imposes.
     """
     sets_ = sh.groupBy("doc").agg(
         F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
@@ -335,13 +336,18 @@ def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
             "n_b",
         )
         .filter(F.col("n_common") > 0)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ).alias("jaccard"),
-        )
+    )
+
+
+def jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over shingle sets for the given candidate pairs
+    (array-verify semantics and cost — see ``pair_intersections``)."""
+    return pair_intersections(sh, pairs).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
     )
 
 
