@@ -315,6 +315,9 @@ def pair_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     sets_ = sh.groupBy("doc").agg(
         F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
     )
+    # a caller's extra pair columns (e.g. an n_a it computed itself)
+    # would ambiguous-reference against the size joins below
+    pairs = pairs.select("doc_a", "doc_b")
     return (
         pairs.join(
             sets_.select(

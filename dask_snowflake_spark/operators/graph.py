@@ -527,6 +527,13 @@ def tree_descend(
     from ..session import track_cache
 
     payload = [c for c in roots.columns if c != node]
+    reserved = {"depth", "__n", "__c", "__p"}
+    bad = sorted(reserved & set(payload))
+    if bad:
+        # a payload column named `depth` would silently shadow the
+        # generated depth; the __-prefixed internals would collide in
+        # the per-round join
+        raise ValueError(f"roots payload columns collide with reserved names: {bad}")
     ed = track_cache(
         edges.select(F.col(child).alias("__c"), F.col(parent).alias("__p"))
         .repartition("__p")

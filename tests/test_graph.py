@@ -441,3 +441,16 @@ def test_spark_recursive_cte_matches_tree_descend(spark) -> None:
         )
     )
     assert got == want
+
+
+def test_tree_descend_rejects_reserved_payload_names(spark) -> None:
+    """A payload column named `depth` would silently shadow the
+    generated depth column; __-internals would collide in the join."""
+    import pytest
+
+    from dask_snowflake_spark.operators.graph import tree_descend
+
+    edges = spark.createDataFrame([(2, 1)], "c int, p int")
+    roots = spark.createDataFrame([(1, 0)], "n int, depth int")
+    with pytest.raises(ValueError, match="reserved names.*depth"):
+        tree_descend(edges, roots, child="c", parent="p", node="n", max_depth=1)
