@@ -8207,7 +8207,7 @@ def _poisson_case_sql(u: str) -> str:
 
 
 @query(
-    "xcl_bootstrap_ci",
+    "bootstrap_ci",
     f"""
     WITH cents AS (
         SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
@@ -8266,7 +8266,7 @@ def _poisson_case_sql(u: str) -> str:
     "keeps the order statistic unique on both engines",
     ("orders", "statistics", "sampling"),
 )
-def xcl_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     from pyspark.sql import Window as W
 

@@ -516,7 +516,7 @@ def q06_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q07_full_outer",
+    "xcz_full_outer",
     """
     SELECT k, has_customer, has_supplier
     FROM (
@@ -532,7 +532,7 @@ def q06_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full outer join with unmatched sides on both ends",
     ("join",),
 )
-def q07_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xcz_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     c = t["customer"].select((F.col("c_nationkey") % 40).alias("k")).distinct().alias("c")
     s = t["supplier"].select((F.col("s_suppkey") % 40).alias("k")).distinct().alias("s")

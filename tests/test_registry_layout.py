@@ -26,7 +26,9 @@ def test_priority_window_covers_every_surface():
     # q16_set_ops to xcy_ (union/distinct shapes ride a dozen green
     # rows) to make room for graph_kcore_onion (r8's k-core peeling
     # flagship, ex-xcw) and profile_columns (the one-pass-per-family
-    # column profiler, ex-xb1).
+    # column profiler, ex-xb1); second r9 swap: q07_full_outer -> xcz_
+    # (the §2.B outer-join row stays driver-green via q06) for
+    # bootstrap_ci (ex-xcl, the Poisson-resampling CI flagship).
     prefixes = (
         "ann_", "asof_", "connector_", "dedup_", "doc_", "file_", "flow_",
         "fn_udf_", "graph_", "market_", "mm_", "pipeline_", "profile_",

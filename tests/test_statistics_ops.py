@@ -251,7 +251,7 @@ def test_bootstrap_ci_is_ordered_and_reproducible(spark, sf_oracle):
     """xcl sanity: the CI must bracket a value near the full-sample
     mean, bounds ordered, and the whole statistic bit-stable across
     two runs (hash-decided weights, no RNG)."""
-    fn = registry()["xcl_bootstrap_ci"].spark_fn
+    fn = registry()["bootstrap_ci"].spark_fn
     a = fn(spark, sf_oracle).collect()[0]
     b = fn(spark, sf_oracle).collect()[0]
     assert a == b
