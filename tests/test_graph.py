@@ -454,3 +454,22 @@ def test_tree_descend_rejects_reserved_payload_names(spark) -> None:
     roots = spark.createDataFrame([(1, 0)], "n int, depth int")
     with pytest.raises(ValueError, match="reserved names.*depth"):
         tree_descend(edges, roots, child="c", parent="p", node="n", max_depth=1)
+
+
+def test_tree_descend_dag_multiplicity_matches_union_all(spark) -> None:
+    """On a DAG (a child with two reachable parents) the descent emits
+    one row PER ROOT-PATH — the WITH RECURSIVE UNION ALL multiset
+    semantics the operator stands in for, not a visited-set BFS."""
+    from dask_snowflake_spark.operators.graph import tree_descend
+
+    # 1 -> 2, 1 -> 3, and 4 has BOTH 2 and 3 as parents
+    edges = spark.createDataFrame([(2, 1), (3, 1), (4, 2), (4, 3)], "c int, p int")
+    roots = spark.createDataFrame([(1,)], "n int")
+    got = sorted(
+        (r.n, r.depth)
+        for r in tree_descend(
+            edges, roots, child="c", parent="p", node="n", max_depth=3
+        ).collect()
+    )
+    # node 4 appears TWICE at depth 2 (path via 2 and path via 3)
+    assert got == [(1, 0), (2, 1), (3, 1), (4, 2), (4, 2)]
