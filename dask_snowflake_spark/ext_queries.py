@@ -9164,3 +9164,153 @@ def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vertex").cast("long").alias("part_key"), "layer")
         .orderBy("part_key")
     )
+
+
+@query(
+    "xd0_t_closeness",
+    """
+    WITH bands AS (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band
+        FROM customer
+    ),
+    gl AS (SELECT band, count(*) AS cnt_all FROM bands GROUP BY band),
+    tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS m FROM gl),
+    gq AS (
+        SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt_g
+        FROM bands GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    qi AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM gq),
+    spine AS (
+        SELECT q.c_nationkey, q.c_mktsegment, g.band, g.cnt_all,
+               COALESCE(x.cnt_g, 0) AS cnt_g
+        FROM qi q CROSS JOIN gl g
+        LEFT JOIN gq x ON x.c_nationkey = q.c_nationkey
+                      AND x.c_mktsegment = q.c_mktsegment AND x.band = g.band
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, band, cnt_g,
+               CAST(sum(cnt_g) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                    AS BIGINT) AS grp_sz,
+               cnt_g * (SELECT n_total FROM tot) -
+                   cnt_all * CAST(sum(cnt_g) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                                  AS BIGINT) AS diff
+        FROM spine
+    ),
+    run AS (
+        SELECT c_nationkey, c_mktsegment, grp_sz,
+               abs(CAST(sum(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                        ORDER BY band
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT)) AS acum
+        FROM cum
+    ),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment, grp_sz,
+               CAST(sum(acum) AS BIGINT) AS t_num,
+               grp_sz * (SELECT n_total FROM tot) * ((SELECT m FROM tot) - 1) AS t_den
+        FROM run GROUP BY c_nationkey, c_mktsegment, grp_sz
+    )
+    SELECT c_nationkey, c_mktsegment, grp_sz,
+           CASE WHEN t_den = 0 THEN 0.0
+                ELSE CAST(t_num * 1000000 // t_den AS BIGINT) / 1e6 END AS emd,
+           (t_num * 5 > t_den) AS violates
+    FROM emd
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    "T-CLOSENESS audit — the third classic privacy gate after "
+    "k-anonymity (x92) and l-diversity (x95): within each "
+    "quasi-identifier group (nation, market segment), how FAR is the "
+    "sensitive-attribute distribution (the same engine-exact $1000 "
+    "account-balance band as x95) from the global distribution — a "
+    "small group whose distribution mirrors the population leaks "
+    "nothing even at l=1, while a skewed one leaks despite passing "
+    "both earlier gates. Distance is the ordered-attribute EMD "
+    "(1/(m-1) * sum |cumsum(p-q)|), computed EXACTLY in integers: "
+    "per-band diff = cnt_g*N - cnt_all*grp_sz (numerator over the "
+    "common denominator grp_sz*N), windowed cumulative sum, |.|, "
+    "summed per group, then ONE integer-quantized division and the "
+    "t=0.2 flag as an integer cross-multiplication — no float "
+    "arithmetic anywhere before the final 6dp emission, so both "
+    "engines compute identical bits (the denominators fit BIGINT up "
+    "to ~1e9-row corpora; beyond that pre-quantize the per-band "
+    "probabilities). Scale shape: two map-side-combinable "
+    "aggregations over the fact table; the spine/window work runs on "
+    "the AGGREGATED (|QI-groups| x bands) table only; the global band "
+    "histogram and (N, m) scalars ride one broadcast each — never a "
+    "driver collect. Unlike x68's PSI (two time-snapshots of one "
+    "feature, log-ratio sum), this compares every QI GROUP against "
+    "the corpus under an order-aware ground distance",
+    ("quality", "governance"),
+)
+def xd0_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    bands = t["customer"].select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").alias("band"),
+    )
+    gl = bands.groupBy("band").agg(F.count(F.lit(1)).alias("cnt_all"))
+    tot = gl.agg(
+        F.sum("cnt_all").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    gq = bands.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("cnt_g")
+    )
+    qi = gq.select("c_nationkey", "c_mktsegment").distinct()
+    spine = (
+        qi.crossJoin(F.broadcast(gl))
+        .join(gq, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            "cnt_all",
+            F.coalesce("cnt_g", F.lit(0)).alias("cnt_g"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    wg = W.partitionBy("c_nationkey", "c_mktsegment")
+    wcum = wg.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = spine.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "band",
+        "n_total",
+        "m",
+        F.sum("cnt_g").over(wg).cast("long").alias("grp_sz"),
+        (
+            F.col("cnt_g") * F.col("n_total")
+            - F.col("cnt_all") * F.sum("cnt_g").over(wg).cast("long")
+        ).alias("diff"),
+    )
+    run = cum.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_sz",
+        "n_total",
+        "m",
+        F.abs(F.sum("diff").over(wcum).cast("long")).alias("acum"),
+    )
+    emd = run.groupBy("c_nationkey", "c_mktsegment", "grp_sz", "n_total", "m").agg(
+        F.sum("acum").cast("long").alias("t_num")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_sz",
+        "t_num",
+        (F.col("grp_sz") * F.col("n_total") * (F.col("m") - 1)).alias("t_den"),
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_sz",
+        F.when(F.col("t_den") == 0, F.lit(0.0))
+        .otherwise(F.expr("cast(t_num * 1000000 div t_den as bigint)") / 1e6)
+        .alias("emd"),
+        (F.col("t_num") * 5 > F.col("t_den")).alias("violates"),
+    ).orderBy("c_nationkey", "c_mktsegment")
