@@ -9253,6 +9253,13 @@ def xd0_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").alias("band"),
     )
+    # the aggregated legs are multi-consumer and the compiled plan
+    # re-scans customer per consumer (8 pruned 1-3 column scans) —
+    # DELIBERATELY uncached: the interleaved A/B measured track_cache
+    # on gl+gq at 1.27 s / 13 jobs vs 0.62 s / 10 uncached (seventh
+    # cache counter-datapoint; all consumers in ONE action, and a
+    # pruned parquet re-scan costs about what the cache write costs —
+    # CLAUDE.md). On a 100 TB customer table, cache the two aggregates.
     gl = bands.groupBy("band").agg(F.count(F.lit(1)).alias("cnt_all"))
     tot = gl.agg(
         F.sum("cnt_all").cast("long").alias("n_total"),
