@@ -9321,3 +9321,100 @@ def xd0_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("emd"),
         (F.col("t_num") * 5 > F.col("t_den")).alias("violates"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@query(
+    "xd1_linear_attribution",
+    """
+    WITH pur AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    tou AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT p.pid, p.cents, t.tid, t.channel,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY t.tts DESC, t.tid) AS rk,
+               count(*) OVER (PARTITION BY p.pid) AS n
+        FROM pur p JOIN tou t
+          ON t.user_id = p.user_id
+         AND t.tts < p.pts
+         AND epoch_us(p.pts) - epoch_us(t.tts) <= 604800000000
+    )
+    SELECT channel,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END)
+                AS BIGINT) AS credited_cents
+    FROM j GROUP BY channel ORDER BY channel
+    """,
+    "LINEAR (multi-touch) attribution with EXACT integer apportionment "
+    "— the equal-credit complement of the last-touch family (x77/xcd "
+    "pick one winning touch; this SPLITS the purchase value across "
+    "every touch in the 7-day lookback): per purchase, each of its n "
+    "touches gets cents div n, and the cents mod n remainder goes to "
+    "the most recent touches (largest-remainder / Hamilton "
+    "apportionment, recency rank as the deterministic tie-break) — so "
+    "credit per purchase sums EXACTLY to the purchase cents, no float "
+    "splits, no lost pennies, engine-identical bits. Lookback compared "
+    "in MICROSECONDS (epoch_us vs timestamp_diff — exact on both "
+    "engines; second-granularity date_diff counts boundary crossings). "
+    "Scale shape: one user-keyed equi-join (purchases x touches "
+    "bounded per user by the 7-day window), two windows over the "
+    "per-purchase partitions, one map-side-combinable channel rollup",
+    ("events", "analytics"),
+)
+def xd1_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    tou = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = (
+        pur.join(tou, "user_id")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            # 7-day lookback in exact microseconds (x81/x82 idiom)
+            & (F.timestamp_diff("MICROSECOND", F.col("tts"), F.col("pts")) <= 604_800_000_000)
+        )
+        .select(
+            "pid",
+            "cents",
+            "tid",
+            "channel",
+            F.row_number()
+            .over(W.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid")))
+            .alias("rk"),
+            F.count(F.lit(1)).over(W.partitionBy("pid")).alias("n"),
+        )
+    )
+    return (
+        j.groupBy("channel")
+        .agg(
+            F.countDistinct("pid").cast("long").alias("n_purchases"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(
+                F.expr("cents div n") + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("credited_cents"),
+        )
+        .orderBy("channel")
+    )
