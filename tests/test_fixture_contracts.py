@@ -278,3 +278,21 @@ def test_xcw_kcore_converges_within_round_cap(sf_dir: str) -> None:
         "in BOTH the operator call and _kcore_oracle_sql (they must "
         "move together)"
     )
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_event_values_are_non_negative(sf_dir: str) -> None:
+    """The integer-cents quantizations over events.value (xd1's
+    largest-remainder apportionment, the stateful-counter floor, x37's
+    windowed statistics) assume NON-NEGATIVE values: a negative value
+    would route round()/floor() through the signed-halfway class where
+    magnitude+sign decomposition is required (the r6 lesson). If a
+    regenerated fixture introduces negative values, quantize by
+    magnitude with a separate sign column instead of widening this
+    contract."""
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    vals = tbl["value"]
+    n_neg = pc.sum(
+        pc.cast(pc.less(vals, pa.scalar(0.0)), pa.int64()), min_count=0
+    ).as_py()
+    assert not n_neg, f"{n_neg} negative event values at {sf_dir}"
