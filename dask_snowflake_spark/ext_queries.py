@@ -9418,3 +9418,107 @@ def xd1_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "xd2_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    dev AS (
+        SELECT event_type, d, c,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s_total,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * c
+                   - CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS dv
+        FROM daily
+    ),
+    cs AS (
+        SELECT event_type, d, n_days, s_total,
+               CAST(sum(dv) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cusum
+        FROM dev
+    ),
+    pick AS (
+        SELECT event_type, d, n_days, s_total, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, d) AS rk
+        FROM cs
+    )
+    SELECT event_type, n_days, d AS change_day,
+           abs(cusum) AS cusum_peak,
+           CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1 ELSE 0 END AS direction,
+           CASE WHEN n_days * s_total = 0 THEN 0.0
+                ELSE CAST(abs(cusum) * 1000000 // (n_days * s_total) AS BIGINT) / 1e6
+           END AS shift_score
+    FROM pick WHERE rk = 1
+    ORDER BY event_type
+    """,
+    "CUSUM CHANGEPOINT detection per event type (ingestion-shift "
+    "monitoring — 'WHEN did the daily volume regime change': x68's PSI "
+    "answers whether two snapshots differ, x37/xcu smooth or flag "
+    "single points; CUSUM localizes the shift): per-day deviations "
+    "from the per-type mean kept EXACT as integers (dev = n*c - S over "
+    "the common denominator n, so no float mean), a windowed running "
+    "sum, and the changepoint = the day of the maximum |CUSUM| "
+    "(earliest-day tie-break); the normalized shift score does ONE "
+    "integer-quantized division at the end and the direction is a "
+    "sign column (the r6 magnitude+sign rule — never floor a signed "
+    "value). Scale shape: one map-side-combinable daily rollup over "
+    "the fact table; every window runs on the (types x days) "
+    "aggregate. DATE output CAST on both sides (the r7 xb4 rule)",
+    ("events", "analytics", "quality"),
+)
+def xd2_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = W.partitionBy("event_type")
+    wcum = wt.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dev = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n_days"),
+        F.sum("c").over(wt).cast("long").alias("s_total"),
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("c")
+            - F.sum("c").over(wt).cast("long")
+        ).alias("dv"),
+    )
+    cs = dev.select(
+        "event_type",
+        "d",
+        "n_days",
+        "s_total",
+        F.sum("dv").over(wcum).cast("long").alias("cusum"),
+    )
+    pick = cs.select(
+        "event_type",
+        "d",
+        "n_days",
+        "s_total",
+        "cusum",
+        F.row_number()
+        .over(wt.orderBy(F.abs(F.col("cusum")).desc(), F.col("d")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return pick.select(
+        "event_type",
+        "n_days",
+        F.col("d").alias("change_day"),
+        F.abs(F.col("cusum")).alias("cusum_peak"),
+        F.when(F.col("cusum") > 0, 1).when(F.col("cusum") < 0, -1).otherwise(0).alias("direction"),
+        F.when(F.col("n_days") * F.col("s_total") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("cast(abs(cusum) * 1000000 div (n_days * s_total) as bigint)") / 1e6
+        )
+        .alias("shift_score"),
+    ).orderBy("event_type")
