@@ -237,11 +237,26 @@ class SnowflakeBackend:
         fields 4/5) — use them so an EMPTY result of a FIXED(p, s>0)
         column gets the same decimal schema a non-empty read of the
         identical query derives from its first batch; (38, 0) is only
-        the fallback when the connector omits them."""
+        the fallback when the connector omits them.
+
+        Scale-0 split (ADVICE r9): the connector's NON-empty Arrow
+        batches materialize NUMBER(p, 0) columns as integer Arrow types
+        (it strips the decimal wrapper when scale is 0), so an empty
+        decimal128(p, 0) schema would still disagree with a non-empty
+        read of the same query. Map FIXED(p<=18, 0) to int64 — every
+        such value fits, and int64 unifies with the batch-side
+        int8/16/32/64 under Spark's LongType — and keep decimal128(p, 0)
+        only for p > 18, where the connector itself must stay decimal.
+        Residual: a p>18 scale-0 empty schema may still split from a
+        batch-typed non-empty read if every value happens to fit an
+        int64; that narrow case is accepted and pinned by the unit
+        test."""
         if d[1] == 0:
             try:
                 precision, scale = d[4], d[5]
                 if precision is not None and scale is not None:
+                    if int(scale) == 0 and int(precision) <= 18:
+                        return pa.int64()
                     return pa.decimal128(int(precision), int(scale))
             except (IndexError, TypeError, ValueError):
                 pass

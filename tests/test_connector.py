@@ -392,6 +392,13 @@ def test_snowflake_backend_fixed_type_uses_description_scale():
     # ResultMetadata shape: (name, type_code, display_size,
     # internal_size, precision, scale, is_nullable)
     assert b._arrow_type_for(("amt", 0, None, None, 10, 2, True)) == pa.decimal128(10, 2)
+    # scale-0 split (ADVICE r9): non-empty NUMBER(p,0) batches arrive as
+    # integer Arrow types, so small-p scale-0 empties map to int64 to
+    # match; p > 18 stays decimal (the connector itself must, too) —
+    # that narrow case is the documented accepted residual.
+    assert b._arrow_type_for(("n", 0, None, None, 10, 0, True)) == pa.int64()
+    assert b._arrow_type_for(("n", 0, None, None, 18, 0, True)) == pa.int64()
+    assert b._arrow_type_for(("n", 0, None, None, 19, 0, True)) == pa.decimal128(19, 0)
     assert b._arrow_type_for(("n", 0, None, None, 38, 0, True)) == pa.decimal128(38, 0)
     # connector omits precision/scale -> documented fallback
     assert b._arrow_type_for(("n", 0, None, None, None, None, True)) == pa.decimal128(38, 0)

@@ -296,3 +296,18 @@ def test_event_values_are_non_negative(sf_dir: str) -> None:
         pc.cast(pc.less(vals, pa.scalar(0.0)), pa.int64()), min_count=0
     ).as_py()
     assert not n_neg, f"{n_neg} negative event values at {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_event_ts_is_non_null(sf_dir: str) -> None:
+    """Date-ordered windows over events.ts (the CUSUM changepoint's
+    cumulative-sum/tie-break windows, the daily rollup family) assume a
+    NON-NULL timestamp: a NULL ts would form a NULL-date group that
+    sorts NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting every
+    intermediate cumsum and potentially the picked changepoint (ADVICE
+    r9). If a regenerated fixture introduces NULL ts, add explicit
+    ``ts IS NOT NULL`` filters (both engines) to every date-ordered
+    window query instead of widening this contract."""
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    n_null = tbl["ts"].null_count
+    assert not n_null, f"{n_null} NULL event timestamps at {sf_dir}"
