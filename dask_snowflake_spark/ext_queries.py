@@ -746,14 +746,14 @@ def xa7_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "connector_roundtrip",
+    "xd4_connector_roundtrip",
     """
     SELECT doc_id, lang, source FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
     """,
     "read_snowflake through the duckdb warehouse stub: distributed batch fetch + bin-packed partitions",
     ("connector",),
 )
-def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xd4_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.snowflake import read_snowflake
 
     db = _scratch_db("roundtrip")
@@ -980,7 +980,7 @@ def flow_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "pipeline_text_prep",
+    "xd3_pipeline_text_prep",
     f"""
     WITH feat AS (
         SELECT doc_id, text, lang,
@@ -1010,7 +1010,7 @@ def flow_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composed training-data prep pipeline: quality filter -> exact dedup (content hash, min-id keeper) -> per-language token budget",
     ("text", "dedup", "pipeline"),
 )
-def pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xd3_pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -1742,7 +1742,7 @@ def x30_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_cluster_cc",
+    "xd5_dedup_cluster_cc",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -1779,7 +1779,7 @@ def x30_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a recursive transitive closure",
     ("dedup", "graph"),
 )
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xd5_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     t = _t(spark, sf_dir)
@@ -9167,7 +9167,7 @@ def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xd0_t_closeness",
+    "governance_t_closeness",
     """
     WITH bands AS (
         SELECT c_nationkey, c_mktsegment,
@@ -9244,7 +9244,7 @@ def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the corpus under an order-aware ground distance",
     ("quality", "governance"),
 )
-def xd0_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -9324,7 +9324,7 @@ def xd0_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xd1_linear_attribution",
+    "attribution_linear",
     """
     WITH pur AS (
         SELECT event_id AS pid, user_id, ts AS pts,
@@ -9368,7 +9368,7 @@ def xd0_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-purchase partitions, one map-side-combinable channel rollup",
     ("events", "analytics"),
 )
-def xd1_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -9421,7 +9421,7 @@ def xd1_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xd2_cusum_changepoint",
+    "changepoint_cusum",
     """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
@@ -9472,7 +9472,7 @@ def xd1_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate. DATE output CAST on both sides (the r7 xb4 rule)",
     ("events", "analytics", "quality"),
 )
-def xd2_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)

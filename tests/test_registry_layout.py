@@ -29,9 +29,18 @@ def test_priority_window_covers_every_surface():
     # column profiler, ex-xb1); second r9 swap: q07_full_outer -> xcz_
     # (the §2.B outer-join row stays driver-green via q06) for
     # bootstrap_ci (ex-xcl, the Poisson-resampling CI flagship).
+    # r10 rotation: pipeline_text_prep -> xd3_ (its quality-filter ->
+    # exact-dedup -> token-budget chain is a strict subset of the
+    # driver-green pipeline_llm_corpus + doc_stats), connector_roundtrip
+    # -> xd4_ (the read path executes inside connector_write_roundtrip's
+    # read-back), dedup_cluster_cc -> xd5_ (CC runs inside dedup_apply
+    # and pipeline_llm_corpus) to make room for the r9 flagships
+    # governance_t_closeness (ex-xd0), attribution_linear (ex-xd1) and
+    # changepoint_cusum (ex-xd2).
     prefixes = (
-        "ann_", "asof_", "connector_", "dedup_", "doc_", "file_", "flow_",
-        "fn_udf_", "graph_", "market_", "mm_", "pipeline_", "profile_",
+        "ann_", "asof_", "attribution_", "changepoint_", "connector_",
+        "dedup_", "doc_", "file_", "flow_", "fn_udf_", "governance_",
+        "graph_", "market_", "mm_", "pipeline_", "profile_",
         "q0", "q1", "q2", "waiting_",
     )
     for p in prefixes:
