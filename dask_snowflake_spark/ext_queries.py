@@ -9363,9 +9363,18 @@ def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "splits, no lost pennies, engine-identical bits. Lookback compared "
     "in MICROSECONDS (epoch_us vs timestamp_diff — exact on both "
     "engines; second-granularity date_diff counts boundary crossings). "
-    "Scale shape: one user-keyed equi-join (purchases x touches "
-    "bounded per user by the 7-day window), two windows over the "
-    "per-purchase partitions, one map-side-combinable channel rollup",
+    "Scale shape (r10 skew hardening): the join key is (user, calendar "
+    "WEEK bucket) — each touch is exploded to its own bucket and the "
+    "next, each purchase joins on its own — so a bot-grade hot user's "
+    "history splits across weeks instead of fanning out |purchases| x "
+    "|touches| under one key (the classic skew stall the r9 verdict "
+    "flagged); the bucket is floor(days-since-epoch / 7) from the NAIVE "
+    "calendar date, DST-immune and Spark-internal only (the exact "
+    "micros predicate still decides membership, so the oracle keeps the "
+    "plain user join and results are bit-identical). Residual per-key "
+    "fan-out is one week of one user's activity — the bound the 7-day "
+    "lookback itself imposes. Two windows over the per-purchase "
+    "partitions (pid is unique, skew-free), one map-side channel rollup",
     ("events", "analytics"),
 )
 def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9373,6 +9382,16 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     ev = t["events"]
+    # calendar-week bucket from the naive date: tz/DST-immune (works on
+    # NTZ and LTZ event timestamps alike) and monotone, so a touch can
+    # only serve purchases in its own bucket or the next — date(pts) <=
+    # date(tts) + 7 whenever pts <= tts + 7 days. Spark-internal only;
+    # the exact micros predicate below decides membership.
+    def _week(col):
+        return F.floor(
+            F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date")) / 7
+        ).cast("long")
+
     pur = ev.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select(
@@ -9380,15 +9399,17 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("pts"),
         F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        _week(F.col("ts")).alias("wk"),
     )
     tou = ev.filter(F.col("event_type") != "purchase").select(
         F.col("event_id").alias("tid"),
         "user_id",
         F.col("ts").alias("tts"),
         F.col("event_type").alias("channel"),
+        F.explode(F.array(_week(F.col("ts")), _week(F.col("ts")) + 1)).alias("wk"),
     )
     j = (
-        pur.join(tou, "user_id")
+        pur.join(tou, ["user_id", "wk"])
         .filter(
             (F.col("tts") < F.col("pts"))
             # 7-day lookback in exact microseconds (x81/x82 idiom)
