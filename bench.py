@@ -9,9 +9,11 @@ queries (lower is better).
 
 Noise defense: the shared bench host shows ±2x run-to-run variance on
 byte-identical code (SCALE.md's measurements), so every query runs in
-TWO interleaved full passes and reports the best-of-2 — a transient
-host stall must hit the same query in both passes to bias its number.
-Per-run raw times and the per-query spread ship in the detail file.
+THREE interleaved full passes (r9 verdict: spread was still ~20% of the
+headline at best-of-2) and reports the best-of-N — a transient host
+stall must hit the same query in every pass to bias its number.
+Per-run raw times and the per-query spread ship in the detail file;
+SPARK_GRAFT_BENCH_PASSES=1 gives a quick single pass while iterating.
 """
 
 from __future__ import annotations
@@ -151,7 +153,7 @@ def main() -> None:
     # the shared host's ±2x wall-clock variance masks them.
     sched = spark.sparkContext._jsc.sc().dagScheduler()
 
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     runs: list[dict[str, float]] = []
     job_runs: list[dict[str, int]] = []
     for _ in range(max(1, n_passes)):
