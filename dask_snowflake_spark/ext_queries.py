@@ -9543,3 +9543,136 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("shift_score"),
     ).orderBy("event_type")
+
+
+@query(
+    "xd6_dup_span_runs",
+    r"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+    spans AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5('0:' || concat_ws(' ', w[i+1], w[i+2], w[i+3],
+                    w[i+4], w[i+5], w[i+6], w[i+7], w[i+8])), 1, 15))::BIGINT AS span_h
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+              FROM words WHERE len(w) >= 8)
+    ),
+    dup AS (SELECT span_h FROM spans GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup d ON d.span_h = s.span_h),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dpos
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM marked
+    ),
+    regions AS (
+        SELECT doc_id, min(pos) AS s0,
+               max(pos) - min(pos) + 8 AS rw
+        FROM grp GROUP BY doc_id, g
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_regions,
+               CAST(sum(rw) AS BIGINT) AS dup_words,
+               CAST(max(rw) AS BIGINT) AS longest_region_words
+        FROM regions GROUP BY doc_id
+    ),
+    longest AS (
+        SELECT doc_id, s0 + 1 AS longest_region_start
+        FROM (SELECT doc_id, s0,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY rw DESC, s0) AS rk
+              FROM regions)
+        WHERE rk = 1
+    ),
+    nw AS (SELECT doc_id, len(w) AS n_words FROM words)
+    SELECT n.doc_id,
+           CAST(coalesce(p.n_regions, 0) AS BIGINT) AS n_regions,
+           CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(coalesce(p.longest_region_words, 0) AS BIGINT) AS longest_region_words,
+           CAST(coalesce(l.longest_region_start, 0) AS BIGINT) AS longest_region_start,
+           CAST(coalesce(p.dup_words, 0) * 1000000 // greatest(n.n_words, 1) AS BIGINT) / 1e6
+               AS dup_word_frac,
+           (coalesce(p.dup_words, 0) * 10 >= n.n_words * 3) AS flagged
+    FROM nw n
+    LEFT JOIN per p ON p.doc_id = n.doc_id
+    LEFT JOIN longest l ON l.doc_id = n.doc_id
+    ORDER BY n.doc_id
+    """,
+    "VARIABLE-LENGTH duplicated-substring regions (the Lee et al. 2022 "
+    "ExactSubstr cut-list, new r10 — the genuine extension of x60's "
+    "fixed-span occurrence stats): a word position is covered when its "
+    "8-gram occurs in >= 2 distinct docs, and covered windows merge into "
+    "MAXIMAL regions by gaps-and-islands (new region iff the gap between "
+    "consecutive covered starts exceeds 8 — overlapping/touching windows "
+    "fuse, so a 100-word copied paragraph reports as ONE ~100-word "
+    "region where x60 counts 93 occurrences). Per doc: region count, "
+    "exact union word coverage (never double-counted), longest region's "
+    "length and 1-based start (rank tie-break: longest then earliest), "
+    "integer-quantized coverage fraction and a 30%-coverage flag via "
+    "integer cross-multiplication. Suffix-array-free: one map-side span "
+    "kernel, one groupBy(span_h) + hash semi-join back, one "
+    "doc-partitioned window over covered positions only, and the region "
+    "rollup + per-doc stats reuse that partitioning — O(total tokens), "
+    "no iteration (region merging is a single window, not a fixpoint "
+    "loop)",
+    ("dedup", "text"),
+)
+def xd6_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    runs = dedup_ops.dup_span_runs(docs, span_words=8, min_docs=2)
+    wdoc = W.partitionBy("doc")
+    per = (
+        runs.select(
+            "doc",
+            "region_start",
+            "region_words",
+            F.count(F.lit(1)).over(wdoc).cast("long").alias("n_regions"),
+            F.sum("region_words").over(wdoc).cast("long").alias("dup_words"),
+            F.row_number()
+            .over(wdoc.orderBy(F.col("region_words").desc(), F.col("region_start")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_regions",
+            "dup_words",
+            # rank-1 row IS the longest region (earliest on ties)
+            F.col("region_words").alias("longest_region_words"),
+            F.col("region_start").alias("longest_region_start"),
+        )
+    )
+    nw = docs.select("doc_id", F.size(F.split("text", r"\s+")).alias("n_words"))
+    return (
+        nw.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_regions", F.lit(0)).cast("long").alias("n_regions"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.coalesce("longest_region_words", F.lit(0))
+            .cast("long")
+            .alias("longest_region_words"),
+            F.coalesce("longest_region_start", F.lit(0))
+            .cast("long")
+            .alias("longest_region_start"),
+            (
+                F.expr(
+                    "cast(coalesce(dup_words, 0) * 1000000 div greatest(n_words, 1) as bigint)"
+                )
+                / 1e6
+            ).alias("dup_word_frac"),
+            (F.coalesce("dup_words", F.lit(0)) * 10 >= F.col("n_words") * 3).alias(
+                "flagged"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -687,6 +687,112 @@ def banded_hamming_pairs(
     )
 
 
+def span_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_words: int = 8,
+) -> DataFrame:
+    """``(doc, pos, span_h)`` for every FULL ``span_words``-word window
+    of every document: 0-based word position plus the 60-bit portable
+    hash of the window text. Assembly is entirely MAP-SIDE (the
+    arrays_zip shifted-slice kernel shared with ``shingles``); docs
+    shorter than ``span_words`` words yield no rows. The shared span
+    source for ``dup_span_stats`` (occurrence stats) and
+    ``dup_span_runs`` (maximal duplicated regions)."""
+    w = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        w.alias("w0"),
+        *[
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, span_words)
+        ],
+    )
+    zipped = base.select(
+        "doc",
+        F.posexplode(F.arrays_zip(*[F.col(f"w{j}") for j in range(span_words)])).alias(
+            "pos", "s"
+        ),
+    )
+    cols = [F.col("s").getField(f"w{j}") for j in range(span_words)]
+    # full windows only — no partial tail (a short doc has no spans)
+    return zipped.filter(cols[-1].isNotNull()).select(
+        "doc", "pos", portable_hash(F.concat_ws(" ", *cols)).alias("span_h")
+    )
+
+
+def dup_span_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal corpus-duplicated REGIONS per document — the
+    variable-length substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    cut-list), re-expressed Spark-first: instead of a suffix array, a
+    word position is COVERED when the ``span_words``-gram starting at
+    it occurs in >= ``min_docs`` distinct documents, and the union of
+    the covered windows collapses to maximal intervals by
+    gaps-and-islands (a new region starts where the gap between
+    consecutive covered starts exceeds ``span_words`` — overlapping and
+    touching windows merge, so regions never double-count a word).
+
+    Returns one row per region: ``(doc, region_start, region_end,
+    region_words)`` with 1-based INCLUSIVE word indexes — the spans a
+    training-data pipeline would cut. ``dup_span_stats`` answers "how
+    much of this doc is duplicated 8-grams" at occurrence granularity;
+    this yields the actual variable-length regions (a 100-word copied
+    paragraph is ONE region here, 93 counted occurrences there).
+
+    Scale shape: the span stream is map-side; the duplicated-span set
+    is one groupBy(span_h) + semi-join back (both shuffle 60-bit longs,
+    never text); the islands pass is one doc-partitioned window over
+    COVERED positions only (<= the doc's own length) and the region
+    rollup reuses that partitioning exchange-free. O(total tokens),
+    never all-pairs, no iteration — region merging is a single window,
+    not a fixpoint loop."""
+    spans = track_cache(span_stream(df, text_col, id_col, span_words=span_words))
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.countDistinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span_h")
+    )
+    dpos = spans.join(dup, "span_h").select("doc", "pos")
+    wd = W.partitionBy("doc").orderBy("pos")
+    marked = dpos.select(
+        "doc",
+        "pos",
+        # first covered start of a doc: lag is NULL -> comparison NULL
+        # -> otherwise(0) on both engines (island 0)
+        F.when(F.col("pos") - F.lag("pos").over(wd) > span_words, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    grouped = marked.select(
+        "doc",
+        "pos",
+        F.sum("brk")
+        .over(wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("g"),
+    )
+    return (
+        grouped.groupBy("doc", "g")
+        .agg(F.min("pos").alias("__s0"), F.max("pos").alias("__e0"))
+        .select(
+            "doc",
+            (F.col("__s0") + 1).cast("long").alias("region_start"),
+            (F.col("__e0") + span_words).cast("long").alias("region_end"),
+            (F.col("__e0") - F.col("__s0") + span_words).cast("long").alias("region_words"),
+        )
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -715,27 +821,8 @@ def dup_span_stats(
     Docs shorter than ``span_words`` words contribute zero spans and
     report n_spans = 0, flagged = false.
     """
-    w = F.split(F.col(text_col), r"\s+")
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        w.alias("w0"),
-        *[
-            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
-            for j in range(1, span_words)
-        ],
-    )
-    zipped = base.select(
-        "doc",
-        F.posexplode(F.arrays_zip(*[F.col(f"w{j}") for j in range(span_words)])).alias(
-            "pos", "s"
-        ),
-    )
-    cols = [F.col("s").getField(f"w{j}") for j in range(span_words)]
-    # full windows only — no partial tail (a short doc has no spans)
     spans = track_cache(
-        zipped.filter(cols[-1].isNotNull()).select(
-            "doc", portable_hash(F.concat_ws(" ", *cols)).alias("span_h")
-        )
+        span_stream(df, text_col, id_col, span_words=span_words).select("doc", "span_h")
     )
     dup = (
         spans.groupBy("span_h")

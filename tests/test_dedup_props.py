@@ -72,6 +72,72 @@ def test_dup_span_stats_short_doc_is_spanless(spark):
     assert rows[3].flagged
 
 
+def test_dup_span_runs_matches_bruteforce(spark, sf_oracle):
+    """Region merging == brute-force python interval union on a bounded
+    corpus: for every doc, the maximal regions (start, end, words) from
+    the windowed gaps-and-islands pass equal a naive merge of the
+    covered 8-word windows."""
+    from dask_snowflake_spark.operators.dedup import dup_span_runs
+
+    docs = _t(spark, sf_oracle)["documents"].filter(F.col("doc_id") < 150)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    span_docs: dict[str, set] = {}
+    per_doc_starts: dict[int, list[int]] = {}
+    for d, txt in texts.items():
+        w = txt.split()
+        spans = [" ".join(w[i : i + 8]) for i in range(len(w) - 7)]
+        per_doc_starts[d] = list(range(len(spans)))
+        for i, s in enumerate(spans):
+            span_docs.setdefault(s, set()).add(d)
+    want = set()
+    for d, txt in texts.items():
+        w = txt.split()
+        covered = [
+            i
+            for i in per_doc_starts[d]
+            if len(span_docs[" ".join(w[i : i + 8])]) >= 2
+        ]
+        run: list[int] = []
+        for p in covered + [None]:
+            if run and (p is None or p - run[-1] > 8):
+                want.add((d, run[0] + 1, run[-1] + 8, run[-1] - run[0] + 8))
+                run = []
+            if p is not None:
+                run.append(p)
+    got = {
+        (r.doc, r.region_start, r.region_end, r.region_words)
+        for r in dup_span_runs(docs).collect()
+    }
+    assert got == want, (len(got), len(want))
+
+
+def test_dup_span_runs_merge_boundary(spark):
+    """The merge rule is gap <= 8 (touching windows fuse): two shared
+    8-grams 8 apart produce ONE 16-word region; 9 apart produce TWO."""
+    from dask_snowflake_spark.operators.dedup import dup_span_runs
+
+    sh1 = " ".join(f"a{i}" for i in range(8))
+    sh2 = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"{sh1} {sh2}"),           # starts 0 and 8 covered -> merge
+            (2, f"{sh1} pad {sh2}"),       # starts 0 and 9 covered -> split
+            (3, f"{sh1} x x x {sh2} tail"),  # third holder: makes sh1/sh2 corpus-duplicated
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dup_span_runs(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc, []).append((r.region_start, r.region_end, r.region_words))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc[1] == [(1, 16, 16)]
+    assert by_doc[2] == [(1, 8, 8), (10, 17, 8)]
+    assert 4 not in by_doc
+
+
 def test_incremental_near_dup_subset_of_full_pairs(spark, sf_oracle):
     """Incremental matches == exactly the full near-dup pairs that
     straddle the corpus/incoming boundary (no corpus-corpus or
