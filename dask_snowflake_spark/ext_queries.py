@@ -1560,7 +1560,7 @@ def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _scratch_dir
 
     t = _t(spark, sf_dir)
-    path = _scratch_dir("x27_orc")
+    path = _scratch_dir("x27_orc", sf_dir)
     joined = t["supplier"].join(
         F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey")
     ).select("n_nationkey", "n_name", "s_suppkey", "s_acctbal")
@@ -5989,7 +5989,7 @@ def xa3_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _scratch_dir
 
     t = _t(spark, sf_dir)
-    path = _scratch_dir("xa3_binfiles")
+    path = _scratch_dir("xa3_binfiles", sf_dir)
     # one directory per doc (partitionBy) holding exactly one text file
     # whose content is the document text + trailing newline (text sink
     # contract) — a stand-in for an image/audio asset directory tree

@@ -300,6 +300,12 @@ def pair_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact intersection counts for candidate pairs over per-doc
     shingle sets: ``(doc_a, doc_b, n_common, n_a, n_b)``.
 
+    CONTRACT: ``sh`` must be DISTINCT per (doc, shingle) — every
+    in-tree producer (``shingles``/``hashed_shingles``) guarantees it.
+    A duplicate-bearing stream would inflate ``n_a``/``n_b`` (the
+    ``count(1)`` set size) while ``array_intersect`` still dedups
+    ``n_common``, silently deflating downstream Jaccards.
+
     Verify-by-array: collect each doc's (distinct) shingles once, join
     each pair with the two arrays, and count the intersection with
     ``array_intersect`` — two doc-keyed joins, no per-candidate

@@ -1240,12 +1240,25 @@ def x04_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.join(exact, "l_returnflag").orderBy("l_returnflag")
 
 
-def _scratch_dir(name: str) -> str:
+def _scratch_dir(name: str, sf_dir: str | None = None) -> str:
     """Deterministic per-query scratch path (bounded growth — sinks use
     mode('overwrite'); uuid paths would accumulate because the returned
-    DataFrame lazily references the written files)."""
+    DataFrame lazily references the written files). When ``sf_dir`` is
+    given the path is namespaced by it (still bounded: one dir per
+    (query, fixture)), so CONCURRENT sessions running different
+    fixtures never clobber each other's read-back files — an r10
+    tri-SF parallel sweep raced three sessions on one q38_parquet dir
+    (writer A overwrote the part files reader B's plan had already
+    listed -> FILE_NOT_EXIST). Same-fixture concurrent sessions remain
+    unsupported for the file-sink queries, as for the bucketed-table
+    family (x99 namespaces per application instead and GC-probes)."""
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
     os.makedirs(base, exist_ok=True)
+    if sf_dir is not None:
+        import re as _re
+
+        slug = _re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir).strip("-")
+        name = f"{name}-{slug}"
     return os.path.join(base, name)
 
 
@@ -1268,7 +1281,7 @@ def _scratch_dir(name: str) -> str:
 )
 def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    csv_path = _scratch_dir("file_rt_csv")
+    csv_path = _scratch_dir("file_rt_csv", sf_dir)
     t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
         "overwrite"
     ).option("header", True).csv(csv_path)
@@ -1281,7 +1294,7 @@ def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("csv").alias("fmt"), F.col("o_orderstatus").alias("grp"), "n", "total")
     )
 
-    json_path = _scratch_dir("file_rt_json")
+    json_path = _scratch_dir("file_rt_json", sf_dir)
     # reuse the session-memoized registry view (one footer read per
     # session) instead of a second load_table code path
     ev = t["events"].select("event_id", "event_type", "value")
@@ -1311,7 +1324,7 @@ def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def file_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    path = _scratch_dir("q38_parquet")
+    path = _scratch_dir("q38_parquet", sf_dir)
     t["lineitem"].select("l_orderkey", "l_returnflag").write.mode("overwrite").partitionBy(
         "l_returnflag"
     ).parquet(path)
