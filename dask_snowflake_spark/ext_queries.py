@@ -9676,3 +9676,107 @@ def xd6_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_rounds_sql(rounds: int) -> str:
+    """Unrolled BPE oracle: one MATERIALIZED CTE chain per round (the
+    kcore recipe — DuckDB inlines plain CTEs, so an unrolled iteration
+    whose round N references round N-1 more than once would compile
+    2^rounds subtree copies). Replicates text.bpe_learn bit-exactly:
+    position-overlapping pair counts, (n DESC, left, right) argmax,
+    window-only greedy non-overlapping merge (odd-indexed candidates
+    per island), row_number re-densification."""
+    parts = [
+        r"""
+    WITH vocab AS MATERIALIZED (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+        ) WHERE length(w) >= 2 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+        SELECT w, cnt, i AS pos, substr(w, i::INTEGER + 1, 1) AS sym
+        FROM vocab, LATERAL unnest(range(0, length(w))) AS t(i)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+        SELECT w, cnt, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM s{r - 1}
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS n
+        FROM p{r} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt ORDER BY n DESC, sym, nxt LIMIT 1
+    ),
+    k{r} AS MATERIALIZED (
+        SELECT w, cnt, pos, sym,
+               (is_cand AND rn_cand % 2 = 1) AS keep
+        FROM (
+            SELECT w, cnt, pos, sym, is_cand,
+                   sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY w, nc ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS rn_cand
+            FROM (
+                SELECT p.w, p.cnt, p.pos, p.sym,
+                       coalesce(p.sym = b.a AND p.nxt = b.b, false) AS is_cand,
+                       sum(CASE WHEN coalesce(p.sym = b.a AND p.nxt = b.b, false)
+                                THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY p.w ORDER BY p.pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS nc
+                FROM p{r} p CROSS JOIN b{r} b
+            )
+        )
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT w, cnt,
+               row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+               CASE WHEN keep THEN (SELECT a || b FROM b{r}) ELSE sym END AS sym
+        FROM (
+            SELECT w, cnt, pos, sym, keep,
+                   lag(keep) OVER (PARTITION BY w ORDER BY pos) AS drp
+            FROM k{r}
+        )
+        WHERE NOT coalesce(drp, false)
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT {r} AS round, a AS left_sym, b AS right_sym, a || b AS merged,
+               n AS n_occurrences,
+               (SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS symbols_after
+        FROM b{r}
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    return ",".join(parts) + f"\n    {union}\n    ORDER BY round"
+
+
+@query(
+    "xd7_bpe_learn_rounds",
+    _bpe_rounds_sql(5),
+    "BPE tokenizer induction, 5 BOUNDED merge rounds (the multi-round "
+    "extension of xa0's round-1 candidate count — the r9 verdict's "
+    "named alternative flagship): per round, exact corpus-weighted "
+    "adjacent-position pair counts over the exploded VOCABULARY "
+    "(overlaps included, the Sennrich et al. 2016 reference counting), "
+    "argmax with (count DESC, left, right) deterministic tie-break, "
+    "then greedy LEFT-TO-RIGHT NON-OVERLAPPING application as a "
+    "window-only pass — candidate islands (consecutive candidates "
+    "exist only for left==right symbol runs) keep their odd-indexed "
+    "members, drop-the-successor via lag, re-densify positions with "
+    "row_number; no HOF fold, no per-round join. State is "
+    "vocabulary-bounded (corpus touched once for word counts) and "
+    "localCheckpoint-truncated per round with a one-row argmax collect "
+    "(the measured kmeans pattern — in-plan broadcast argmax re-plans "
+    "per round). Oracle = 5 unrolled MATERIALIZED CTE rounds (the "
+    "kcore recipe). Emits (round, left_sym, right_sym, merged, "
+    "n_occurrences, symbols_after); fewer rows if pairs run out — the "
+    "bounded-cap total-function posture",
+    ("text", "pipeline"),
+)
+def xd7_bpe_learn_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return text_ops.bpe_learn(t["documents"], rounds=5).orderBy("round")

@@ -356,3 +356,130 @@ def word_profile(
             )
         )
     return wc.groupBy(id_col).agg(*aggs)
+
+
+def bpe_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    rounds: int = 5,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """Bounded BPE tokenizer induction (Sennrich et al. 2016), the
+    multi-round extension of the single-round ``xa0`` candidate count:
+    learn ``rounds`` merges over the corpus-weighted VOCABULARY and
+    return one row per executed merge — ``(round, left_sym, right_sym,
+    merged, n_occurrences, symbols_after)``.
+
+    Semantics match the reference implementation exactly: pair counts
+    are per adjacent POSITION (overlaps included — "aaa" counts (a,a)
+    twice), the winner is the max count with the lexicographically
+    smallest (left, right) tie-break, and application is greedy
+    LEFT-TO-RIGHT NON-OVERLAPPING (``aaaa`` + merge (a,a) -> ``aa aa``,
+    not three overlapping merges). Fewer than ``rounds`` rows come back
+    when the vocabulary runs out of adjacent pairs first (the bounded-
+    cap posture of ``kcore_onion``: a total function both engines
+    compute identically on any input).
+
+    The greedy merge is WINDOW-ONLY — no HOF fold, no per-round join:
+    candidate positions form islands (consecutive candidates exist only
+    when left == right, i.e. runs of one symbol), and greedy keeps the
+    odd-indexed candidates of each island; a row is dropped iff its
+    predecessor was a kept merge start; positions re-densify with one
+    row_number. Everything runs on the exploded (word, pos, symbol)
+    vocabulary — O(distinct words x word length), corpus-size-free
+    after the one word-count scan, which is what makes tokenizer
+    induction feasible at 100 TB (the corpus is touched once; the
+    iteration state is vocabulary-bounded).
+
+    Per round the argmax pair is COLLECTED (one row) and re-emitted as
+    literals, and the state is localCheckpoint-truncated — the measured
+    iterative-loop pattern (an in-plan broadcast of the argmax re-plans
+    a broadcast subtree per round and benched 2-4x slower on the same
+    shape; see the kmeans counter-lesson in CLAUDE.md)."""
+    from pyspark.sql.window import Window as W
+
+    if min_word_len < 1:
+        raise ValueError(f"min_word_len must be >= 1, got {min_word_len}")
+    spark = docs.sparkSession
+    schema = (
+        "round int, left_sym string, right_sym string, merged string, "
+        "n_occurrences long, symbols_after long"
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = vocab.select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("pos", "sym"),
+    ).localCheckpoint(eager=True)
+    wo = W.partitionBy("w").orderBy("pos")
+    wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    merges: list[tuple] = []
+    for r in range(1, max(0, int(rounds)) + 1):
+        pr = state.withColumn("nxt", F.lead("sym").over(wo))
+        best = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].sym, best[0].nxt, best[0].n
+        is_cand = F.coalesce(
+            (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)), F.lit(False)
+        )
+        stepped = pr.select(
+            "w",
+            "cnt",
+            "pos",
+            "sym",
+            is_cand.alias("is_cand"),
+            # island breaker: running count of non-candidates
+            F.sum(F.when(~is_cand, 1).otherwise(0)).over(wcum).alias("nc"),
+        )
+        ranked = stepped.select(
+            "w",
+            "cnt",
+            "pos",
+            "sym",
+            # candidate index within its island (consecutive-candidate
+            # runs only arise when a == b)
+            (
+                F.col("is_cand")
+                & (
+                    F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+                    .over(
+                        W.partitionBy("w", "nc")
+                        .orderBy("pos")
+                        .rowsBetween(W.unboundedPreceding, W.currentRow)
+                    )
+                    % 2
+                    == 1
+                )
+            ).alias("keep"),
+        )
+        flagged = ranked.select(
+            "w", "cnt", "pos", "sym", "keep", F.lag("keep").over(wo).alias("drp")
+        )
+        state = (
+            flagged.filter(~F.coalesce(F.col("drp"), F.lit(False)))
+            .select(
+                "w",
+                "cnt",
+                (F.row_number().over(wo) - 1).alias("pos"),
+                F.when(F.col("keep"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append((r, a, b, a + b, int(n), state.count()))
+    return spark.createDataFrame(merges, schema)

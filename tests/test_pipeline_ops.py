@@ -131,7 +131,10 @@ def test_xa3_binaryfile_tree_memoization_is_content_fingerprinted(spark, sf_smok
     from dask_snowflake_spark.ext_queries import xa3_binaryfile_ingest
     from dask_snowflake_spark.queries import _scratch_dir
 
-    path = _scratch_dir("xa3_binfiles")
+    # r10: scratch dirs are namespaced by source fixture (concurrent
+    # sessions at different SFs raced on shared dirs), so the marker
+    # lives in the per-fixture dir
+    path = _scratch_dir("xa3_binfiles", sf_smoke)
     marker = path + ".fingerprint"
 
     first = xa3_binaryfile_ingest(spark, sf_smoke).collect()
@@ -160,3 +163,77 @@ def test_xa3_binaryfile_tree_memoization_is_content_fingerprinted(spark, sf_smok
     shutil.rmtree(path)
     rebuilt2 = xa3_binaryfile_ingest(spark, sf_smoke).collect()
     assert rebuilt2 == first and os.path.isdir(path)
+
+
+def test_bpe_learn_matches_reference_python(spark, sf_smoke):
+    """text.bpe_learn == a reference-faithful python BPE (Sennrich et
+    al.: position-overlapping pair counts, lexicographic-smallest
+    argmax tie-break, greedy left-to-right non-overlapping merge) on
+    the fixture corpus — merges, counts and symbol totals all equal."""
+    from collections import Counter
+
+    from dask_snowflake_spark.operators.text import bpe_learn
+    from dask_snowflake_spark.queries import _t
+
+    docs = _t(spark, sf_smoke)["documents"]
+    word_counts = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split():
+            if len(w) >= 2:
+                word_counts[w] += 1
+
+    def naive(rounds):
+        state = {w: list(w) for w in word_counts}
+        out = []
+        for rnd in range(1, rounds + 1):
+            stats: Counter = Counter()
+            for w, syms in state.items():
+                f = word_counts[w]
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += f
+            if not stats:
+                break
+            top = max(stats.values())
+            a, b = min(p for p, c in stats.items() if c == top)
+            for w, syms in state.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                state[w] = merged
+            out.append(
+                (rnd, a, b, a + b, top, sum(len(s) for s in state.values()))
+            )
+        return out
+
+    got = sorted(map(tuple, bpe_learn(docs, rounds=4).collect()))
+    assert got == naive(4)
+
+
+def test_bpe_learn_greedy_run_semantics(spark):
+    """The window-only greedy must match reference non-overlapping
+    left-to-right semantics on symbol RUNS: 'aaaa' + merge (a,a) ->
+    [aa, aa]; 'aaa' -> [aa, a] (one merge, not two overlapping)."""
+    from dask_snowflake_spark.operators.text import bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa ba")], "doc_id long, text string"
+    )
+    rows = {r.round: r for r in bpe_learn(df, rounds=2).collect()}
+    # round 1: (a,a) = 3 positions x cnt 2 ("aaaa") + 2 x 1 ("aaa") = 8
+    # (overlapping positions, corpus-weighted over the DISTINCT vocab);
+    # after greedy: aaaa->[aa,aa], aaa->[aa,a], ba->[b,a] — state is one
+    # row per (distinct word, symbol): 6
+    r1 = rows[1]
+    assert (r1.left_sym, r1.right_sym, r1.n_occurrences) == ("a", "a", 8)
+    assert r1.symbols_after == 6
+    # round 2: pairs now (aa,aa)=2, (aa,a)=1, (b,a)=1 -> winner (aa,aa)
+    r2 = rows[2]
+    assert (r2.left_sym, r2.right_sym, r2.merged, r2.n_occurrences) == (
+        "aa", "aa", "aaaa", 2
+    )
+    assert r2.symbols_after == 5
