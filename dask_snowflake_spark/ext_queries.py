@@ -9780,3 +9780,90 @@ def _bpe_rounds_sql(rounds: int) -> str:
 def xd7_bpe_learn_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return text_ops.bpe_learn(t["documents"], rounds=5).orderBy("round")
+
+
+# Geometric-mechanism (discrete Laplace) inverse-CDF thresholds at
+# epsilon = 1 (alpha = e^-1): P(z) = (1-a)/(1+a) * a^|z|, enumerated
+# 0, +1, -1, +2, -2, ... — cumulative mass floored to integer
+# per-million thresholds ONCE here (the xcl Poisson idiom), so query
+# time involves no transcendentals on either engine and the noise is
+# literal-exact. Tail mass past |z|=9 is 67 per 1e6 and clamps to +10.
+_GEOM_DP_CDF = [
+    (0, 462117), (1, 632120), (-1, 802123), (2, 864664), (-2, 927205),
+    (3, 950212), (-3, 973220), (4, 981684), (-4, 990148), (5, 993262),
+    (-5, 996375), (6, 997521), (-6, 998666), (7, 999088), (-7, 999509),
+    (8, 999664), (-8, 999819), (9, 999876), (-9, 999933),
+]
+
+
+def _geom_dp_case_sql(u: str) -> str:
+    whens = " ".join(f"WHEN {u} < {t} THEN {z}" for z, t in _GEOM_DP_CDF)
+    return f"CASE {whens} ELSE 10 END"
+
+
+@query(
+    "xd8_dp_geometric_release",
+    f"""
+    WITH grp AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_true
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    noise AS (
+        SELECT c_nationkey, c_mktsegment, n_true,
+               {_geom_dp_case_sql(
+                   "('0x' || substr(md5('dp:' || c_nationkey || ':' || c_mktsegment), 1, 15))::BIGINT % 1000000"
+               )} AS z
+        FROM grp
+    )
+    SELECT c_nationkey, c_mktsegment, n_true, z,
+           CASE WHEN n_true < 5 THEN -1
+                ELSE greatest(n_true + z, 0) END AS n_released,
+           (n_true < 5) AS suppressed
+    FROM noise
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    "DIFFERENTIAL-PRIVACY release mechanism (geometric / discrete "
+    "Laplace at epsilon=1, sensitivity-1 counting query) — the fourth "
+    "member of the governance family: x92/x95/xd0 AUDIT re-identification "
+    "risk, this one RELEASES the per-(nation, segment) histogram with "
+    "integer noise plus small-count suppression (n < 5 -> sentinel -1, "
+    "never a NULL BIGINT: a nullable int column degrades to float64+NaN "
+    "through BOTH engines' pandas paths). Noise is the exact geometric "
+    "inverse-CDF over literal per-million thresholds computed once in "
+    "python (the xcl Poisson idiom — no transcendentals at query time, "
+    "engine-identical bits), seeded from the portable md5 of the group "
+    "key: DETERMINISTIC by construction so oracle/rerun agree — a "
+    "production release would draw the seed from a secret, the mechanism "
+    "and plan are unchanged. Scale shape: one map-side-combinable "
+    "groupBy over the fact table; noise + suppression are per-GROUP "
+    "column expressions on the aggregate — corpus-size-free after the "
+    "rollup",
+    ("quality", "governance"),
+)
+def xd8_dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    grp = t["customer"].groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = F.pmod(
+        dedup_ops.portable_hash(
+            F.concat_ws(":", F.col("c_nationkey"), F.col("c_mktsegment")),
+            F.lit("dp"),
+        ),
+        F.lit(1_000_000),
+    )
+    z = F.lit(10)
+    for zv, thr in reversed(_GEOM_DP_CDF):
+        z = F.when(u < thr, F.lit(zv)).otherwise(z)
+    noised = grp.select("c_nationkey", "c_mktsegment", "n_true", z.alias("z"))
+    return noised.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_true",
+        "z",
+        F.when(F.col("n_true") < 5, F.lit(-1))
+        .otherwise(F.greatest(F.col("n_true") + F.col("z"), F.lit(0)))
+        .cast("long")
+        .alias("n_released"),
+        (F.col("n_true") < 5).alias("suppressed"),
+    ).orderBy("c_nationkey", "c_mktsegment")

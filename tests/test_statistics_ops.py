@@ -316,3 +316,29 @@ def test_profile_means_match_naive_quantized_mean(spark, sf_oracle):
         for r in registry()["x26_column_profile"].spark_fn(spark, sf_oracle).collect()
     }
     assert got[("l_extendedprice", "mean")] == want
+
+
+def test_geometric_dp_thresholds_match_formula():
+    """The xd8 literal per-million thresholds must equal the geometric
+    mechanism's inverse CDF at epsilon=1 (floor(cum * 1e6) over the
+    0, +1, -1, +2, -2, ... enumeration) — pins regeneration of the
+    literal table (the noise is only engine-exact because BOTH engines
+    consume these literals; a silent re-derivation drift would change
+    every released count). Also pins the documented tail: 67 per 1e6
+    past |z| = 9, clamped to +10."""
+    import math
+
+    from dask_snowflake_spark.ext_queries import _GEOM_DP_CDF
+
+    alpha = math.exp(-1.0)
+    p0 = (1 - alpha) / (1 + alpha)
+    seq = [0]
+    for k in range(1, 10):
+        seq += [k, -k]
+    cum = 0.0
+    want = []
+    for z in seq:
+        cum += p0 * (alpha ** abs(z))
+        want.append((z, math.floor(cum * 1_000_000)))
+    assert _GEOM_DP_CDF == want
+    assert 1_000_000 - _GEOM_DP_CDF[-1][1] == 67
