@@ -296,3 +296,107 @@ def test_quality_features_and_lang_id_agree_with_doc_stats(spark, sf_oracle):
             r.digit_ratio, r.mean_word_len, round(r.quality_score, 6),
         ), r.doc_id
         assert li[r.doc_id] == r.detected_lang, r.doc_id
+
+
+def test_attribution_week_bucket_join_equals_plain_join(spark):
+    """The r10 skew hardening of attribution_linear replaces the plain
+    user-keyed join with a (user, calendar-week bucket) join whose
+    touches explode to [own bucket, next]. The containment argument —
+    date(p) <= date(t) + 7 whenever p <= t + 7 days, so exactly two
+    buckets cover every admissible touch — is pinned here by running
+    BOTH shapes over randomized timestamps that straddle week-bucket
+    boundaries (midnight edges, exact 7-day gaps, sub-second
+    straddles): identical channel rollups row-for-row."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rng = random.Random(10)
+    base = dt.datetime(2024, 12, 28)  # a Saturday near a bucket edge
+    rows, eid = [], 0
+    for u in range(1, 13):
+        for _ in range(rng.randrange(2, 7)):
+            eid += 1
+            ts = base + dt.timedelta(
+                days=rng.randrange(0, 28),
+                seconds=rng.choice([0, 1, 86399, rng.randrange(86400)]),
+                microseconds=rng.choice([0, 1, 999999]),
+            )
+            rows.append((eid, u, "purchase", ts, round(rng.uniform(1, 99), 2)))
+        for _ in range(rng.randrange(3, 12)):
+            eid += 1
+            ts = base + dt.timedelta(
+                days=rng.randrange(-8, 28),
+                seconds=rng.choice([0, 86399, rng.randrange(86400)]),
+                microseconds=rng.choice([0, 999999]),
+            )
+            rows.append((eid, u, rng.choice(["click", "view"]), ts, None))
+    # exact 7-day-gap pairs (the <= boundary) and a next-bucket touch
+    eid += 1
+    rows.append((eid, 99, "click", dt.datetime(2025, 1, 6, 0, 0, 0), None))
+    eid += 1
+    rows.append((eid, 99, "purchase", dt.datetime(2025, 1, 13, 0, 0, 0), 10.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+    def rollup(bucketed):
+        pur = ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        ).select(
+            F.col("event_id").alias("pid"),
+            "user_id",
+            F.col("ts").alias("pts"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        tou = ev.filter(F.col("event_type") != "purchase").select(
+            F.col("event_id").alias("tid"),
+            "user_id",
+            F.col("ts").alias("tts"),
+            F.col("event_type").alias("channel"),
+        )
+        if bucketed:
+            wk = lambda c: F.floor(
+                F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")) / 7
+            ).cast("long")
+            pur = pur.withColumn("wk", wk(F.col("pts")))
+            tou = tou.select(
+                "tid", "user_id", "tts", "channel",
+                F.explode(F.array(wk(F.col("tts")), wk(F.col("tts")) + 1)).alias("wk"),
+            )
+            j = pur.join(tou, ["user_id", "wk"])
+        else:
+            j = pur.join(tou, "user_id")
+        j = j.filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.timestamp_diff("MICROSECOND", F.col("tts"), F.col("pts")) <= 604_800_000_000)
+        ).select(
+            "pid", "cents", "tid", "channel",
+            F.row_number()
+            .over(W.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid")))
+            .alias("rk"),
+            F.count(F.lit(1)).over(W.partitionBy("pid")).alias("n"),
+        )
+        return sorted(
+            map(
+                tuple,
+                j.groupBy("channel")
+                .agg(
+                    F.countDistinct("pid").alias("n_purchases"),
+                    F.count(F.lit(1)).alias("n_touches"),
+                    F.sum(
+                        F.expr("cents div n")
+                        + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+                    ).alias("credited_cents"),
+                )
+                .collect(),
+            )
+        )
+
+    plain, bucketed = rollup(False), rollup(True)
+    assert plain == bucketed and plain, (plain, bucketed)
+    # the constructed exact-7-day pair must be INSIDE the lookback
+    # (<= boundary) and must have crossed a bucket edge
+    assert any(r[0] == "click" for r in plain)
