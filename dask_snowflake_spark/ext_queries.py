@@ -9678,20 +9678,22 @@ def xd6_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_rounds_sql(rounds: int) -> str:
-    """Unrolled BPE oracle: one MATERIALIZED CTE chain per round (the
-    kcore recipe — DuckDB inlines plain CTEs, so an unrolled iteration
-    whose round N references round N-1 more than once would compile
-    2^rounds subtree copies). Replicates text.bpe_learn bit-exactly:
-    position-overlapping pair counts, (n DESC, left, right) argmax,
-    window-only greedy non-overlapping merge (odd-indexed candidates
-    per island), row_number re-densification."""
+def _bpe_chain_sql(rounds: int, min_len: int = 2) -> str:
+    """Unrolled BPE oracle CTE chain: one MATERIALIZED block per round
+    (the kcore recipe — DuckDB inlines plain CTEs, so an unrolled
+    iteration whose round N references round N-1 more than once would
+    compile 2^rounds subtree copies). Replicates text._bpe_iterate
+    bit-exactly: position-overlapping pair counts, (n DESC, left,
+    right) argmax, window-only greedy non-overlapping merge
+    (odd-indexed candidates per island), row_number re-densification.
+    Callers append their own final SELECT (xd7 reads the m{r} merge
+    rows; xd9 reads the converged s{rounds} state)."""
     parts = [
-        r"""
+        rf"""
     WITH vocab AS MATERIALIZED (
         SELECT w, count(*) AS cnt FROM (
             SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
-        ) WHERE length(w) >= 2 GROUP BY w
+        ) WHERE length(w) >= {min_len} GROUP BY w
     ),
     s0 AS MATERIALIZED (
         SELECT w, cnt, i AS pos, substr(w, i::INTEGER + 1, 1) AS sym
@@ -9750,8 +9752,12 @@ def _bpe_rounds_sql(rounds: int) -> str:
         FROM b{r}
     )"""
         )
+    return ",".join(parts)
+
+
+def _bpe_rounds_sql(rounds: int) -> str:
     union = "\n    UNION ALL\n    ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
-    return ",".join(parts) + f"\n    {union}\n    ORDER BY round"
+    return _bpe_chain_sql(rounds, min_len=2) + f"\n    {union}\n    ORDER BY round"
 
 
 @query(
@@ -9867,3 +9873,56 @@ def xd8_dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_released"),
         (F.col("n_true") < 5).alias("suppressed"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@query(
+    "xd9_bpe_segment_corpus",
+    _bpe_chain_sql(5, min_len=1)
+    + r"""
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.n_bpe_tokens, 0) * 1000000
+                // greatest(coalesce(p.n_chars, 0), 1) AS BIGINT) / 1e6
+               AS tokens_per_char
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+            FROM documents
+        ) ws
+        JOIN (SELECT w, CAST(count(*) AS BIGINT) AS n_tok FROM s5 GROUP BY w) wt
+          USING (w)
+        WHERE length(w) >= 1
+        GROUP BY doc_id
+    ) p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "BPE corpus SEGMENTATION with the learned merges (the consumer side "
+    "of xd7's tokenizer induction, new r10): learn the same 5 merges "
+    "(min_word_len=1 — length-1 words carry no adjacent pairs, so the "
+    "learned merges are IDENTICAL to the length>=2 vocabulary's while "
+    "the converged state now covers every word), then each word's BPE "
+    "token count is simply its symbol-row count in the converged state, "
+    "joined back to the exploded corpus stream and rolled up per "
+    "document: whitespace words, character mass, learned-subword token "
+    "count and the integer-quantized tokens-per-char ratio — the budget "
+    "metric an LLM pipeline allocates by (doc_stats' n_bpe_ish is the "
+    "fixed-regex approximation; this is the real learned segmentation). "
+    "Scale shape: the learn loop stays vocabulary-bounded; segmentation "
+    "adds ONE corpus-stream explode + a vocab-keyed equi-join (the "
+    "word->n_tok table is vocabulary-sized, broadcastable at any corpus "
+    "scale) + one doc rollup. Oracle reuses the unrolled MATERIALIZED "
+    "chain at min_len=1 and reads the converged s5 state",
+    ("text", "pipeline"),
+)
+def xd9_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return text_ops.bpe_segment(
+        t["documents"], rounds=5, min_word_len=1
+    ).orderBy("doc_id")

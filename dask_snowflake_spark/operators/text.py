@@ -397,15 +397,89 @@ def bpe_learn(
     iterative-loop pattern (an in-plan broadcast of the argmax re-plans
     a broadcast subtree per round and benched 2-4x slower on the same
     shape; see the kmeans counter-lesson in CLAUDE.md)."""
-    from pyspark.sql.window import Window as W
-
-    if min_word_len < 1:
-        raise ValueError(f"min_word_len must be >= 1, got {min_word_len}")
     spark = docs.sparkSession
     schema = (
         "round int, left_sym string, right_sym string, merged string, "
         "n_occurrences long, symbols_after long"
     )
+    merges, _state = _bpe_iterate(
+        docs, text_col, rounds=rounds, min_word_len=min_word_len
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    rounds: int = 5,
+    min_word_len: int = 1,
+) -> DataFrame:
+    """Segment the corpus with the merges ``bpe_learn`` would learn on
+    it (the consumer side of tokenizer induction): per document,
+    whitespace word count, character mass, and the BPE token count
+    under the learned subword vocabulary, plus the integer-quantized
+    tokens-per-char ratio — the budget metric an LLM-corpus pipeline
+    actually allocates by (``doc_stats``' n_bpe_ish approximates this
+    with a fixed regex; this is the real learned segmentation).
+
+    Learning defaults to ``min_word_len=1`` here: length-1 words carry
+    no adjacent pairs, so the LEARNED MERGES are identical to the
+    length>=2 vocabulary's (pair counts see only words with >= 2
+    symbols) while the final state covers every word — each word's
+    token count is then just its symbol-row count in the converged
+    state, joined back to the exploded corpus stream. One extra
+    corpus-stream aggregation beyond the vocabulary-bounded learn loop;
+    empty-text documents report zeros."""
+    _merges, state = _bpe_iterate(
+        docs, text_col, rounds=rounds, min_word_len=min_word_len
+    )
+    wt = state.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.length("w") >= min_word_len)
+    per = (
+        words.join(wt, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            (
+                F.expr(
+                    "cast(coalesce(n_bpe_tokens, 0) * 1000000 div greatest(coalesce(n_chars, 0), 1) as bigint)"
+                )
+                / 1e6
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
+def _bpe_iterate(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    rounds: int,
+    min_word_len: int,
+) -> "tuple[list[tuple], DataFrame]":
+    """The shared BPE loop: returns (merges, final state) — merges as
+    (round, left, right, merged, n_occurrences, symbols_after) tuples,
+    state as the converged (w, cnt, pos, sym) frame (checkpointed)."""
+    from pyspark.sql.window import Window as W
+
+    if min_word_len < 1:
+        raise ValueError(f"min_word_len must be >= 1, got {min_word_len}")
     vocab = (
         docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .filter(F.length("w") >= min_word_len)
@@ -482,4 +556,4 @@ def bpe_learn(
             .localCheckpoint(eager=True)
         )
         merges.append((r, a, b, a + b, int(n), state.count()))
-    return spark.createDataFrame(merges, schema)
+    return merges, state

@@ -237,3 +237,43 @@ def test_bpe_learn_greedy_run_semantics(spark):
         "aa", "aa", "aaaa", 2
     )
     assert r2.symbols_after == 5
+
+
+def test_bpe_segment_merge_identity_and_totals(spark, sf_smoke):
+    """xd9's min_word_len=1 learning claim: length-1 words carry no
+    adjacent pairs, so the learned merges equal the length>=2
+    vocabulary's exactly; and the per-doc token counts equal a python
+    re-segmentation of each document under those merges."""
+    from dask_snowflake_spark.operators.text import bpe_learn, bpe_segment
+    from dask_snowflake_spark.queries import _t
+
+    docs = _t(spark, sf_smoke)["documents"]
+    m1 = [tuple(r) for r in bpe_learn(docs, rounds=3, min_word_len=1).collect()]
+    m2 = [tuple(r) for r in bpe_learn(docs, rounds=3, min_word_len=2).collect()]
+    # merges identical; symbols_after differs by exactly the number of
+    # length-1 vocab entries (present in the min_len=1 state, absent
+    # from the min_len=2 one)
+    assert [m[:5] for m in m1] == [m[:5] for m in m2]
+
+    merges = [(m[1], m[2]) for m in m1]
+
+    def segment(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: r for r in bpe_segment(docs, rounds=3).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in r.text.split() if w]
+        assert got[r.doc_id].n_words == len(words)
+        assert got[r.doc_id].n_chars == sum(len(w) for w in words)
+        assert got[r.doc_id].n_bpe_tokens == sum(segment(w) for w in words), r.doc_id
