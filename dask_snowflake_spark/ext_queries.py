@@ -9926,3 +9926,104 @@ def xd9_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_segment(
         t["documents"], rounds=5, min_word_len=1
     ).orderBy("doc_id")
+
+
+@query(
+    "xda_target_encoding",
+    """
+    WITH rows_ AS (
+        SELECT c.c_mktsegment AS segment,
+               ('0x' || substr(md5('fold:' || o.o_orderkey), 1, 15))::BIGINT % 5 AS fold,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_fold AS (
+        SELECT segment, fold,
+               CAST(count(*) AS BIGINT) AS n_fold,
+               CAST(sum(cents) AS BIGINT) AS sum_fold
+        FROM rows_ GROUP BY segment, fold
+    ),
+    tot AS (
+        SELECT segment, fold, n_fold, sum_fold,
+               CAST(sum(n_fold) OVER (PARTITION BY segment) AS BIGINT) AS n_all,
+               CAST(sum(sum_fold) OVER (PARTITION BY segment) AS BIGINT) AS sum_all
+        FROM per_fold
+    )
+    SELECT segment, fold, n_fold,
+           n_all - n_fold AS n_oof,
+           CASE WHEN n_all - n_fold = 0 THEN 0.0
+                ELSE CAST((sum_all - sum_fold) * 100 // (n_all - n_fold) AS BIGINT) / 1e2
+           END AS oof_mean_cents,
+           CAST(sum_all * 100 // n_all AS BIGINT) / 1e2 AS full_mean_cents
+    FROM tot
+    ORDER BY segment, fold
+    """,
+    "K-FOLD TARGET ENCODING (leakage-free categorical feature prep — "
+    "the ML-pipeline companion to xck feature hashing and xab "
+    "equi-depth bucketing): each order lands in one of 5 deterministic "
+    "folds (portable md5 of the order key), and a category's encoding "
+    "for fold f is the target mean computed WITHOUT fold f's own rows "
+    "(out-of-fold: (sum_all - sum_fold) / (n_all - n_fold)) — the "
+    "standard guard against target leakage when the encoded feature "
+    "feeds a model trained on the same rows. Exact integer cents "
+    "end-to-end: per-(segment, fold) BIGINT sums, segment totals via a "
+    "window over the 25-row aggregate (never a totals self-join — the "
+    "xb9/xce rule), ONE quantized division per output value at 2dp "
+    "(cents are integral, so /1e2 of an integer division is "
+    "engine-exact), empty-complement CASE-guarded on both engines "
+    "(ANSI x/0 is an error in Spark, inf in DuckDB — the x73 rule). "
+    "Scale shape: one fact-dim equi-join (customer side broadcastable), "
+    "one map-side-combinable rollup; all window/divide work on the "
+    "|segments| x |folds| aggregate. BIGINT headroom: sum(cents) "
+    "* 100 stays under 2^63 up to ~1e9 orders; beyond that, quantize "
+    "the per-fold means first",
+    ("quality", "pipeline"),
+)
+def xda_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    # no explicit broadcast hint: customer is a DIMENSION here but not
+    # bounded by construction (unlike band/centroid tables) — AQE picks
+    # broadcast at bench SF and sort-merge when the dim outgrows the
+    # threshold, the same legitimate flip the 100x probes adjudicated
+    rows_ = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.pmod(
+                dedup_ops.portable_hash(F.col("o_orderkey").cast("string"), F.lit("fold")),
+                F.lit(5),
+            ).alias("fold"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        )
+    )
+    per_fold = rows_.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fold"),
+        F.sum("cents").cast("long").alias("sum_fold"),
+    )
+    ws = W.partitionBy("segment")
+    tot = per_fold.select(
+        "segment",
+        "fold",
+        "n_fold",
+        "sum_fold",
+        F.sum("n_fold").over(ws).cast("long").alias("n_all"),
+        F.sum("sum_fold").over(ws).cast("long").alias("sum_all"),
+    )
+    return tot.select(
+        "segment",
+        "fold",
+        "n_fold",
+        (F.col("n_all") - F.col("n_fold")).alias("n_oof"),
+        F.when(F.col("n_all") - F.col("n_fold") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("cast((sum_all - sum_fold) * 100 div (n_all - n_fold) as bigint)") / 1e2
+        )
+        .alias("oof_mean_cents"),
+        (F.expr("cast(sum_all * 100 div n_all as bigint)") / 1e2).alias("full_mean_cents"),
+    ).orderBy("segment", "fold")
