@@ -10027,3 +10027,166 @@ def xda_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("oof_mean_cents"),
         (F.expr("cast(sum_all * 100 div n_all as bigint)") / 1e2).alias("full_mean_cents"),
     ).orderBy("segment", "fold")
+
+
+@query(
+    "xdb_conformal_interval",
+    """
+    WITH rows_ AS (
+        SELECT c.c_mktsegment AS segment,
+               ('0x' || substr(md5('cp:' || o.o_orderkey), 1, 15))::BIGINT % 10 AS h,
+               o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mu AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_train,
+               CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu_cents
+        FROM rows_ WHERE h < 6 GROUP BY segment
+    ),
+    cal AS (
+        SELECT r.segment, abs(r.cents - m.mu_cents) AS resid, r.o_orderkey
+        FROM rows_ r JOIN mu m ON m.segment = r.segment
+        WHERE r.h IN (6, 7)
+    ),
+    caln AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY segment),
+    q AS (
+        SELECT c.segment, c.n_cal, r.resid AS q_cents
+        FROM caln c
+        JOIN (
+            SELECT segment, resid,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY resid, o_orderkey) AS rk
+            FROM cal
+        ) r ON r.segment = c.segment
+           AND r.rk = least((9 * (c.n_cal + 1) + 9) // 10, c.n_cal)
+    ),
+    test AS (
+        SELECT r.segment,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(r.cents - m.mu_cents) <= q.q_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM rows_ r
+        JOIN mu m ON m.segment = r.segment
+        JOIN q ON q.segment = r.segment
+        WHERE r.h >= 8
+        GROUP BY r.segment
+    )
+    SELECT m.segment, m.n_train, q.n_cal, t.n_test,
+           m.mu_cents, q.q_cents, t.n_covered,
+           CAST(t.n_covered * 1000000 // greatest(t.n_test, 1) AS BIGINT) / 1e6
+               AS coverage,
+           (t.n_covered * 10 >= t.n_test * 8) AS coverage_ok
+    FROM mu m JOIN q ON q.segment = m.segment JOIN test t ON t.segment = m.segment
+    ORDER BY m.segment
+    """,
+    "SPLIT-CONFORMAL prediction intervals with a finite-sample coverage "
+    "audit (Vovk et al. / Lei et al. split conformal — the ML-eval "
+    "family's distribution-free guarantee, next to xcl's bootstrap CI "
+    "and x73's A/B readout): a deterministic 60/20/20 hash split "
+    "(train/calibration/test) of orders; the per-segment predictor is "
+    "the train-split mean in integer cents (floor division — exact both "
+    "engines on non-negative operands); the conformal radius is the "
+    "EXACT ceil(0.9*(n_cal+1))-th smallest absolute calibration "
+    "residual, picked by a deterministic rank window (residual, "
+    "orderkey tie-break; k capped at n_cal via least, ceil as "
+    "(9*(n+1)+9)//10 on non-negative ints); held-out coverage is then "
+    "audited on the test split with an integer-quantized ratio and an "
+    "80%-floor integer cross-multiplied flag (the guarantee is >= 90% "
+    "marginal coverage in expectation; a finite test split fluctuates, "
+    "hence the loose audit floor). Scale shape: one fact-dim join, one "
+    "train rollup; the rank window runs per segment over the "
+    "CALIBRATION split only (20% of rows) — at larger scale swap the "
+    "exact order statistic for operators/quantiles' histogram path; "
+    "the (segment -> mu, q) tables are |segments| rows, broadcast by "
+    "AQE",
+    ("quality", "pipeline"),
+)
+def xdb_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    rows_ = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.pmod(
+                dedup_ops.portable_hash(F.col("o_orderkey").cast("string"), F.lit("cp")),
+                F.lit(10),
+            ).alias("h"),
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        )
+    )
+    mu = (
+        rows_.filter(F.col("h") < 6)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.expr("cast(sum(cents) as bigint) div cast(count(1) as bigint)").alias(
+                "mu_cents"
+            ),
+        )
+    )
+    cal = (
+        rows_.filter(F.col("h").isin(6, 7))
+        .join(mu.select("segment", "mu_cents"), "segment")
+        .select(
+            "segment",
+            F.abs(F.col("cents") - F.col("mu_cents")).alias("resid"),
+            "o_orderkey",
+        )
+    )
+    caln = cal.groupBy("segment").agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    ranked = cal.select(
+        "segment",
+        "resid",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("resid", "o_orderkey"))
+        .alias("rk"),
+    )
+    q = caln.join(
+        ranked,
+        (F.col("rk") == F.least(F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")))
+        & (ranked["segment"] == caln["segment"]),
+    ).select(caln["segment"], "n_cal", F.col("resid").alias("q_cents"))
+    test = (
+        rows_.filter(F.col("h") >= 8)
+        .join(mu.select("segment", "mu_cents"), "segment")
+        .join(q.select("segment", "q_cents"), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("mu_cents")) <= F.col("q_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        mu.join(q, "segment")
+        .join(test, "segment")
+        .select(
+            "segment",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "mu_cents",
+            "q_cents",
+            "n_covered",
+            (
+                F.expr("cast(n_covered * 1000000 div greatest(n_test, 1) as bigint)")
+                / 1e6
+            ).alias("coverage"),
+            (F.col("n_covered") * 10 >= F.col("n_test") * 8).alias("coverage_ok"),
+        )
+        .orderBy("segment")
+    )

@@ -342,3 +342,49 @@ def test_geometric_dp_thresholds_match_formula():
         want.append((z, math.floor(cum * 1_000_000)))
     assert _GEOM_DP_CDF == want
     assert 1_000_000 - _GEOM_DP_CDF[-1][1] == 67
+
+
+def test_conformal_interval_matches_python_replica(spark, sf_oracle):
+    """xdb's split-conformal machinery == a literal python replica on
+    the fixture: hash splits, train means (floor division), the exact
+    ceil(0.9*(n_cal+1))-th order statistic with (resid, orderkey)
+    tie-break, and held-out coverage counts."""
+    import hashlib
+
+    from dask_snowflake_spark.queries import _t, registry
+
+    t = _t(spark, sf_oracle)
+    orders = {
+        r.o_orderkey: (r.o_custkey, round(r.o_totalprice * 100))
+        for r in t["orders"].select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    }
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+
+    def bucket(k):
+        return int(hashlib.md5(f"cp:{k}".encode()).hexdigest()[:15], 16) % 10
+
+    train, cal, test = {}, {}, {}
+    for ok, (ck, cents) in orders.items():
+        s, h = seg[ck], bucket(ok)
+        d = train if h < 6 else cal if h in (6, 7) else test
+        d.setdefault(s, []).append((ok, cents))
+    want = {}
+    for s in sorted(train):
+        tr, ca, te = train[s], cal[s], test[s]
+        mu = sum(c for _, c in tr) // len(tr)
+        resids = sorted((abs(c - mu), ok) for ok, c in ca)
+        k = min((9 * (len(ca) + 1) + 9) // 10, len(ca))
+        qv = resids[k - 1][0]
+        cov = sum(1 for _, c in te if abs(c - mu) <= qv)
+        want[s] = (len(tr), len(ca), len(te), mu, qv, cov,
+                   (cov * 1_000_000 // max(len(te), 1)) / 1e6,
+                   cov * 10 >= len(te) * 8)
+    got = {
+        r.segment: (r.n_train, r.n_cal, r.n_test, r.mu_cents, r.q_cents,
+                    r.n_covered, r.coverage, r.coverage_ok)
+        for r in registry()["xdb_conformal_interval"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got == want
