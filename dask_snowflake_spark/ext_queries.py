@@ -10143,8 +10143,13 @@ def xdb_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     caln = cal.groupBy("segment").agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    # the rank frame renames its key: both frames derive from `cal`, so
+    # a bare segment == segment condition carries one expression id and
+    # leans on Spark's dataset-id self-join disambiguation (it resolves
+    # correctly today but warns "trivially true equals predicate" — an
+    # engine-version change in that resolution would silently cross-join)
     ranked = cal.select(
-        "segment",
+        F.col("segment").alias("__rseg"),
         "resid",
         F.row_number()
         .over(W.partitionBy("segment").orderBy("resid", "o_orderkey"))
@@ -10153,8 +10158,8 @@ def xdb_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = caln.join(
         ranked,
         (F.col("rk") == F.least(F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")))
-        & (ranked["segment"] == caln["segment"]),
-    ).select(caln["segment"], "n_cal", F.col("resid").alias("q_cents"))
+        & (F.col("__rseg") == F.col("segment")),
+    ).select("segment", "n_cal", F.col("resid").alias("q_cents"))
     test = (
         rows_.filter(F.col("h") >= 8)
         .join(mu.select("segment", "mu_cents"), "segment")
