@@ -10195,3 +10195,143 @@ def xdb_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# nDCG@10 positional discount weights: floor(1e9 / log2(rank + 1)),
+# computed ONCE here (the xd8 literal-table idiom — both engines
+# consume the identical integer literals, no query-time logarithms;
+# formula-pinned in tests/test_statistics_ops.py).
+_NDCG_W = [
+    1000000000, 630929753, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464876, 301029995, 289064826,
+]
+
+
+def _ndcg_w_case_sql(rk: str) -> str:
+    whens = " ".join(f"WHEN {rk} = {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+    return f"CASE {whens} ELSE 0 END"
+
+
+@query(
+    "xdc_ndcg_ranking_eval",
+    f"""
+    WITH per AS (
+        SELECT n.n_name, s.s_suppkey,
+               CAST(sum(round(l.l_extendedprice * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))) AS BIGINT) AS rev,
+               CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+    ),
+    graded AS (
+        SELECT n_name, s_suppkey, rev,
+               4 - ntile(4) OVER (PARTITION BY n_name
+                                  ORDER BY n_orders DESC, s_suppkey) AS rel
+        FROM per
+    ),
+    ranked AS (
+        SELECT n_name,
+               (CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) AS gain,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY rev DESC, s_suppkey) AS sys_rk,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY rel DESC, s_suppkey) AS ideal_rk
+        FROM graded
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(gain AS BIGINT) * {_ndcg_w_case_sql("sys_rk")}) AS BIGINT) AS dcg_q,
+           CAST(sum(CAST(gain AS BIGINT) * {_ndcg_w_case_sql("ideal_rk")}) AS BIGINT) AS idcg_q,
+           CASE WHEN CAST(sum(CAST(gain AS BIGINT) * {_ndcg_w_case_sql("ideal_rk")}) AS BIGINT) = 0
+                THEN 0.0
+                ELSE CAST(CAST(sum(CAST(gain AS BIGINT) * {_ndcg_w_case_sql("sys_rk")}) AS BIGINT) * 1000000
+                          // CAST(sum(CAST(gain AS BIGINT) * {_ndcg_w_case_sql("ideal_rk")}) AS BIGINT)
+                          AS BIGINT) / 1e6
+           END AS ndcg_at_10
+    FROM ranked GROUP BY n_name ORDER BY n_name
+    """,
+    "nDCG@10 RANKING EVALUATION (the IR-eval closer for the ranking "
+    "family — x91 Borda and xco RRF PRODUCE rankings, x63 BM25 scores "
+    "relevance; nothing evaluated one until now): per nation, the "
+    "'system' ranks suppliers by exact revenue cents and is judged "
+    "against graded relevance = the supplier's order-reach quartile "
+    "(ntile(4), deterministic (n_orders DESC, suppkey) tie-break; "
+    "gains 2^rel - 1 in {{0,1,3,7}}). DCG and ideal-DCG are EXACT "
+    "integer dot products: positional discounts floor(1e9/log2(rk+1)) "
+    "are LITERAL integers computed once in python (the xd8 threshold "
+    "idiom; formula-pinned) — no query-time logarithms on either "
+    "engine — and nDCG is ONE quantized division with a zero-IDCG "
+    "CASE guard. Scale shape: one fact rollup (supplier/nation dims "
+    "join AQE-chosen), three windows + one groupBy on the "
+    "(nation x supplier) AGGREGATE — corpus-size-free after the "
+    "rollup; revenue kept exact via the integer-cents discount "
+    "product (cents * (100 - disc_pct), the r8 FIFTH-latent-safe "
+    "form)",
+    ("quality", "analytics"),
+)
+def xdc_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    per = (
+        t["lineitem"]
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"].select("n_nationkey", "n_name"),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "round(l_extendedprice * (100 - cast(round(l_discount * 100) as bigint)))"
+                )
+            )
+            .cast("long")
+            .alias("rev"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    wn = W.partitionBy("n_name")
+    graded = per.select(
+        "n_name",
+        "s_suppkey",
+        "rev",
+        (
+            F.lit(4)
+            - F.ntile(4).over(wn.orderBy(F.col("n_orders").desc(), "s_suppkey"))
+        ).alias("rel"),
+    )
+    ranked = graded.select(
+        "n_name",
+        F.when(F.col("rel") == 3, 7)
+        .when(F.col("rel") == 2, 3)
+        .when(F.col("rel") == 1, 1)
+        .otherwise(0)
+        .alias("gain"),
+        F.row_number().over(wn.orderBy(F.col("rev").desc(), "s_suppkey")).alias("sys_rk"),
+        F.row_number().over(wn.orderBy(F.col("rel").desc(), "s_suppkey")).alias("ideal_rk"),
+    )
+
+    def w_of(rk):
+        # LONG literals: gain * 1e9-scale weights overflow a 32-bit
+        # product under ANSI before the sum widens
+        expr = F.lit(0).cast("long")
+        for i, w in reversed(list(enumerate(_NDCG_W))):
+            expr = F.when(F.col(rk) == i + 1, F.lit(w).cast("long")).otherwise(expr)
+        return expr
+
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("gain").cast("long") * w_of("sys_rk")).cast("long").alias("dcg_q"),
+        F.sum(F.col("gain").cast("long") * w_of("ideal_rk")).cast("long").alias("idcg_q"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        "dcg_q",
+        "idcg_q",
+        F.when(F.col("idcg_q") == 0, F.lit(0.0))
+        .otherwise(F.expr("cast(dcg_q * 1000000 div idcg_q as bigint)") / 1e6)
+        .alias("ndcg_at_10"),
+    ).orderBy("n_name")

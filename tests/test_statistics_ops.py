@@ -388,3 +388,17 @@ def test_conformal_interval_matches_python_replica(spark, sf_oracle):
         for r in registry()["xdb_conformal_interval"].spark_fn(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+def test_ndcg_weights_match_formula():
+    """xdc's literal positional discounts must equal
+    floor(1e9 / log2(rank + 1)) for ranks 1..10 — pins regeneration of
+    the literal table both engines consume (no query-time logarithms)."""
+    import math
+
+    from dask_snowflake_spark.ext_queries import _NDCG_W
+
+    assert _NDCG_W == [
+        math.floor(1_000_000_000 / math.log2(i + 1)) for i in range(1, 11)
+    ]
+    assert len(_NDCG_W) == 10 and _NDCG_W[0] == 1_000_000_000
