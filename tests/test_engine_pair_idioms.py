@@ -435,3 +435,44 @@ def test_count_ratio_round6_engine_identical(spark):
     # 0.039062, engines 0.039063)
     assert round(20 / 512, 6) == 0.039062 and srows[0].j == 0.039063
     assert diverged_from_python >= 1
+
+
+def test_ntile_engine_identical_on_ragged_groups(spark):
+    """xdc grades relevance with ntile(4) — the SQL-standard 'larger
+    buckets first' split. Pin that Spark and DuckDB (and the naive
+    definition: bucket b gets n//k + 1 rows while b <= n % k) agree for
+    every ragged group size 1..13 and for k in {3, 4, 5}, with a
+    deterministic ORDER BY — fixture-independent (the driver hash only
+    proves agreement on sizes the fixture happens to produce)."""
+    rows = []
+    for n in range(1, 14):
+        for i in range(n):
+            rows.append((n, i))
+    pdf = pd.DataFrame(rows, columns=["grp", "i"])
+    for k in (3, 4, 5):
+        got_spark = {
+            (r.grp, r.i): r.nt
+            for r in spark.createDataFrame(pdf)
+            .selectExpr(
+                "grp", "i", f"ntile({k}) over (partition by grp order by i) as nt"
+            )
+            .collect()
+        }
+        got_duck = {
+            (g, i): nt
+            for g, i, nt in _duck(
+                pdf,
+                f"SELECT grp, i, ntile({k}) OVER (PARTITION BY grp ORDER BY i) "
+                "FROM t",
+            )
+        }
+        want = {}
+        for n in range(1, 14):
+            sizes = [n // k + (1 if b < n % k else 0) for b in range(k)]
+            pos = 0
+            for b, sz in enumerate(sizes, start=1):
+                for _ in range(sz):
+                    want[(n, pos)] = b
+                    pos += 1
+        assert got_spark == want, f"spark ntile({k})"
+        assert got_duck == want, f"duckdb ntile({k})"
