@@ -10335,3 +10335,146 @@ def xdc_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("cast(dcg_q * 1000000 div idcg_q as bigint)") / 1e6)
         .alias("ndcg_at_10"),
     ).orderBy("n_name")
+
+
+@query(
+    "xdd_cuped_ab_readout",
+    """
+    WITH base AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('cuped:' || user_id), 1, 15))::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                             AND day(ts) <= 15 THEN CAST(floor(value) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                             AND day(ts) > 15 THEN CAST(floor(value) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM base
+    ),
+    th AS (
+        SELECT nn, sx, sy,
+               nn * sxy - sx * sy AS c_num,
+               nn * sxx - sx * sx AS d_den,
+               nn * syy - sy * sy AS y_den
+        FROM pooled
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sx_a,
+               CAST(sum(y) AS BIGINT) AS sy_a
+        FROM base GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.sx_a, a.sy_a,
+           a.sy_a / a.n_users AS mean_y,
+           CASE WHEN t.d_den = 0 THEN a.sy_a / a.n_users
+                ELSE a.sy_a / a.n_users
+                     - (t.c_num / t.d_den) * (a.sx_a / a.n_users - t.sx / t.nn)
+           END AS adjusted_mean_y,
+           CASE WHEN t.d_den = 0 THEN 0.0
+                ELSE (t.c_num / t.d_den) END AS theta,
+           CASE WHEN t.d_den = 0 OR t.y_den = 0 THEN 0.0
+                ELSE (t.c_num / t.d_den) * (t.c_num / t.y_den) END AS var_reduction
+    FROM arms a CROSS JOIN th t
+    ORDER BY a.arm
+    """,
+    "CUPED variance-reduced A/B readout (Deng et al. 2013 — the "
+    "experimentation family's continuous-metric upgrade: x73 reads out "
+    "binary conversion proportions, this adjusts a REVENUE metric with "
+    "each user's own pre-period behavior): per user, x = pre-period "
+    "(day<=15) and y = experiment-period (day>15) purchase dollars "
+    "(floor(value) — exact integers both engines, no halfway rounding), "
+    "theta = cov(x,y)/var(x) from POOLED exact BIGINT sums (c_num = "
+    "N*Sxy - Sx*Sy over d_den = N*Sxx - Sx^2), and per-arm adjusted "
+    "mean = mean_y - theta*(mean_x_arm - mean_x_pooled). Every division "
+    "is exact-BIGINT in / exact-BIGINT out to IEEE doubles in ONE fixed "
+    "expression tree mirrored verbatim in the oracle — the x37/xce "
+    "idiom: correctly-rounded ops over identical integers give "
+    "bit-identical doubles, so the raw doubles ship unrounded. "
+    "var_reduction = rho^2 = c_num^2/(d_den*y_den) reported alongside "
+    "(the fraction of metric variance CUPED removes). Degenerate "
+    "zero-variance denominators CASE-guarded on both engines (x73 "
+    "rule). BIGINT headroom: N*Sxy at dollar scale fits to ~1e5 users "
+    "x 1e4-dollar user totals; beyond that pre-scale the covariate. "
+    "Scale shape: one user rollup, one 2-row arm rollup, pooled sums "
+    "ride a broadcast one-row cross join — corpus-size-free after the "
+    "first aggregation",
+    ("events", "analytics", "quality"),
+)
+def xdd_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    is_purch = (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    base = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_purch & (F.dayofmonth("ts") <= 15), F.expr("cast(floor(value) as bigint)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(is_purch & (F.dayofmonth("ts") > 15), F.expr("cast(floor(value) as bigint)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(
+            F.pmod(dedup_ops.portable_hash(F.col("user_id").cast("string"), F.lit("cuped")), F.lit(2)) == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    pooled = base.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    th = pooled.select(
+        "nn",
+        "sx",
+        "sy",
+        (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("c_num"),
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("d_den"),
+        (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")).alias("y_den"),
+    )
+    arms = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx_a"),
+        F.sum("y").cast("long").alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(th))
+    mean_y = F.col("sy_a") / F.col("n_users")
+    theta = F.col("c_num") / F.col("d_den")
+    return j.select(
+        "arm",
+        "n_users",
+        "sx_a",
+        "sy_a",
+        mean_y.alias("mean_y"),
+        F.when(F.col("d_den") == 0, mean_y)
+        .otherwise(
+            mean_y - theta * (F.col("sx_a") / F.col("n_users") - F.col("sx") / F.col("nn"))
+        )
+        .alias("adjusted_mean_y"),
+        F.when(F.col("d_den") == 0, F.lit(0.0)).otherwise(theta).alias("theta"),
+        F.when((F.col("d_den") == 0) | (F.col("y_den") == 0), F.lit(0.0))
+        .otherwise(theta * (F.col("c_num") / F.col("y_den")))
+        .alias("var_reduction"),
+    ).orderBy("arm")

@@ -402,3 +402,48 @@ def test_ndcg_weights_match_formula():
         math.floor(1_000_000_000 / math.log2(i + 1)) for i in range(1, 11)
     ]
     assert len(_NDCG_W) == 10 and _NDCG_W[0] == 1_000_000_000
+
+
+def test_cuped_readout_matches_python_replica(spark, sf_oracle):
+    """xdd's CUPED machinery == a literal python replica: hash arms,
+    per-user floor-dollar pre/post sums, pooled theta from exact
+    integer sums, per-arm adjusted means computed in the identical
+    expression order (doubles must match EXACTLY — every operation is
+    correctly rounded over exact integers on all three evaluators)."""
+    import hashlib
+    import math
+
+    from dask_snowflake_spark.queries import _t, registry
+
+    ev = _t(spark, sf_oracle)["events"]
+    per = {}
+    for r in ev.select("user_id", "event_type", "ts", "value").collect():
+        u = per.setdefault(r.user_id, [0, 0])
+        if r.event_type == "purchase" and r.value is not None:
+            d = r.ts.day
+            u[0 if d <= 15 else 1] += math.floor(r.value)
+    arm = lambda u: "A" if int(hashlib.md5(f"cuped:{u}".encode()).hexdigest()[:15], 16) % 2 == 0 else "B"
+    nn = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    syy = sum(y * y for _, y in per.values())
+    c_num, d_den, y_den = nn * sxy - sx * sy, nn * sxx - sx * sx, nn * syy - sy * sy
+    want = {}
+    for a in ("A", "B"):
+        us = [v for u, v in per.items() if arm(u) == a]
+        n_a = len(us)
+        sx_a, sy_a = sum(x for x, _ in us), sum(y for _, y in us)
+        mean_y = sy_a / n_a
+        theta = c_num / d_den
+        adj = mean_y - theta * (sx_a / n_a - sx / nn)
+        want[a] = (n_a, sx_a, sy_a, mean_y, adj, theta, theta * (c_num / y_den))
+    got = {
+        r.arm: (r.n_users, r.sx_a, r.sy_a, r.mean_y, r.adjusted_mean_y,
+                r.theta, r.var_reduction)
+        for r in registry()["xdd_cuped_ab_readout"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got == want
+    # CUPED must actually reduce variance on this fixture (theta != 0)
+    assert all(v[6] > 0 for v in want.values())
