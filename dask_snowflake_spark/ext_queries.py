@@ -10478,3 +10478,118 @@ def xdd_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(theta * (F.col("c_num") / F.col("y_den")))
         .alias("var_reduction"),
     ).orderBy("arm")
+
+
+@query(
+    "xde_dup_region_apply",
+    r"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+    spans AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5('0:' || concat_ws(' ', w[i+1], w[i+2], w[i+3],
+                    w[i+4], w[i+5], w[i+6], w[i+7], w[i+8])), 1, 15))::BIGINT AS span_h
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+              FROM words WHERE len(w) >= 8)
+    ),
+    dup AS (SELECT span_h FROM spans GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup d ON d.span_h = s.span_h),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dpos
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM marked
+    ),
+    regions AS (
+        SELECT doc_id, min(pos) + 1 AS r_start, max(pos) + 8 AS r_end
+        FROM grp GROUP BY doc_id, g
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(range(r_start, r_end + 1)) AS wp
+        FROM regions
+    ),
+    stream AS (
+        SELECT doc_id, i + 1 AS wp, w[i+1] AS word
+        FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM words)
+        WHERE length(w[i+1]) >= 1
+    ),
+    kept AS (
+        SELECT s.doc_id, s.wp, s.word
+        FROM stream s LEFT JOIN covered c ON c.doc_id = s.doc_id AND c.wp = s.wp
+        WHERE c.wp IS NULL
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(word, ' ' ORDER BY wp), '')) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ),
+    nw AS (SELECT doc_id, len(w) AS n_words FROM words)
+    SELECT n.doc_id,
+           CAST(n.n_words AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n.n_words - coalesce(p.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(p.cleaned_md5, md5('')) AS cleaned_md5
+    FROM nw n LEFT JOIN per p ON p.doc_id = n.doc_id
+    ORDER BY n.doc_id
+    """,
+    "DUPLICATED-REGION APPLICATION (the cut step that completes the "
+    "Lee et al. pipeline — xd6 finds the maximal regions, this REMOVES "
+    "them and value-checks the surviving text): every word position "
+    "inside any maximal duplicated region is cut from every holder (the "
+    "conservative both-copies policy — a keep-one policy needs a "
+    "canonical owner per region, which overlapping region sets make "
+    "ill-defined; pipelines wanting keep-one apply doc-level dedup "
+    "first, dedup_apply), and the CLEANED document is verified by md5 "
+    "of the kept words joined in position order — the hash proves the "
+    "reconstruction (order, spacing, completeness), not just the "
+    "counts. Covered positions come from exploding each region's "
+    "bounded word range (equi-join against the word stream — never a "
+    "per-doc range join); empty survivors coalesce to md5('') on both "
+    "engines (DuckDB string_agg over zero rows is NULL where Spark's "
+    "array_join is '' — the r5 rule). Scale shape: xd6's plan plus one "
+    "positions explode bounded by total duplicated words, one word-"
+    "stream anti-join on (doc, pos), one ordered per-doc rollup",
+    ("dedup", "text", "pipeline"),
+)
+def xde_dup_region_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    runs = dedup_ops.dup_span_runs(docs, span_words=8, min_docs=2)
+    covered = runs.select(
+        "doc",
+        F.explode(F.expr("sequence(region_start, region_end)")).alias("wp"),
+    ).distinct()
+    w = F.split(F.col("text"), r"\s+")
+    stream = (
+        docs.select(F.col("doc_id").alias("doc"), F.posexplode(w).alias("i", "word"))
+        .filter(F.length("word") >= 1)
+        .select("doc", (F.col("i") + 1).alias("wp"), "word")
+    )
+    kept = stream.join(covered, ["doc", "wp"], "left_anti")
+    per = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(sort_array(collect_list(struct(wp, word))), x -> x.word)"),
+            )
+        ).alias("cleaned_md5"),
+    )
+    nw = docs.select(F.col("doc_id").alias("doc"), F.size(w).alias("n_words"))
+    return (
+        nw.join(per, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -311,3 +311,50 @@ def test_lsh_bands_rejects_remainder(spark):
     bad = spark.createDataFrame([(1, [11, 22, 33])], "doc long, sig array<int>")
     with pytest.raises(Exception, match="must divide"):
         lsh_bands(bad, 2).count()
+
+
+def test_dup_region_apply_matches_python_cut(spark, sf_oracle):
+    """xde's cut == a python replica: remove every word inside any
+    maximal duplicated region (both copies), md5 the survivors joined
+    in order — counts AND reconstruction hashes equal per doc."""
+    import hashlib
+
+    from dask_snowflake_spark.queries import registry
+
+    docs = _t(spark, sf_oracle)["documents"]
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    span_docs: dict[str, set] = {}
+    for d, txt in texts.items():
+        w = txt.split()
+        for i in range(len(w) - 7):
+            span_docs.setdefault(" ".join(w[i : i + 8]), set()).add(d)
+    import re
+
+    want = {}
+    for d, txt in texts.items():
+        w = re.split(r"\s+", txt) if txt else [""]
+        covered = set()
+        starts = [
+            i
+            for i in range(max(len(w) - 7, 0))
+            if len(span_docs.get(" ".join(w[i : i + 8]), ())) >= 2
+        ]
+        run = []
+        for p in starts + [None]:
+            if run and (p is None or p - run[-1] > 8):
+                covered.update(range(run[0], run[-1] + 8))
+                run = []
+            if p is not None:
+                run.append(p)
+        keptw = [t for i, t in enumerate(w) if i not in covered and len(t) >= 1]
+        want[d] = (
+            len(w),
+            len(keptw),
+            len(w) - len(keptw),
+            hashlib.md5(" ".join(keptw).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_kept, r.n_removed, r.cleaned_md5)
+        for r in registry()["xde_dup_region_apply"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got == want
