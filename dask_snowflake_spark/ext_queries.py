@@ -540,7 +540,7 @@ def x97_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "asof_join_events",
+    "xdh_asof_join_events",
     """
     WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
     purchases AS (
@@ -559,7 +559,7 @@ def x97_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as-of join: each click annotated with the user's most recent purchase at-or-before it (union-window implementation, one shuffle)",
     ("join", "asof"),
 )
-def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdh_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -7279,7 +7279,7 @@ def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "market_share_q8",
+    "xdf_market_share_q8",
     """
     WITH rev AS (
         SELECT year(o.o_orderdate) AS yr,
@@ -7323,7 +7323,7 @@ def xb8_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape that holds when lineitem is 100 TB",
     ("relational", "join", "analytics"),
 )
-def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdf_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     rev = (
         t["lineitem"]
@@ -7828,7 +7828,7 @@ def xcf_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "waiting_orders_blame",
+    "xdg_waiting_orders_blame",
     """
     WITH li AS (
         SELECT l.l_orderkey, l.l_suppkey,
@@ -7864,7 +7864,7 @@ def xcf_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rewrite, not just the arithmetic",
     ("lineitem", "orders", "supplier", "relational", "join"),
 )
-def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdg_waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -9546,7 +9546,7 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xd6_dup_span_runs",
+    "dedup_span_regions",
     r"""
     WITH words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
     spans AS (
@@ -9623,7 +9623,7 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "loop)",
     ("dedup", "text"),
 )
-def xd6_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -9876,7 +9876,7 @@ def xd8_dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xd9_bpe_segment_corpus",
+    "bpe_segment_corpus",
     _bpe_chain_sql(5, min_len=1)
     + r"""
     SELECT d.doc_id,
@@ -9921,7 +9921,7 @@ def xd8_dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chain at min_len=1 and reads the converged s5 state",
     ("text", "pipeline"),
 )
-def xd9_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return text_ops.bpe_segment(
         t["documents"], rounds=5, min_word_len=1
@@ -10030,7 +10030,7 @@ def xda_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xdb_conformal_interval",
+    "conformal_interval",
     """
     WITH rows_ AS (
         SELECT c.c_mktsegment AS segment,
@@ -10103,7 +10103,7 @@ def xda_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AQE",
     ("quality", "pipeline"),
 )
-def xdb_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -10481,7 +10481,7 @@ def xdd_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xde_dup_region_apply",
+    "dedup_region_apply",
     r"""
     WITH words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
     spans AS (
@@ -10557,7 +10557,7 @@ def xdd_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream anti-join on (doc, pos), one ordered per-doc rollup",
     ("dedup", "text", "pipeline"),
 )
-def xde_dup_region_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_region_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     docs = t["documents"]
     runs = dedup_ops.dup_span_runs(docs, span_words=8, min_docs=2)

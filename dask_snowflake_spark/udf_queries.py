@@ -162,7 +162,7 @@ def fn_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fn_udf_table_function",
+    "xdi_fn_udf_table_function",
     """
     WITH n AS (SELECT o_orderkey, floor(o_totalprice / 50000)::BIGINT AS n_chunks FROM orders
                WHERE o_orderkey < 500),
@@ -174,7 +174,7 @@ def fn_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python UDTF: one row per 50k price chunk of each order (lateral table function)",
     ("udf",),
 )
-def fn_udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdi_fn_udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     @F.udtf(returnType="o_orderkey bigint, chunk bigint, chunk_floor bigint")

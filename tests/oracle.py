@@ -154,7 +154,7 @@ def _canon_pd_cell(v: Any) -> str:
         # pd.NaT passes isinstance(dt.datetime) but NOT pd.Timestamp,
         # so it lands here: without the isna check it rendered "NaT" —
         # not "NULL" — and a None-vs-NaT representational split (which
-        # the driver's hash provably tolerates: asof_join_events ships
+        # the driver's hash provably tolerates: xdh_asof_join_events ships
         # NULL timestamps driver-green) would false-fail the gate
         if pd.isna(v):
             return "NULL"

@@ -355,6 +355,6 @@ def test_dup_region_apply_matches_python_cut(spark, sf_oracle):
         )
     got = {
         r.doc_id: (r.n_words, r.n_kept, r.n_removed, r.cleaned_md5)
-        for r in registry()["xde_dup_region_apply"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["dedup_region_apply"].spark_fn(spark, sf_oracle).collect()
     }
     assert got == want

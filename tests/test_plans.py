@@ -456,7 +456,7 @@ def test_market_share_scans_each_table_once(spark, sf_oracle):
     cartesian anywhere."""
     import re
 
-    p = plan(registry()["market_share_q8"].spark_fn(spark, sf_oracle))
+    p = plan(registry()["xdf_market_share_q8"].spark_fn(spark, sf_oracle))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 8, p
     assert p.count("BroadcastHashJoin") >= 5, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
@@ -542,7 +542,7 @@ def test_blame_query_has_no_fact_self_join(spark, sf_oracle):
     correlated self-joins must not appear."""
     import re
 
-    p = plan(registry()["waiting_orders_blame"].spark_fn(spark, sf_oracle))
+    p = plan(registry()["xdg_waiting_orders_blame"].spark_fn(spark, sf_oracle))
     assert len(re.findall(r"Location: [^\n]*lineitem", p)) == 1, p
     assert "Window" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

@@ -37,11 +37,21 @@ def test_priority_window_covers_every_surface():
     # and pipeline_llm_corpus) to make room for the r9 flagships
     # governance_t_closeness (ex-xd0), attribution_linear (ex-xd1) and
     # changepoint_cusum (ex-xd2).
+    # r11 rotation: market_share_q8 -> xdf_ (multi-table join + window
+    # share ride driver-green q04/xce-shape rows), waiting_orders_blame
+    # -> xdg_ (pre-agg + semi/anti shapes ride q05 and window rows),
+    # asof_join_events -> xdh_ (driver-green r3-r10; the as-of mechanism
+    # also runs in x23's forward twin), fn_udf_table_function -> xdi_
+    # (UDTF driver-green r4-r10; three fn_udf_ rows stay in-window) to
+    # make room for the r10 flagships: dedup_span_regions (ex-xd6) +
+    # dedup_region_apply (ex-xde) — the Lee-et-al. substring-dedup
+    # pipeline — bpe_segment_corpus (ex-xd9, exercises the bounded BPE
+    # loop AND the corpus join) and conformal_interval (ex-xdb).
     prefixes = (
-        "ann_", "asof_", "attribution_", "changepoint_", "connector_",
-        "dedup_", "doc_", "file_", "flow_", "fn_udf_", "governance_",
-        "graph_", "market_", "mm_", "pipeline_", "profile_",
-        "q0", "q1", "q2", "waiting_",
+        "ann_", "attribution_", "bpe_", "changepoint_", "conformal_",
+        "connector_", "dedup_", "doc_", "file_", "flow_", "fn_udf_",
+        "governance_", "graph_", "mm_", "pipeline_", "profile_",
+        "q0", "q1", "q2",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

@@ -385,7 +385,7 @@ def test_conformal_interval_matches_python_replica(spark, sf_oracle):
     got = {
         r.segment: (r.n_train, r.n_cal, r.n_test, r.mu_cents, r.q_cents,
                     r.n_covered, r.coverage, r.coverage_ok)
-        for r in registry()["xdb_conformal_interval"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["conformal_interval"].spark_fn(spark, sf_oracle).collect()
     }
     assert got == want
 
