@@ -9687,7 +9687,19 @@ def _bpe_chain_sql(rounds: int, min_len: int = 2) -> str:
     right) argmax, window-only greedy non-overlapping merge
     (odd-indexed candidates per island), row_number re-densification.
     Callers append their own final SELECT (xd7 reads the m{r} merge
-    rows; xd9 reads the converged s{rounds} state)."""
+    rows; bpe_segment_corpus reads the converged s{rounds} state).
+
+    Convergence-stable (r11, ADVICE fix): the per-round broadcast of
+    the argmax pair is a LEFT JOIN b{r} ON true, NOT a cross join — if
+    the corpus runs out of adjacent pairs before `rounds` (b{r}
+    empty), each p row gets NULL a/b, `coalesce(sym=a AND nxt=b,
+    false)` marks nothing, and s{r} passes s{r-1} through unchanged
+    while m{r} stays empty — exactly text._bpe_iterate's early `break`
+    (it keeps the converged state and stops emitting merges). A cross
+    join would instead empty the whole s{r}..s{rounds} chain and
+    report zero tokens for every doc. Pinned engine-pair on a
+    converges-in-one-round corpus in
+    tests/test_engine_pair_idioms.py."""
     parts = [
         rf"""
     WITH vocab AS MATERIALIZED (
@@ -9730,7 +9742,7 @@ def _bpe_chain_sql(rounds: int, min_len: int = 2) -> str:
                            OVER (PARTITION BY p.w ORDER BY p.pos
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            AS nc
-                FROM p{r} p CROSS JOIN b{r} b
+                FROM p{r} p LEFT JOIN b{r} b ON true
             )
         )
     ),

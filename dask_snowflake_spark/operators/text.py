@@ -371,12 +371,16 @@ def bpe_learn(
     return one row per executed merge — ``(round, left_sym, right_sym,
     merged, n_occurrences, symbols_after)``.
 
-    Semantics match the reference implementation exactly: pair counts
-    are per adjacent POSITION (overlaps included — "aaa" counts (a,a)
-    twice), the winner is the max count with the lexicographically
-    smallest (left, right) tie-break, and application is greedy
+    Counting and application semantics follow Sennrich's released
+    ``learn_bpe``: pair counts are per adjacent POSITION (overlaps
+    included — "aaa" counts (a,a) twice), and application is greedy
     LEFT-TO-RIGHT NON-OVERLAPPING (``aaaa`` + merge (a,a) -> ``aa aa``,
-    not three overlapping merges). Fewer than ``rounds`` rows come back
+    not three overlapping merges). The count-TIE break is a
+    deterministic in-repo convention — lexicographically SMALLEST
+    (left, right) — not the Sennrich reference's (their
+    ``max(stats, key=...)`` picks the lexicographically greatest pair
+    on ties); it is mirrored exactly by the oracle chain and the
+    in-repo python replica, which is what the tests pin. Fewer than ``rounds`` rows come back
     when the vocabulary runs out of adjacent pairs first (the bounded-
     cap posture of ``kcore_onion``: a total function both engines
     compute identically on any input).

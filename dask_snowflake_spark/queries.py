@@ -1255,10 +1255,18 @@ def _scratch_dir(name: str, sf_dir: str | None = None) -> str:
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
     os.makedirs(base, exist_ok=True)
     if sf_dir is not None:
+        import hashlib as _hashlib
         import re as _re
 
-        slug = _re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir).strip("-")
-        name = f"{name}-{slug}"
+        # abspath-normalize then suffix a short path hash: the bare
+        # slug maps '_' and '/' to the same '-', so distinct fixture
+        # dirs (or relative vs absolute spellings of ONE dir) could
+        # collide/split the namespace (r11 ADVICE) — the hash makes the
+        # mapping injective while the slug keeps paths readable.
+        apath = os.path.abspath(sf_dir)
+        slug = _re.sub(r"[^A-Za-z0-9.]+", "-", apath).strip("-")
+        digest = _hashlib.md5(apath.encode()).hexdigest()[:8]
+        name = f"{name}-{slug}-{digest}"
     return os.path.join(base, name)
 
 

@@ -476,3 +476,53 @@ def test_ntile_engine_identical_on_ragged_groups(spark):
                     pos += 1
         assert got_spark == want, f"spark ntile({k})"
         assert got_duck == want, f"duckdb ntile({k})"
+
+
+def test_bpe_chain_early_convergence_engine_identical(spark):
+    """r11 ADVICE fix pin: the unrolled BPE oracle chain must be a
+    TOTAL function of the corpus — when adjacent pairs run out before
+    round 5, text._bpe_iterate breaks and keeps the converged state,
+    and the oracle's per-round LEFT JOIN b{r} ON true passes s{r-1}
+    through unchanged (a CROSS JOIN against the empty argmax would
+    empty the whole s{r}..s5 chain and report zero tokens for every
+    doc — unreachable on current fixtures, i.e. an xb6-class
+    fixture-luck agreement until pinned here)."""
+    import duckdb as _duckdb
+
+    from dask_snowflake_spark.operators import text as text_ops
+    from dask_snowflake_spark.queries import registry
+
+    # converges in ONE round: only "ab" carries a pair; after merging
+    # (a,b) no word has two symbols left.  Includes an empty-text doc
+    # (zeros path) and a length-1 word.
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b ab", "a", ""]}
+    )
+    docs = spark.createDataFrame(pdf)
+
+    merges, state = text_ops._bpe_iterate(
+        docs, "text", rounds=5, min_word_len=1
+    )
+    assert [m[:4] for m in merges] == [(1, "a", "b", "ab")]
+    assert sorted(
+        (r.w, r.pos, r.sym) for r in state.collect()
+    ) == [("a", 0, "a"), ("ab", 0, "ab"), ("b", 0, "b")]
+
+    got_spark = sorted(
+        map(tuple, text_ops.bpe_segment(docs, rounds=5).collect())
+    )
+    con = _duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        got_duck = sorted(
+            map(tuple, con.execute(registry()["bpe_segment_corpus"].oracle).fetchall())
+        )
+    finally:
+        con.close()
+    want = [
+        (1, 3, 4, 3, 0.75),
+        (2, 1, 1, 1, 1.0),
+        (3, 0, 0, 0, 0.0),
+    ]
+    assert got_spark == want
+    assert got_duck == want
