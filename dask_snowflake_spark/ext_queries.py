@@ -10229,7 +10229,8 @@ def _ndcg_w_case_sql(rk: str) -> str:
     f"""
     WITH per AS (
         SELECT n.n_name, s.s_suppkey,
-               CAST(sum(round(l.l_extendedprice * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))) AS BIGINT) AS rev,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev,
                CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -10277,9 +10278,15 @@ def _ndcg_w_case_sql(rk: str) -> str:
     "CASE guard. Scale shape: one fact rollup (supplier/nation dims "
     "join AQE-chosen), three windows + one groupBy on the "
     "(nation x supplier) AGGREGATE — corpus-size-free after the "
-    "rollup; revenue kept exact via the integer-cents discount "
-    "product (cents * (100 - disc_pct), the r8 FIFTH-latent-safe "
-    "form)",
+    "rollup; revenue (the system's internal sort key) kept exact via "
+    "the integer-cents discount product: per-row round(price*100) and "
+    "round(disc*100) each quantize a value whose TRUE magnitude is an "
+    "integer (never near a half), then cents * (100 - disc_pct) "
+    "multiplies and sums pure BIGINTs — the r8 FIFTH-latent-safe form, "
+    "no float ever rounded at its own precision (r11 review: an "
+    "earlier draft rounded the float product price*(100-d), which is "
+    "provably engine-identical for non-negative values but "
+    "float-bearing; the integer form needs no proof)",
     ("quality", "analytics"),
 )
 def xdc_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10296,7 +10303,8 @@ def xdc_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.expr(
-                    "round(l_extendedprice * (100 - cast(round(l_discount * 100) as bigint)))"
+                    "cast(round(l_extendedprice * 100) as bigint)"
+                    " * (100 - cast(round(l_discount * 100) as bigint))"
                 )
             )
             .cast("long")

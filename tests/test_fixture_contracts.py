@@ -311,3 +311,19 @@ def test_event_ts_is_non_null(sf_dir: str) -> None:
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
     n_null = tbl["ts"].null_count
     assert not n_null, f"{n_null} NULL event timestamps at {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_documents_text_is_non_null(sf_dir: str) -> None:
+    """Every text operator splits documents.text and most count the
+    resulting words; a NULL text would diverge the engines at the very
+    first step — Spark's size(split(NULL)) is -1 (legacy sizeOfNull)
+    where DuckDB's len(regexp_split_to_array(NULL)) is NULL — so
+    dedup_region_apply's n_words (and every downstream word count)
+    agrees only while text is NON-NULL (r11 adversarial review of the
+    xde family). If a regenerated fixture introduces NULL text, add
+    explicit ``text IS NOT NULL`` filters (or coalesce to '') on BOTH
+    sides of every text query instead of widening this contract."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    n_null = tbl["text"].null_count
+    assert not n_null, f"{n_null} NULL document texts at {sf_dir}"
