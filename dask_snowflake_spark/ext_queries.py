@@ -9678,7 +9678,9 @@ def dedup_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_chain_sql(rounds: int, min_len: int = 2) -> str:
+def _bpe_chain_sql(
+    rounds: int, min_len: int = 2, source: str = "documents", prelude: str = ""
+) -> str:
     """Unrolled BPE oracle CTE chain: one MATERIALIZED block per round
     (the kcore recipe — DuckDB inlines plain CTEs, so an unrolled
     iteration whose round N references round N-1 more than once would
@@ -9702,9 +9704,9 @@ def _bpe_chain_sql(rounds: int, min_len: int = 2) -> str:
     tests/test_engine_pair_idioms.py."""
     parts = [
         rf"""
-    WITH vocab AS MATERIALIZED (
+    WITH {prelude}vocab AS MATERIALIZED (
         SELECT w, count(*) AS cnt FROM (
-            SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM {source}
         ) WHERE length(w) >= {min_len} GROUP BY w
     ),
     s0 AS MATERIALIZED (
@@ -9770,6 +9772,113 @@ def _bpe_chain_sql(rounds: int, min_len: int = 2) -> str:
 def _bpe_rounds_sql(rounds: int) -> str:
     union = "\n    UNION ALL\n    ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
     return _bpe_chain_sql(rounds, min_len=2) + f"\n    {union}\n    ORDER BY round"
+
+
+def _bpe_encode_sql(rounds: int) -> str:
+    """Frozen-table BPE ENCODE oracle: the learn chain runs over the
+    TRAIN hash-split only (prelude CTEs + source='train'), then an
+    encode chain (e0..e{rounds}) applies each learned pair b{r} — in
+    rank order — to the HELDOUT split's word state with the same
+    island-merge blocks. Rank-order application equals the classic
+    min-rank loop for a formation-ordered table (see text.bpe_encode);
+    every pair join is LEFT JOIN ON true so rounds past convergence
+    pass the state through unchanged (the r11 convergence rule)."""
+    prelude = r"""train AS MATERIALIZED (
+        SELECT * FROM documents
+        WHERE ('0x' || substr(md5('bpe_enc:' || doc_id), 1, 15))::BIGINT % 5 < 4
+    ),
+    held AS MATERIALIZED (
+        SELECT * FROM documents
+        WHERE ('0x' || substr(md5('bpe_enc:' || doc_id), 1, 15))::BIGINT % 5 = 4
+    ),
+    """
+    parts = [
+        _bpe_chain_sql(rounds, min_len=1, source="train", prelude=prelude),
+        r"""
+    e0 AS MATERIALIZED (
+        SELECT w, cnt, i AS pos, substr(w, i::INTEGER + 1, 1) AS sym
+        FROM (
+            SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM held
+            ) WHERE length(w) >= 1 GROUP BY w
+        ), LATERAL unnest(range(0, length(w))) AS t(i)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    ep{r} AS MATERIALIZED (
+        SELECT w, cnt, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM e{r - 1}
+    ),
+    ek{r} AS MATERIALIZED (
+        SELECT w, cnt, pos, sym,
+               (is_cand AND rn_cand % 2 = 1) AS keep
+        FROM (
+            SELECT w, cnt, pos, sym, is_cand,
+                   sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY w, nc ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS rn_cand
+            FROM (
+                SELECT p.w, p.cnt, p.pos, p.sym,
+                       coalesce(p.sym = b.a AND p.nxt = b.b, false) AS is_cand,
+                       sum(CASE WHEN coalesce(p.sym = b.a AND p.nxt = b.b, false)
+                                THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY p.w ORDER BY p.pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS nc
+                FROM ep{r} p LEFT JOIN b{r} b ON true
+            )
+        )
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT w, cnt,
+               row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+               CASE WHEN keep THEN (SELECT a || b FROM b{r}) ELSE sym END AS sym
+        FROM (
+            SELECT w, cnt, pos, sym, keep,
+                   lag(keep) OVER (PARTITION BY w ORDER BY pos) AS drp
+            FROM ek{r}
+        )
+        WHERE NOT coalesce(drp, false)
+    )"""
+        )
+    parts.append(
+        f"""
+    wt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(CASE WHEN length(sym) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_merged
+        FROM e{rounds} GROUP BY w
+    )"""
+    )
+    final = r"""
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.n_merged_tokens, 0) AS BIGINT) AS n_merged_tokens,
+           CAST(coalesce(p.n_bpe_tokens, 0) * 1000000
+                // greatest(coalesce(p.n_words, 0), 1) AS BIGINT) / 1e6
+               AS tokens_per_word
+    FROM held d
+    LEFT JOIN (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(n_merged) AS BIGINT) AS n_merged_tokens
+        FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+            FROM held
+        ) ws
+        JOIN wt USING (w)
+        WHERE length(w) >= 1
+        GROUP BY doc_id
+    ) p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+    return ",".join(parts) + final
 
 
 @query(
@@ -10613,3 +10722,45 @@ def dedup_region_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "xdj_bpe_encode_frozen",
+    _bpe_encode_sql(5),
+    "FROZEN-TABLE BPE ENCODING of unseen text (the r10 verdict's named "
+    "flagship — the production encode path xd7/bpe_segment_corpus left "
+    "open: segmentation joins the training corpus to its OWN converged "
+    "state, while a shipped tokenizer applies a frozen priority-ranked "
+    "merge table to text the learner never saw): documents hash-split "
+    "80/20 (portable md5, the x19 idiom); 5 merges learned on the TRAIN "
+    "split only (text._bpe_iterate); the heldout split is encoded by "
+    "applying the frozen pairs as 5 rank-ordered literal-pair window "
+    "passes (text.bpe_encode) — rank order equals the classic min-rank "
+    "apply loop because a formation-ordered table's pairs containing a "
+    "merged symbol always rank later (min-rank-loop python replica "
+    "pinned). Per heldout doc: words, BPE tokens, MERGED tokens (length "
+    ">= 2 — proof the frozen table fired on unseen text), quantized "
+    "tokens-per-word. Scale shape: learning stays vocabulary-bounded on "
+    "the train split; the frozen apply is COLLECT-FREE — k literal-pair "
+    "island passes all partitioned by w (ONE exchange for the whole "
+    "chain, no checkpoints — contrast the learn loop's per-round "
+    "argmax), then one vocab-sized broadcastable token-count join and "
+    "one doc rollup. Oracle: the learn chain over the train split plus "
+    "an e0..e5 encode chain with LEFT JOIN ON true pair broadcasts "
+    "(rounds past convergence pass state through — the r11 rule)",
+    ("text", "pipeline"),
+)
+def xdj_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    bucket = F.pmod(
+        dedup_ops.portable_hash(F.col("doc_id").cast("string"), F.lit("bpe_enc")),
+        F.lit(5),
+    )
+    train = docs.filter(bucket < 4)
+    held = docs.filter(bucket == 4)
+    merges, _state = text_ops._bpe_iterate(
+        train, "text", rounds=5, min_word_len=1
+    )
+    pairs = [(m[1], m[2]) for m in merges]
+    return text_ops.bpe_encode(held, pairs).orderBy("doc_id")

@@ -470,6 +470,95 @@ def bpe_segment(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_word_len: int = 1,
+) -> DataFrame:
+    """Encode text under a FROZEN, priority-ranked BPE merge table —
+    the production tokenizer path: ``bpe_learn`` induces the table
+    once, then every inference/data pipeline applies it to text the
+    learner never saw. Per document: whitespace word count, BPE token
+    count under the frozen table, how many of those tokens are MERGED
+    subwords (length >= 2 — proof the table actually fired on unseen
+    text), and the integer-quantized tokens-per-word ratio.
+
+    The classic apply algorithm (Sennrich's ``apply_bpe``/HF BPE) loops
+    "merge all occurrences of the LOWEST-RANK pair present, repeat".
+    Applying the table ONCE PER RANK IN RANK ORDER is exactly
+    equivalent **for a formation-ordered table** (any BPE-learned
+    table): a merge can only create new adjacencies THROUGH its merged
+    symbol, and every table pair containing that symbol was necessarily
+    learned later — so a pass can never resurrect an earlier rank.
+    That equivalence is what makes the frozen path collect-free: k
+    bounded :func:`_merge_pass` window passes with LITERAL pairs, all
+    partitioned by ``w`` — ONE exchange for the whole chain, no
+    driver action, no checkpoint (contrast ``bpe_learn``, whose
+    per-round argmax forces a collect). The property is pinned against
+    a min-rank-loop python replica in tests/test_pipeline_ops.py.
+
+    Scale shape: encoding runs on the DISTINCT-word vocabulary
+    (bounded by vocab x word length, corpus-size-free), then one
+    vocab-sized (broadcastable) token-count join back to the corpus
+    stream and one per-doc rollup — the bpe_segment shape. An EMPTY
+    merge table is legal and means character-level tokenization (zero
+    merges), keeping the operator a total function like the oracle
+    chain — a corpus whose training split carries no adjacent pairs
+    degrades to char tokens on both engines."""
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = vocab.select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("pos", "sym"),
+    )
+    for a, b in merges:
+        state = _merge_pass(state, a, b)
+    wt = state.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.length("sym") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_merged"),
+    )
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.length("w") >= min_word_len)
+    per = (
+        words.join(wt, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_merged").cast("long").alias("n_merged_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.coalesce("n_merged_tokens", F.lit(0)).alias("n_merged_tokens"),
+            (
+                F.expr(
+                    "cast(coalesce(n_bpe_tokens, 0) * 1000000 div greatest(coalesce(n_words, 0), 1) as bigint)"
+                )
+                / 1e6
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
 def _bpe_iterate(
     docs: DataFrame,
     text_col: str,
@@ -513,51 +602,65 @@ def _bpe_iterate(
         if not best:
             break
         a, b, n = best[0].sym, best[0].nxt, best[0].n
-        is_cand = F.coalesce(
-            (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)), F.lit(False)
-        )
-        stepped = pr.select(
-            "w",
-            "cnt",
-            "pos",
-            "sym",
-            is_cand.alias("is_cand"),
-            # island breaker: running count of non-candidates
-            F.sum(F.when(~is_cand, 1).otherwise(0)).over(wcum).alias("nc"),
-        )
-        ranked = stepped.select(
-            "w",
-            "cnt",
-            "pos",
-            "sym",
-            # candidate index within its island (consecutive-candidate
-            # runs only arise when a == b)
-            (
-                F.col("is_cand")
-                & (
-                    F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
-                    .over(
-                        W.partitionBy("w", "nc")
-                        .orderBy("pos")
-                        .rowsBetween(W.unboundedPreceding, W.currentRow)
-                    )
-                    % 2
-                    == 1
-                )
-            ).alias("keep"),
-        )
-        flagged = ranked.select(
-            "w", "cnt", "pos", "sym", "keep", F.lag("keep").over(wo).alias("drp")
-        )
-        state = (
-            flagged.filter(~F.coalesce(F.col("drp"), F.lit(False)))
-            .select(
-                "w",
-                "cnt",
-                (F.row_number().over(wo) - 1).alias("pos"),
-                F.when(F.col("keep"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        state = _merge_pass(state, a, b).localCheckpoint(eager=True)
         merges.append((r, a, b, a + b, int(n), state.count()))
     return merges, state
+
+
+def _merge_pass(state: DataFrame, a: str, b: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of the LITERAL
+    pair (a, b) over an exploded ``(w, cnt, pos, sym)`` state — the
+    xd7 island kernel: candidate positions form islands (consecutive
+    candidates only arise for a == b symbol runs), greedy keeps the
+    odd-indexed candidate of each island, a row is dropped iff its
+    predecessor was a kept merge start, and positions re-densify with
+    one row_number. Pure window composition over the ``w`` partition
+    key — no action, no checkpoint; chaining k passes (frozen-table
+    encoding) stays a single exchange."""
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("w").orderBy("pos")
+    wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pr = state.withColumn("nxt", F.lead("sym").over(wo))
+    is_cand = F.coalesce(
+        (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)), F.lit(False)
+    )
+    stepped = pr.select(
+        "w",
+        "cnt",
+        "pos",
+        "sym",
+        is_cand.alias("is_cand"),
+        # island breaker: running count of non-candidates
+        F.sum(F.when(~is_cand, 1).otherwise(0)).over(wcum).alias("nc"),
+    )
+    ranked = stepped.select(
+        "w",
+        "cnt",
+        "pos",
+        "sym",
+        # candidate index within its island (consecutive-candidate
+        # runs only arise when a == b)
+        (
+            F.col("is_cand")
+            & (
+                F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+                .over(
+                    W.partitionBy("w", "nc")
+                    .orderBy("pos")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                % 2
+                == 1
+            )
+        ).alias("keep"),
+    )
+    flagged = ranked.select(
+        "w", "cnt", "pos", "sym", "keep", F.lag("keep").over(wo).alias("drp")
+    )
+    return flagged.filter(~F.coalesce(F.col("drp"), F.lit(False))).select(
+        "w",
+        "cnt",
+        (F.row_number().over(wo) - 1).alias("pos"),
+        F.when(F.col("keep"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+    )

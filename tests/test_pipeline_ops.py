@@ -277,3 +277,73 @@ def test_bpe_segment_merge_identity_and_totals(spark, sf_smoke):
         assert got[r.doc_id].n_words == len(words)
         assert got[r.doc_id].n_chars == sum(len(w) for w in words)
         assert got[r.doc_id].n_bpe_tokens == sum(segment(w) for w in words), r.doc_id
+
+
+def _min_rank_apply(word: str, rank: dict) -> list:
+    """Reference frozen-table BPE apply (Sennrich apply_bpe / HF BPE):
+    loop 'merge ALL occurrences of the lowest-rank pair present,
+    greedy left-to-right; repeat until no pair is in the table'."""
+    syms = list(word)
+    while len(syms) >= 2:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = [p for p in pairs if p in rank]
+        if not ranked:
+            break
+        a, b = min(ranked, key=lambda p: rank[p])
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def test_bpe_encode_matches_min_rank_loop_replica(spark):
+    """text.bpe_encode applies the frozen table ONCE PER RANK IN RANK
+    ORDER; the production algorithm loops on the MIN-RANK pair present.
+    They are equal for formation-ordered tables (a merge only creates
+    adjacencies through its merged symbol, whose containing pairs rank
+    later) — pin that equivalence on a corpus where a LOWER rank's
+    output feeds a HIGHER rank ((a,a) then (aa,a)), on symbol runs, on
+    unseen characters, and on an empty-ish doc."""
+    from dask_snowflake_spark.operators.text import _bpe_iterate, bpe_encode
+
+    train = spark.createDataFrame(
+        [(1, "aaa aaa aa a"), (2, "aaa bc")], "doc_id long, text string"
+    )
+    merges, _ = _bpe_iterate(train, "text", rounds=5, min_word_len=1)
+    pairs = [(m[1], m[2]) for m in merges]
+    # the table must exercise the chained-rank case for the pin to
+    # mean anything
+    assert ("a", "a") in pairs and any(a == "aa" or b == "aa" for a, b in pairs)
+    rank = {p: i for i, p in enumerate(pairs)}
+
+    held = spark.createDataFrame(
+        [
+            (10, "aaaaa aaaa zzz"),   # run longer than any train word + unseen char
+            (11, "bca aab"),          # unseen words from seen chars
+            (12, "q"),                # single unseen char
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bpe_encode(held, pairs).collect()}
+
+    for doc_id, text in [(10, "aaaaa aaaa zzz"), (11, "bca aab"), (12, "q")]:
+        words = [w for w in text.split() if w]
+        toks = [t for w in words for t in _min_rank_apply(w, rank)]
+        n_merged = sum(1 for t in toks if len(t) >= 2)
+        r = got[doc_id]
+        assert (r.n_words, r.n_bpe_tokens, r.n_merged_tokens) == (
+            len(words), len(toks), n_merged
+        ), f"doc {doc_id}: {list(r)} vs replica {len(words)},{len(toks)},{n_merged}"
+        assert r.tokens_per_word == (len(toks) * 1_000_000 // max(len(words), 1)) / 1e6
+
+    # zero-merge table == character tokenizer (total-function contract)
+    char_rows = {r.doc_id: r for r in bpe_encode(held, []).collect()}
+    assert char_rows[12].n_bpe_tokens == 1
+    assert char_rows[10].n_bpe_tokens == len("aaaaa") + len("aaaa") + len("zzz")
+    assert all(r.n_merged_tokens == 0 for r in char_rows.values())
