@@ -10764,3 +10764,157 @@ def xdj_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = [(m[1], m[2]) for m in merges]
     return text_ops.bpe_encode(held, pairs).orderBy("doc_id")
+
+
+@query(
+    "xdk_dsir_importance_selection",
+    r"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+        FROM documents
+    ),
+    tgt_docs AS (SELECT doc_id, 1 AS t FROM documents WHERE lang = 'en'),
+    vocab AS (
+        SELECT w.word,
+               CAST(count(*) AS BIGINT) AS cs,
+               CAST(count(t.t) AS BIGINT) AS ct
+        FROM words w LEFT JOIN tgt_docs t ON t.doc_id = w.doc_id
+        GROUP BY w.word
+    ),
+    tot AS (
+        SELECT CAST(sum(cs) AS BIGINT) AS ns,
+               CAST(sum(ct) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS v
+        FROM vocab
+    ),
+    q AS (
+        SELECT word,
+               CAST(floor(ln(((ct + 1) * (ns + v)) / CAST((cs + 1) * (nt + v) AS DOUBLE))
+                          * 1000000) AS BIGINT) AS q
+        FROM vocab CROSS JOIN tot
+    ),
+    per AS (
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(q.q) AS BIGINT) AS imp_q
+        FROM words w JOIN q ON q.word = w.word
+        GROUP BY w.doc_id
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    ranked AS (
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.imp_q, 0) AS BIGINT) AS imp_q,
+               row_number() OVER (ORDER BY coalesce(p.imp_q, 0) DESC, d.doc_id)
+                   AS sel_rank
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    )
+    SELECT r.doc_id, r.lang, r.n_words, r.imp_q,
+           CAST(r.sel_rank AS BIGINT) AS sel_rank,
+           r.sel_rank * 5 <= n.n_docs AS selected
+    FROM ranked r CROSS JOIN nd n
+    ORDER BY r.doc_id
+    """,
+    "DSIR-STYLE IMPORTANCE SELECTION (Xie et al. 2023, Data Selection "
+    "via Importance Resampling — the data-SELECTION gap in the pipeline "
+    "family: x66 scores fluency against the corpus's own unigram LM, "
+    "data_mixture resamples to target LANGUAGE proportions; this "
+    "selects documents whose unigram feature distribution matches a "
+    "TARGET domain): target = the English subcorpus, source = the full "
+    "corpus; per-word importance = ln(p_target(w)/p_source(w)) under "
+    "add-one smoothing over the joint vocabulary, quantized to SIGNED "
+    "integer micro-nats ONCE at the vocab level (the x66 idiom — "
+    "per-doc sums are then exact integers no summation order can "
+    "flip; floor on the signed value is engine-identical given "
+    "identical doubles, and no symmetric threshold touches individual "
+    "q values — the r6 magnitude rule concerns thresholds, not "
+    "ranking); the ln argument is ONE division of two exact BIGINT "
+    "products (single rounding, fixture-pinned clear of floor "
+    "boundaries like x66/x68/xb3); per-doc importance = exact integer "
+    "sum, selection = top-20% by (importance DESC, doc_id) with the "
+    "quota as an integer cross-multiplication (rank*5 <= n_docs, "
+    "broadcast one-row count fold). Scale shape: vocab stats via ONE "
+    "agg over a broadcast-marked left join (count(1) + count(marker), "
+    "the decontaminate idiom), vocab-sized broadcastable q join back "
+    "to the word stream, one doc rollup; the global rank window runs "
+    "over the DOC-level aggregate — swap in the quantile-histogram "
+    "threshold (xab) at corpus scales where that window matters. "
+    "BIGINT headroom: (ct+1)*(ns+v) at ~1e9 tokens is ~1e18 — near "
+    "the edge; at larger corpora split the ln into "
+    "ln(ct+1)-ln(cs+1)+ln(ns+v)-ln(nt+v) (docstring-noted, not needed "
+    "at fixture scale)",
+    ("text", "pipeline", "quality"),
+)
+def xdk_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    words = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+    tgt = (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .withColumn("__t", F.lit(1))
+    )
+    vocab = (
+        words.join(F.broadcast(tgt), "doc_id", "left")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cs"),
+            F.count("__t").cast("long").alias("ct"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("cs").cast("long").alias("ns"),
+        F.sum("ct").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    q = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("ns") + F.col("v")))
+                / ((F.col("cs") + 1) * (F.col("nt") + F.col("v")))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    per = (
+        words.join(F.broadcast(q), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("q").cast("long").alias("imp_q"),
+        )
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("imp_q", F.lit(0)).cast("long").alias("imp_q"),
+        )
+        .withColumn(
+            "sel_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("imp_q").desc(), "doc_id"))
+            .cast("long"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "imp_q",
+            "sel_rank",
+            (F.col("sel_rank") * 5 <= F.col("n_docs")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

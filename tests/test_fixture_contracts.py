@@ -327,3 +327,26 @@ def test_documents_text_is_non_null(sf_dir: str) -> None:
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
     n_null = tbl["text"].null_count
     assert not n_null, f"{n_null} NULL document texts at {sf_dir}"
+
+
+def test_xdk_dsir_terms_away_from_boundaries() -> None:
+    """xdk quantizes the SIGNED per-word importance
+    floor(ln(((ct+1)(ns+v))/((cs+1)(nt+v))) * 1e6) once at the vocab
+    level; every term must sit clear of an integer boundary at the
+    oracle-compare SF so the engines' libm cannot floor apart (the
+    x66/x68/xb3 contract class)."""
+    tbl = _documents_sf001()
+    vocab_s: Counter[str] = Counter()
+    vocab_t: Counter[str] = Counter()
+    for lang, text in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        ws = re.split(r"\s+", text)
+        vocab_s.update(ws)
+        if lang == "en":
+            vocab_t.update(ws)
+    ns, nt, v = sum(vocab_s.values()), sum(vocab_t.values()), len(vocab_s)
+    terms = []
+    for w, cs in vocab_s.items():
+        ct = vocab_t.get(w, 0)
+        scaled = math.log(((ct + 1) * (ns + v)) / ((cs + 1) * (nt + v))) * 1_000_000
+        terms.append((w, scaled))
+    _assert_clear(terms, "xdk dsir importance")
