@@ -9774,12 +9774,14 @@ def _bpe_rounds_sql(rounds: int) -> str:
     return _bpe_chain_sql(rounds, min_len=2) + f"\n    {union}\n    ORDER BY round"
 
 
-def _bpe_encode_sql(rounds: int) -> str:
-    """Frozen-table BPE ENCODE oracle: the learn chain runs over the
-    TRAIN hash-split only (prelude CTEs + source='train'), then an
-    encode chain (e0..e{rounds}) applies each learned pair b{r} — in
-    rank order — to the HELDOUT split's word state with the same
-    island-merge blocks. Rank-order application equals the classic
+def _bpe_encode_chain_sql(rounds: int) -> str:
+    """Frozen-table BPE ENCODE oracle chain (shared by xdj and xdl —
+    the _bpe_chain_sql consumer-appends-final pattern): the learn chain
+    runs over the TRAIN hash-split only (prelude CTEs +
+    source='train'), then an encode chain (e0..e{rounds}) applies each
+    learned pair b{r} — in rank order — to the HELDOUT split's word
+    state with the same island-merge blocks, ending in a `wt`
+    word->token-count CTE. Rank-order application equals the classic
     min-rank loop for a formation-ordered table (see text.bpe_encode);
     every pair join is LEFT JOIN ON true so rounds past convergence
     pass the state through unchanged (the r11 convergence rule)."""
@@ -9854,16 +9856,11 @@ def _bpe_encode_sql(rounds: int) -> str:
         FROM e{rounds} GROUP BY w
     )"""
     )
-    final = r"""
-    SELECT d.doc_id,
-           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
-           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
-           CAST(coalesce(p.n_merged_tokens, 0) AS BIGINT) AS n_merged_tokens,
-           CAST(coalesce(p.n_bpe_tokens, 0) * 1000000
-                // greatest(coalesce(p.n_words, 0), 1) AS BIGINT) / 1e6
-               AS tokens_per_word
-    FROM held d
-    LEFT JOIN (
+    return ",".join(parts)
+
+
+# per-doc rollup of the encode chain, shared by both finals
+_BPE_ENCODE_PER_DOC = r"""
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
@@ -9875,10 +9872,54 @@ def _bpe_encode_sql(rounds: int) -> str:
         JOIN wt USING (w)
         WHERE length(w) >= 1
         GROUP BY doc_id
+"""
+
+
+def _bpe_encode_sql(rounds: int) -> str:
+    return (
+        _bpe_encode_chain_sql(rounds)
+        + r"""
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.n_merged_tokens, 0) AS BIGINT) AS n_merged_tokens,
+           CAST(coalesce(p.n_bpe_tokens, 0) * 1000000
+                // greatest(coalesce(p.n_words, 0), 1) AS BIGINT) / 1e6
+               AS tokens_per_word
+    FROM held d
+    LEFT JOIN ("""
+        + _BPE_ENCODE_PER_DOC
+        + r"""
     ) p ON p.doc_id = d.doc_id
     ORDER BY d.doc_id
     """
-    return ",".join(parts) + final
+    )
+
+
+def _bpe_fertility_sql(rounds: int) -> str:
+    return (
+        _bpe_encode_chain_sql(rounds)
+        + r"""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(p.n_bpe_tokens, 0)) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(p.n_merged_tokens, 0)) AS BIGINT) AS n_merged,
+           CAST(sum(coalesce(p.n_bpe_tokens, 0)) * 1000000
+                // greatest(sum(coalesce(p.n_words, 0)), 1) AS BIGINT) / 1e6
+               AS fertility,
+           CAST(sum(coalesce(p.n_merged_tokens, 0)) * 1000000
+                // greatest(sum(coalesce(p.n_bpe_tokens, 0)), 1) AS BIGINT) / 1e6
+               AS merged_frac
+    FROM held d
+    LEFT JOIN ("""
+        + _BPE_ENCODE_PER_DOC
+        + r"""
+    ) p ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+    )
 
 
 @query(
@@ -10917,4 +10958,70 @@ def xdk_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("sel_rank") * 5 <= F.col("n_docs")).alias("selected"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "xdl_bpe_fertility_by_lang",
+    _bpe_fertility_sql(5),
+    "TOKENIZER FERTILITY BY LANGUAGE (the standard tokenizer-evaluation "
+    "readout, consumer of xdj's frozen-table encode path): the same "
+    "80/20 split and 5 train-split merges, heldout docs encoded under "
+    "the frozen table, then rolled up PER LANGUAGE — docs, words, "
+    "tokens, merged-subword tokens, fertility (tokens per word) and "
+    "merged fraction, both integer-quantized ratios of exact BIGINT "
+    "sums. A corpus-level fertility table is how multilingual "
+    "pipelines detect a tokenizer starving a language (high fertility "
+    "= more tokens per word = less content per context window); the "
+    "single-language merges learned here make non-en fertility "
+    "visibly worse — exactly the readout's purpose. Scale shape: "
+    "identical to xdj (vocab-bounded learn, collect-free frozen "
+    "apply, broadcastable token-count join) plus one "
+    "|langs|-cardinality rollup; oracle shares the e0..e5 encode "
+    "chain generator and appends its own per-lang final",
+    ("text", "pipeline", "quality"),
+)
+def xdl_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    bucket = F.pmod(
+        dedup_ops.portable_hash(F.col("doc_id").cast("string"), F.lit("bpe_enc")),
+        F.lit(5),
+    )
+    train = docs.filter(bucket < 4)
+    held = docs.filter(bucket == 4)
+    merges, _state = text_ops._bpe_iterate(
+        train, "text", rounds=5, min_word_len=1
+    )
+    pairs = [(m[1], m[2]) for m in merges]
+    enc = text_ops.bpe_encode(held, pairs)
+    return (
+        enc.join(held.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_merged_tokens").cast("long").alias("n_merged"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_merged",
+            (
+                F.expr(
+                    "cast(n_tokens * 1000000 div greatest(n_words, 1) as bigint)"
+                )
+                / 1e6
+            ).alias("fertility"),
+            (
+                F.expr(
+                    "cast(n_merged * 1000000 div greatest(n_tokens, 1) as bigint)"
+                )
+                / 1e6
+            ).alias("merged_frac"),
+        )
+        .orderBy("lang")
     )
