@@ -350,3 +350,17 @@ def test_xdk_dsir_terms_away_from_boundaries() -> None:
         scaled = math.log(((ct + 1) * (ns + v)) / ((cs + 1) * (nt + v))) * 1_000_000
         terms.append((w, scaled))
     _assert_clear(terms, "xdk dsir importance")
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_documents_lang_is_non_null(sf_dir: str) -> None:
+    """Many queries group and ORDER BY documents.lang (data_mixture,
+    x19 splits, xdl fertility, doc_stats consumers): a NULL lang would
+    form a NULL group that sorts NULLS FIRST in Spark but NULLS LAST
+    in DuckDB — the same divergence class as the events.ts contract
+    (r11 review of xdl). If a regenerated fixture introduces NULL
+    langs, coalesce to a sentinel ('und') on BOTH sides of every
+    lang-keyed query instead of widening this contract."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
+    n_null = tbl["lang"].null_count
+    assert not n_null, f"{n_null} NULL document langs at {sf_dir}"
