@@ -239,3 +239,68 @@ def xad_fn_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "xdm_fn_udtf_polymorphic",
+    r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+        WHERE doc_id < 30
+    ),
+    f AS (
+        SELECT doc_id, [x FOR x IN w IF length(x) >= 1] AS w FROM words
+    )
+    SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+           w[i + 1] AS g1, w[i + 2] AS g2, w[i + 3] AS g3
+    FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM f WHERE len(w) >= 3)
+    ORDER BY doc_id, pos
+    """,
+    "POLYMORPHIC Python UDTF (Spark 4's analyze() API — the schema is "
+    "computed at PLAN time from the literal argument, so one UDTF "
+    "serves every n; xdi's static-returnType UDTF can't change shape): "
+    "word 3-grams of each document, one output column per gram "
+    "position (g1..gn from analyze(n)), 1-based positions. The UDTF "
+    "is the documented slow path — this query proves the API surface "
+    "(LATERAL correlation + plan-time polymorphism) on a bounded doc "
+    "subset; the scale path for n-gram work is the arrays_zip kernel "
+    "every dedup operator uses (dedup.py)",
+    ("udf",),
+)
+def xdm_fn_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    t = _t(spark, sf_dir)
+
+    @F.udtf
+    class NGrams:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            k = int(n.value)
+            fields = [
+                StructField("doc_id", LongType()),
+                StructField("pos", LongType()),
+            ] + [StructField(f"g{i + 1}", StringType()) for i in range(k)]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, doc_id: int, text: str, n: int):
+            words = [w for w in re.split(r"\s+", text) if w]
+            for i in range(len(words) - n + 1):
+                yield (doc_id, i + 1, *words[i : i + n])
+
+    spark.udtf.register("ngrams_poly", NGrams)
+    t["documents"].filter(F.col("doc_id") < 30).createOrReplaceTempView(
+        "docs_ngram_small"
+    )
+    return spark.sql(
+        """
+        SELECT g.doc_id, g.pos, g.g1, g.g2, g.g3
+        FROM docs_ngram_small, LATERAL ngrams_poly(doc_id, text, 3) g
+        ORDER BY g.doc_id, g.pos
+        """
+    )
