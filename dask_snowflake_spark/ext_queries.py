@@ -5676,7 +5676,9 @@ def x96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                 + 50) // 100 AS BIGINT) / 1e2 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > DATE '1995-01-01'
     GROUP BY o_orderstatus
@@ -5759,9 +5761,21 @@ def file_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact 1e-4-unit integer sum + half-up integer division:
+            # disc_price is a 4-true-decimal product (the r11 q01 rule)
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * 100) as bigint)"
+                    " * (100 - cast(round(l_discount * 100) as bigint))"
+                )
+            )
+            .cast("long")
+            .alias("__s4"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_items",
+            (F.expr("cast((__s4 + 50) div 100 as bigint)") / 1e2).alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
