@@ -447,3 +447,19 @@ def test_cuped_readout_matches_python_replica(spark, sf_oracle):
     assert got == want
     # CUPED must actually reduce variance on this fixture (theta != 0)
     assert all(v[6] > 0 for v in want.values())
+
+
+def test_rbo_weights_match_formula():
+    """xdn's literal RBO tables must equal the exact integer formula:
+    W[d] = floor((1-p) p^(d-1) / d * 1e12) at p = 0.9, computed as
+    9^(d-1) * 1e12 // (d * 10^d) in exact integer arithmetic; SW = the
+    suffix sums; MAXQ = sum(d * W[d]) (overlap_d = d at every depth)."""
+    from dask_snowflake_spark.ext_queries import _RBO_MAXQ, _RBO_SW, _RBO_W
+
+    want_w = [(9 ** (d - 1) * 10**12) // (d * 10**d) for d in range(1, 11)]
+    assert _RBO_W == want_w
+    assert _RBO_SW == [sum(want_w[m - 1 :]) for m in range(1, 11)]
+    assert _RBO_MAXQ == sum(d * w for d, w in enumerate(want_w, 1))
+    # identical rankings on >= 10 items give exactly rbo_q == MAXQ
+    # (overlap_d == d at every depth), i.e. rbo_norm == 1.0
+    assert sum(_RBO_SW) == _RBO_MAXQ
