@@ -11157,3 +11157,99 @@ def xdn_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo_norm"
         ),
     ).orderBy("n_name")
+
+
+@query(
+    "xdo_spearman_rank_corr",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    rx AS (
+        SELECT
+            2 * rank() OVER (ORDER BY x) + CAST(count(*) OVER (PARTITION BY x) AS BIGINT)
+                - 1 - (CAST(count(*) OVER () AS BIGINT) + 1) AS cx,
+            2 * rank() OVER (ORDER BY y) + CAST(count(*) OVER (PARTITION BY y) AS BIGINT)
+                - 1 - (CAST(count(*) OVER () AS BIGINT) + 1) AS cy
+        FROM per_user
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cx * cy) AS BIGINT) AS s_xy,
+               CAST(sum(cx * cx) AS BIGINT) AS s_xx,
+               CAST(sum(cy * cy) AS BIGINT) AS s_yy
+        FROM rx
+    )
+    SELECT n, s_xy, s_xx, s_yy,
+           CASE WHEN s_xx = 0 OR s_yy = 0 THEN 0
+                ELSE CAST(floor(s_xy * 1.0 / (sqrt(s_xx * 1.0) * sqrt(s_yy * 1.0))
+                                * 1000000) AS BIGINT) END / 1e6 AS spearman_rho
+    FROM s
+    """,
+    "SPEARMAN RANK CORRELATION (the monotone-association closer next "
+    "to x84's Pearson on the same per-user frame — Pearson sees only "
+    "linear association; Spearman is Pearson on average ranks, robust "
+    "to the heavy-tailed count distributions events produce): tied "
+    "ranks via the exact integer identity 2*avg_rank = 2*rank() + "
+    "tie_count - 1, CENTERED by the exact mean 2*(n+1)/2 (rank sums "
+    "are tie-invariant, so sum(cx) == 0 exactly and the Pearson "
+    "numerator collapses to sum(cx*cy)); all moments exact BIGINT "
+    "sums of integer products, rho = ONE fixed double expression over "
+    "identical integers (sqrt(s_xx)*sqrt(s_yy), two exact-BIGINT "
+    "sqrts instead of sqrt of the overflowing product — headroom to "
+    "~2e5 users, then 4n^3 nears 2^63 and the moments pre-scale), "
+    "floor-quantized at 1e-6 (the x84 idiom), zero-variance guarded "
+    "on both sides. The rank windows run over the per-user AGGREGATE "
+    "(xab histogram swap at user scales where that matters)",
+    ("events", "analytics"),
+)
+def xdo_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    n_all = F.count(F.lit(1)).over(W.partitionBy()).cast("long")
+
+    def c2(col: str):
+        return (
+            F.lit(2) * F.rank().over(W.orderBy(col))
+            + F.count(F.lit(1)).over(W.partitionBy(col)).cast("long")
+            - F.lit(1)
+            - (n_all + F.lit(1))
+        )
+
+    rx = per_user.select(c2("x").alias("cx"), c2("y").alias("cy"))
+    s = rx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).cast("long").alias("s_xy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("long").alias("s_xx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("long").alias("s_yy"),
+    )
+    return s.select(
+        "n",
+        "s_xy",
+        "s_xx",
+        "s_yy",
+        (
+            F.expr(
+                "CASE WHEN s_xx = 0 OR s_yy = 0 THEN 0"
+                " ELSE CAST(floor(s_xy * 1.0 / (sqrt(s_xx * 1.0) * sqrt(s_yy * 1.0))"
+                " * 1000000) AS BIGINT) END"
+            )
+            / 1e6
+        ).alias("spearman_rho"),
+    )

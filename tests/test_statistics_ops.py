@@ -463,3 +463,56 @@ def test_rbo_weights_match_formula():
     # identical rankings on >= 10 items give exactly rbo_q == MAXQ
     # (overlap_d == d at every depth), i.e. rbo_norm == 1.0
     assert sum(_RBO_SW) == _RBO_MAXQ
+
+
+def test_spearman_matches_python_replica(spark, sf_oracle):
+    """xdo's centered-doubled-rank Spearman == a float python replica
+    (average ranks, Pearson-on-ranks) on the fixture, floor-quantized
+    at 1e-6 — a formula bug mirrored into the oracle would pass the
+    hash gate, so the replica is the independent check."""
+    import math
+
+    from dask_snowflake_spark.queries import _t, registry
+
+    ev = _t(spark, sf_oracle)["events"]
+    rows = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            r = (i + j + 2) / 2
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    want = math.floor(num / den * 1_000_000) / 1e6
+
+    got = registry()["xdo_spearman_rank_corr"].spark_fn(spark, sf_oracle).collect()[0]
+    assert got.n == n
+    # the replica runs in floats, so its quantized value may sit one
+    # 1e-6 step away from the exact-integer engine value at a floor
+    # boundary; equality within one step plus the exact-n check is the
+    # formula pin
+    assert abs(got.spearman_rho - want) <= 1e-6 + 1e-12, (got.spearman_rho, want)
