@@ -11253,3 +11253,156 @@ def xdo_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("spearman_rho"),
     )
+
+
+def _power_iter_sql(rounds: int) -> str:
+    """Power-iteration oracle chain: e0 = the exploded (vec, pos, comp)
+    embedding stream; v0 = the all-ones start vector in 1e6 integer
+    units; per round, dot products and the matrix-vector product are
+    sums of per-term FLOORED products — each term floor(comp * int) is
+    an EXACT double (float32 mantissa 24 bits x |int| < 2^28 fits a
+    53-bit mantissa; |comp| < 1 is a fixture contract), so the floors
+    are boundary-free and the sums exact BIGINTs — and the iterate
+    renormalizes by its max magnitude with pure integer division
+    (magnitude + sign, G-shrink guard against (m*1e6) overflow at
+    extreme row counts)."""
+    parts = [
+        r"""
+    WITH e0 AS MATERIALIZED (
+        -- CAST to DOUBLE first (the x86 rule): DuckDB would otherwise
+        -- multiply FLOAT * BIGINT in single precision where Spark
+        -- promotes to double
+        SELECT vec_id, CAST(u.dim - 1 AS BIGINT) AS pos,
+               CAST(u.comp AS DOUBLE) AS comp
+        FROM (
+            SELECT vec_id, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ) u
+    ),
+    v0 AS MATERIALIZED (
+        SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS vq FROM e0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{r} AS MATERIALIZED (
+        SELECT e.vec_id,
+               CAST(sum(CAST(floor(e.comp * v.vq) AS BIGINT)) AS BIGINT) AS dq
+        FROM e0 e JOIN v{r - 1} v USING (pos)
+        GROUP BY e.vec_id
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT e.pos,
+               CAST(sum(CAST(floor(e.comp * d.dq) AS BIGINT)) AS BIGINT) AS wq
+        FROM e0 e JOIN d{r} d USING (vec_id)
+        GROUP BY e.pos
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT w.pos,
+               CAST((CASE WHEN w.wq < 0 THEN -1 ELSE 1 END)
+                    * (((abs(w.wq) // s.g) * 1000000) // greatest(s.mx // s.g, 1))
+                    AS BIGINT) AS vq
+        FROM w{r} w CROSS JOIN (
+            SELECT greatest(max(abs(wq)), 1) AS mx,
+                   greatest(greatest(max(abs(wq)), 1) // 1000000000000, 1) AS g
+            FROM w{r}
+        ) s
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v.pos, v.vq, w.wq, v.vq / 1e6 AS loading
+    FROM v{rounds} v JOIN w{rounds} w USING (pos)
+    ORDER BY v.pos
+    """
+    )
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query(
+    "xdp_power_iteration_pca",
+    _power_iter_sql(5),
+    "TOP PRINCIPAL COMPONENT by POWER ITERATION over the embedding "
+    "gram matrix (the ML-linear-algebra closer next to xb6 centroids "
+    "and the IVF family — v_{k+1} ~ X^T(Xv_k), 5 bounded rounds, "
+    "never materializing the dim x dim covariance): every seam is "
+    "EXACT INTEGERS — per-term products floor(comp * int) are exact "
+    "doubles (float32 24-bit mantissa x |int| < 2^28 fits 53 bits; "
+    "|comp| < 1 fixture-pinned), so the per-vector dots and per-dim "
+    "matvec sums are order-independent BIGINT sums with NO float "
+    "boundary anywhere (contrast the x66 ln class, which needs "
+    "boundary contracts); renormalization is magnitude+sign integer "
+    "division by the max component (G-shrink guards (m*1e6) overflow "
+    "past ~1e12-scale iterates). Spark runs the measured kmeans "
+    "pattern — per round two aggregations over the vec_id-partitioned "
+    "persisted stream and ONE 64-int collect re-emitted as a literal "
+    "array (in-plan iterate joins re-plan broadcast subtrees and "
+    "benched 2-4x slower on the same shape); the oracle runs the "
+    "identical integer chain as unrolled MATERIALIZED CTEs. "
+    "Convergence note: fixture vectors are isotropic-random (tiny "
+    "eigengap), so 5 rounds demonstrate the MECHANISM (x41's "
+    "posture); real embedding spectra converge fast. Python replica "
+    "pinned (the oracle mirrors the expression, so the hash gate "
+    "alone cannot catch a mirrored math bug)",
+    ("similarity", "analytics"),
+)
+def xdp_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    t = _t(spark, sf_dir)
+    e0 = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("pos", "comp32"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("comp32").cast("double").alias("comp"),
+        )
+        .repartition("vec_id")
+        .persist()
+    )
+    dim = 64  # fixture contract: embeddings are 64-dim (pinned below)
+    vq = [1_000_000] * dim
+    wq_rows: list[tuple[int, int]] = []
+    for _ in range(5):
+        varr = F.lit(np.asarray(vq, dtype=np.int64))
+        # attach the iterate as a literal array column so the exact
+        # per-term floor expression can index it by pos
+        d = (
+            e0.withColumn("__v", varr)
+            .withColumn(
+                "t",
+                F.expr(
+                    "cast(floor(comp * element_at(__v, cast(pos + 1 as int))) as bigint)"
+                ),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("t").cast("long").alias("dq"))
+        )
+        w = (
+            e0.join(d, "vec_id")
+            .withColumn("u", F.expr("cast(floor(comp * dq) as bigint)"))
+            .groupBy("pos")
+            .agg(F.sum("u").cast("long").alias("wq"))
+        )
+        wq_rows = sorted((r.pos, r.wq) for r in w.collect())
+        M = max(max(abs(q) for _, q in wq_rows), 1)
+        G = max(M // 10**12, 1)
+        den = max(M // G, 1)
+        vq = [
+            (1 if q >= 0 else -1) * (((abs(q) // G) * 1_000_000) // den)
+            for _, q in wq_rows
+        ]
+    e0.unpersist()
+    rows = [
+        (int(p), int(v), int(q), v / 1e6)
+        for (p, q), v in zip(wq_rows, vq)
+    ]
+    return spark.createDataFrame(
+        rows, "pos long, vq long, wq long, loading double"
+    ).orderBy("pos")

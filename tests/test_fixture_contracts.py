@@ -364,3 +364,21 @@ def test_documents_lang_is_non_null(sf_dir: str) -> None:
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
     n_null = tbl["lang"].null_count
     assert not n_null, f"{n_null} NULL document langs at {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_embeddings_dim_and_component_bounds(sf_dir: str) -> None:
+    """xdp's exactness proof needs |comp| < 1 (float32 24-bit mantissa
+    x |int| < 2^28 stays within a 53-bit double mantissa, so every
+    per-term floor(comp * int) is boundary-free) and its Spark side
+    pins dim = 64 (the r7 rule: pass known dims as params instead of
+    probing first()). If a regenerated fixture widens either, bump the
+    dim constant / re-derive the bit budget rather than widening this
+    contract."""
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    col = tbl["embedding"].combine_chunks()
+    flat = col.flatten()
+    mx = pc.max(pc.abs(flat)).as_py()
+    assert mx < 1.0, f"|embedding component| reaches {mx} at {sf_dir}"
+    lens = pc.list_value_length(col)
+    assert pc.min(lens).as_py() == 64 and pc.max(lens).as_py() == 64

@@ -516,3 +516,39 @@ def test_spearman_matches_python_replica(spark, sf_oracle):
     # boundary; equality within one step plus the exact-n check is the
     # formula pin
     assert abs(got.spearman_rho - want) <= 1e-6 + 1e-12, (got.spearman_rho, want)
+
+
+def test_power_iteration_matches_python_replica(spark, sf_oracle):
+    """xdp's exact-integer power iteration == an independent python
+    replica over the same parquet (numpy float32 components, python
+    big-int arithmetic): the oracle mirrors the engine expressions, so
+    only an out-of-band replica can catch a mirrored math bug. Also
+    asserts the iterate is genuinely nonzero (mechanism ran)."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dask_snowflake_spark.queries import registry
+
+    tbl = pq.read_table(os.path.join(sf_oracle, "embeddings.parquet"))
+    embs = [np.asarray(e, dtype=np.float32) for e in tbl["embedding"].to_pylist()]
+    dim = 64
+    vq = [1_000_000] * dim
+    for _ in range(5):
+        wq = [0] * dim
+        for e in embs:
+            dq = sum(math.floor(float(e[d]) * vq[d]) for d in range(dim))
+            for d in range(dim):
+                wq[d] += math.floor(float(e[d]) * dq)
+        M = max(max(abs(q) for q in wq), 1)
+        G = max(M // 10**12, 1)
+        den = max(M // G, 1)
+        vq = [(1 if q >= 0 else -1) * (((abs(q) // G) * 1_000_000) // den) for q in wq]
+
+    got = registry()["xdp_power_iteration_pca"].spark_fn(spark, sf_oracle).collect()
+    assert [(r.pos, r.vq, r.wq) for r in got] == [
+        (d, vq[d], wq[d]) for d in range(dim)
+    ]
+    assert any(v != 0 for v in vq)
