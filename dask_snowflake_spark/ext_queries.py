@@ -11406,3 +11406,101 @@ def xdp_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "pos long, vq long, wq long, loading double"
     ).orderBy("pos")
+
+
+@query(
+    "xdq_count_min_sketch",
+    r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+    ),
+    hashed AS (SELECT md5('cms:' || w) AS h FROM words),
+    cells AS (
+        SELECT r.r AS r,
+               ('0x' || substr(h, r.r * 6 + 1, 6))::BIGINT % 256 AS b
+        FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS r) r
+    ),
+    cms AS (
+        SELECT r, b, CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY r, b
+    ),
+    probes AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+        FROM words GROUP BY w
+        ORDER BY exact_n DESC, w LIMIT 10
+    ),
+    est AS (
+        SELECT p.w, p.exact_n, CAST(min(s.c) AS BIGINT) AS cms_est
+        FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS r) r
+        JOIN cms s
+          ON s.r = r.r
+         AND s.b = ('0x' || substr(md5('cms:' || p.w), r.r * 6 + 1, 6))::BIGINT % 256
+        GROUP BY p.w, p.exact_n
+    )
+    SELECT w, exact_n, cms_est,
+           cms_est - exact_n AS overcount,
+           cms_est >= exact_n AS never_underestimates
+    FROM est
+    ORDER BY exact_n DESC, w
+    """,
+    "COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005 — completes the "
+    "sketch family next to x44 HLL cardinality, x45 Misra-Gries heavy "
+    "hitters and the MinHash/SimHash signatures): 4 rows x 256 buckets "
+    "of portable-md5 counters built in ONE map-side-combinable "
+    "aggregation over the word stream (the sketch is 1024 cells — "
+    "mergeable across shards/streams by cell-wise addition, the "
+    "production use), then the top-10 exact words are probed back: "
+    "estimate = min over the 4 rows of the word's bucket counter, "
+    "verified in-query against the exact counts with the structural "
+    "guarantee cms_est >= exact_n (CMS never underestimates) shipped "
+    "as a column. All integers end-to-end; ONE portable md5 per word "
+    "with four independent 6-hex-digit slices as the row hashes, so "
+    "both engines address identical cells at a quarter of the hash "
+    "cost. "
+    "Scale shape: the sketch build is corpus-linear with a "
+    "1024-row output (the whole point at 100 TB: a fixed-size "
+    "mergeable summary); the probe side touches only the top-k "
+    "aggregate",
+    ("sketch", "text", "aggregation"),
+)
+def xdq_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    words = t["documents"].select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    )
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    # ONE md5 per word, four independent 6-hex-digit slices as the row
+    # hashes — 4x less hashing than per-row salted digests; the sketch
+    # build is the corpus-linear cost at scale, so the constant matters
+    bucket = F.expr("cast(conv(substring(__h, r * 6 + 1, 6), 16, 10) as bigint) % 256")
+    cells = (
+        words.select(F.md5(F.concat(F.lit("cms:"), F.col("w"))).alias("__h"))
+        .select("__h", rows_)
+        .select("r", bucket.alias("b"))
+    )
+    cms = cells.groupBy("r", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    probes = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(10)
+    )
+    probe_cells = (
+        probes.select(
+            "w", "exact_n", F.md5(F.concat(F.lit("cms:"), F.col("w"))).alias("__h")
+        )
+        .select("w", "exact_n", "__h", rows_)
+        .select("w", "exact_n", "r", bucket.alias("b"))
+    )
+    est = (
+        probe_cells.join(F.broadcast(cms), ["r", "b"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "w",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
+    ).orderBy(F.col("exact_n").desc(), "w")
