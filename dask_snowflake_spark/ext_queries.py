@@ -677,14 +677,14 @@ def flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "flow_dedup",
+    "xdu_flow_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
     """,
     "streaming dedup (dropDuplicatesWithinWatermark) — key set matches batch distinct",
     ("streaming", "dedup"),
 )
-def flow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdu_flow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_ops.streaming_dedup(stream_ops._events_stream(spark, sf_dir))
     out = stream_ops.run_stream_to_table(
         stream.select("user_id", "event_type"), "stream_dedup_out", output_mode="append"
@@ -2549,7 +2549,7 @@ def x42_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "data_mixture",
+    "xdt_data_mixture",
     """
     WITH toks AS (
         SELECT doc_id, lang,
@@ -2586,7 +2586,7 @@ def x42_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection",
     ("sampling", "text", "pipeline"),
 )
-def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdt_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     toks = t["documents"].select(
         "doc_id",
@@ -8221,7 +8221,7 @@ def _poisson_case_sql(u: str) -> str:
 
 
 @query(
-    "bootstrap_ci",
+    "xds_bootstrap_ci",
     f"""
     WITH cents AS (
         SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
@@ -8280,7 +8280,7 @@ def _poisson_case_sql(u: str) -> str:
     "keeps the order statistic unique on both engines",
     ("orders", "statistics", "sampling"),
 )
-def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xds_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     from pyspark.sql import Window as W
 
@@ -9456,7 +9456,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "changepoint_cusum",
+    "xdr_changepoint_cusum",
     """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
@@ -9507,7 +9507,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate. DATE output CAST on both sides (the r7 xb4 rule)",
     ("events", "analytics", "quality"),
 )
-def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xdr_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -10780,7 +10780,7 @@ def dedup_region_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xdj_bpe_encode_frozen",
+    "bpe_encode_frozen",
     _bpe_encode_sql(5),
     "FROZEN-TABLE BPE ENCODING of unseen text (the r10 verdict's named "
     "flagship — the production encode path xd7/bpe_segment_corpus left "
@@ -10805,7 +10805,7 @@ def dedup_region_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(rounds past convergence pass state through — the r11 rule)",
     ("text", "pipeline"),
 )
-def xdj_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     docs = t["documents"]
     bucket = F.pmod(
@@ -10822,7 +10822,7 @@ def xdj_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xdk_dsir_importance_selection",
+    "dsir_importance_selection",
     r"""
     WITH words AS (
         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
@@ -10873,7 +10873,7 @@ def xdj_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DSIR-STYLE IMPORTANCE SELECTION (Xie et al. 2023, Data Selection "
     "via Importance Resampling — the data-SELECTION gap in the pipeline "
     "family: x66 scores fluency against the corpus's own unigram LM, "
-    "data_mixture resamples to target LANGUAGE proportions; this "
+    "xdt_data_mixture resamples to target LANGUAGE proportions; this "
     "selects documents whose unigram feature distribution matches a "
     "TARGET domain): target = the English subcorpus, source = the full "
     "corpus; per-word importance = ln(p_target(w)/p_source(w)) under "
@@ -10900,7 +10900,7 @@ def xdj_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at fixture scale)",
     ("text", "pipeline", "quality"),
 )
-def xdk_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -11322,7 +11322,7 @@ def _power_iter_sql(rounds: int) -> str:
 
 
 @query(
-    "xdp_power_iteration_pca",
+    "pca_power_iteration",
     _power_iter_sql(5),
     "TOP PRINCIPAL COMPONENT by POWER ITERATION over the embedding "
     "gram matrix (the ML-linear-algebra closer next to xb6 centroids "
@@ -11348,7 +11348,7 @@ def _power_iter_sql(rounds: int) -> str:
     "alone cannot catch a mirrored math bug)",
     ("similarity", "analytics"),
 )
-def xdp_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     t = _t(spark, sf_dir)
@@ -11409,7 +11409,7 @@ def xdp_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xdq_count_min_sketch",
+    "cms_sketch_probe",
     r"""
     WITH words AS (
         SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
@@ -11463,7 +11463,7 @@ def xdp_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate",
     ("sketch", "text", "aggregation"),
 )
-def xdq_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     words = t["documents"].select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("w")

@@ -354,7 +354,7 @@ def test_xdk_dsir_terms_away_from_boundaries() -> None:
 
 @pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
 def test_documents_lang_is_non_null(sf_dir: str) -> None:
-    """Many queries group and ORDER BY documents.lang (data_mixture,
+    """Many queries group and ORDER BY documents.lang (xdt_data_mixture,
     x19 splits, xdl fertility, doc_stats consumers): a NULL lang would
     form a NULL group that sorts NULLS FIRST in Spark but NULLS LAST
     in DuckDB — the same divergence class as the events.ts contract

@@ -598,7 +598,7 @@ def test_bootstrap_folds_replicates_into_one_pass(spark, sf_oracle):
     pass of the fact rows — never 64 resample jobs; the only joins are
     broadcasts of one-row/64-row aggregates (no shuffled join of fact
     data), and the replicate rollup is a hash aggregate."""
-    p = plan(registry()["bootstrap_ci"].spark_fn(spark, sf_oracle))
+    p = plan(registry()["xds_bootstrap_ci"].spark_fn(spark, sf_oracle))
     assert p.count(") Generate") == 1, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
     assert "CartesianProduct" not in p, p

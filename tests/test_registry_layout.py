@@ -47,11 +47,20 @@ def test_priority_window_covers_every_surface():
     # dedup_region_apply (ex-xde) — the Lee-et-al. substring-dedup
     # pipeline — bpe_segment_corpus (ex-xd9, exercises the bounded BPE
     # loop AND the corpus join) and conformal_interval (ex-xdb).
+    # Second r11 rotation (same round, so THIS round's flagships get
+    # driver rows immediately instead of waiting a round):
+    # changepoint_cusum -> xdr_ (driver-green r10), bootstrap_ci ->
+    # xds_ (driver-green r9-r10), data_mixture -> xdt_ (driver-green
+    # r4-r10), flow_dedup -> xdu_ (driver-green r3-r10; four flow_
+    # rows stay in-window) to make room for bpe_encode_frozen (ex-xdj,
+    # frozen-table BPE encoding), cms_sketch_probe (ex-xdq, count-min
+    # sketch), dsir_importance_selection (ex-xdk, DSIR data selection)
+    # and pca_power_iteration (ex-xdp, exact power iteration).
     prefixes = (
-        "ann_", "attribution_", "bpe_", "changepoint_", "conformal_",
-        "connector_", "dedup_", "doc_", "file_", "flow_", "fn_udf_",
-        "governance_", "graph_", "mm_", "pipeline_", "profile_",
-        "q0", "q1", "q2",
+        "ann_", "attribution_", "bpe_", "cms_", "conformal_",
+        "connector_", "dedup_", "doc_", "dsir_", "file_", "flow_",
+        "fn_udf_", "governance_", "graph_", "mm_", "pca_", "pipeline_",
+        "profile_", "q0", "q1", "q2",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

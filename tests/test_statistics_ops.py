@@ -251,7 +251,7 @@ def test_bootstrap_ci_is_ordered_and_reproducible(spark, sf_oracle):
     """xcl sanity: the CI must bracket a value near the full-sample
     mean, bounds ordered, and the whole statistic bit-stable across
     two runs (hash-decided weights, no RNG)."""
-    fn = registry()["bootstrap_ci"].spark_fn
+    fn = registry()["xds_bootstrap_ci"].spark_fn
     a = fn(spark, sf_oracle).collect()[0]
     b = fn(spark, sf_oracle).collect()[0]
     assert a == b
@@ -547,7 +547,7 @@ def test_power_iteration_matches_python_replica(spark, sf_oracle):
         den = max(M // G, 1)
         vq = [(1 if q >= 0 else -1) * (((abs(q) // G) * 1_000_000) // den) for q in wq]
 
-    got = registry()["xdp_power_iteration_pca"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["pca_power_iteration"].spark_fn(spark, sf_oracle).collect()
     assert [(r.pos, r.vq, r.wq) for r in got] == [
         (d, vq[d], wq[d]) for d in range(dim)
     ]
