@@ -11504,3 +11504,608 @@ def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
     ).orderBy(F.col("exact_n").desc(), "w")
+
+
+@query(
+    "xdv_roc_auc_mann_whitney",
+    """
+    WITH scored AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS score_cents,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+        SELECT segment, pos,
+               2 * rank() OVER (PARTITION BY segment ORDER BY score_cents)
+                 + CAST(count(*) OVER (PARTITION BY segment, score_cents) AS BIGINT)
+                 - 1 AS r2
+        FROM scored
+    ),
+    agg AS (
+        SELECT segment,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+               CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2_pos
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, n_pos, n_neg,
+           r2_pos - n_pos * (n_pos + 1) AS u2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+                          // (2 * n_pos * n_neg) AS BIGINT) / 1e6
+           END AS auc
+    FROM agg ORDER BY segment
+    """,
+    "ROC-AUC VIA TIE-CORRECTED MANN-WHITNEY RANK SUMS (the "
+    "classifier-discrimination closer next to xdc's nDCG ranking "
+    "quality, xdo's Spearman association and xdb-family conformal "
+    "coverage — AUC is THE standard binary-score readout and it is "
+    "exactly the Mann-Whitney U statistic, so it needs no curve "
+    "integration and no float thresholds): per market segment, does "
+    "order VALUE discriminate URGENT orders? AUC = P(score_pos > "
+    "score_neg) + P(=)/2 computed from the xdo doubled-average-rank "
+    "identity (2*avg_rank = 2*rank() + tie_count - 1, an exact "
+    "integer), summed over positives: u2 = 2*R_pos - n_pos*(n_pos+1) "
+    "= 2*U with ties contributing exactly 1/2 each; auc = u2 / "
+    "(2*n_pos*n_neg) as ONE integer-quantized division (1e-6). All "
+    "BIGINT end-to-end — scores are 2dp-true prices in integer cents "
+    "(the recovery class), ranks/counts/sums exact; headroom: "
+    "u2*1e6 < 2^63 holds to ~4e6 rows per segment, beyond which the "
+    "quantization splits into quotient+remainder stages (docstring "
+    "rule, same as xdo's moment pre-scale). Scale shape: one "
+    "segment-keyed rank window over the orders-customer join (AQE "
+    "broadcasts the dimension), one same-keyed aggregation — the "
+    "groupBy reuses the window's hash partitioning, zero extra "
+    "exchanges",
+    ("orders", "customer", "analytics"),
+)
+def xdv_roc_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    scored = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("score_cents"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("pos"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "score_cents", "pos")
+    )
+    r2 = (
+        F.lit(2).cast("long")
+        * F.rank().over(W.partitionBy("segment").orderBy("score_cents"))
+        + F.count(F.lit(1)).over(W.partitionBy("segment", "score_cents")).cast("long")
+        - F.lit(1)
+    )
+    ranked = scored.select("segment", "pos", r2.alias("r2"))
+    agg = ranked.groupBy("segment").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1).cast("long") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("r2")).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    return agg.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1).cast("long")))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * n_neg) AS BIGINT) / 1e6 END"
+        ).alias("auc"),
+    ).orderBy("segment")
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled bounded-LPA oracle for ``xdw_graph_lpa_communities``:
+    label states l0..l{rounds}, each round the plurality-label argmax
+    (count DESC, label ASC) over the previous state joined one hop out.
+    Every per-round CTE is ``AS MATERIALIZED`` (the kcore rule: DuckDB
+    inlines plain CTEs, so an unrolled chain would otherwise compile
+    exponential subtree copies). Synchronous semantics + deterministic
+    tie-break make the fixed-depth chain a total function identical to
+    the Spark loop on any fixture."""
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )""",
+        "und AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS p, u AS lbl FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+        SELECT e.u, l.lbl, count(*) AS c
+        FROM und e JOIN l{r - 1} l ON l.p = e.v
+        GROUP BY e.u, l.lbl
+    )"""
+        )
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+        SELECT u AS p, lbl FROM (
+            SELECT u, lbl,
+                   row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_sql}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l{rounds} GROUP BY lbl ORDER BY community
+    """
+
+
+@query(
+    "xdw_graph_lpa_communities",
+    _lpa_oracle_sql(),
+    "LABEL-PROPAGATION COMMUNITIES (bounded synchronous LPA, Raghavan "
+    "et al. 2007 — the community-DETECTION closer for the graph "
+    "family: CC finds reachability classes, kcore strips periphery by "
+    "degree, PageRank ranks by centrality; LPA finds internally-DENSE "
+    "groups, the curation lens that splits a connected co-purchase "
+    "blob into its actual product neighborhoods): support-2 "
+    "co-purchase edges (the kcore graph), labels start as own part "
+    "key, then exactly 4 synchronous rounds of adopt-the-plurality-"
+    "neighbor-label (tie -> smallest label); output = per-community "
+    "member counts. Synchronous updates + deterministic tie-break "
+    "make the bounded iteration a total function both engines compute "
+    "identically on ANY fixture (oracle = 4 unrolled MATERIALIZED "
+    "argmax CTEs; the sync-LPA oscillation caveat is accepted "
+    "semantics, not nondeterminism). Spark side: static "
+    "both-directions edges cached pre-partitioned on the neighbor key "
+    "(zero re-shuffles across rounds), per-round = one equi-join + "
+    "plurality counts + a HashAggregate argmax via max(struct(count, "
+    "-label)) — no sort window — with localCheckpoint lineage "
+    "truncation; FIXED round count, probe-free (the x75 rule). All "
+    "integer; no RNG, no update-order dependence",
+    ("lineitem", "graph", "analytics"),
+)
+def xdw_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    t = _t(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "__bk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n_ab"))
+        .filter(F.col("__n_ab") >= 2)
+        .select("u", "v")
+    )
+    return (
+        label_propagation(edges, "u", "v", rounds=4)
+        .groupBy(F.col("community").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy("community")
+    )
+
+
+@query(
+    "xdx_link_prediction_cn",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS MATERIALIZED (
+        SELECT u AS p, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    ),
+    wedges AS (
+        SELECT e1.v AS u, e2.v AS v
+        FROM und e1
+        JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN deg dc ON dc.p = e1.u AND dc.d <= 64
+    ),
+    cn AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors
+        FROM wedges GROUP BY u, v
+    ),
+    cand AS (
+        SELECT c.u, c.v, c.common_neighbors
+        FROM cn c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.u = c.u AND e.v = c.v
+        )
+    )
+    SELECT c.u, c.v, c.common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           CAST(c.common_neighbors * 1000000
+                // (du.d + dv.d - c.common_neighbors) AS BIGINT) / 1e6
+               AS jaccard
+    FROM cand c
+    JOIN deg du ON du.p = c.u
+    JOIN deg dv ON dv.p = c.v
+    ORDER BY c.common_neighbors DESC, c.u, c.v
+    LIMIT 20
+    """,
+    "COMMON-NEIGHBOR LINK PREDICTION (Liben-Nowell & Kleinberg 2003 — "
+    "the graph family's PREDICTIVE member: CC/kcore/LPA describe the "
+    "graph that exists, this scores the edges most likely MISSING, "
+    "the recommender / knowledge-graph-completion primitive): on the "
+    "support-2 co-purchase graph, top-20 non-adjacent part pairs by "
+    "common-neighbor count with neighborhood-Jaccard cn/(du+dv-cn) "
+    "integer-quantized at 1e-6. Spark side reuses the x94 IN-ARRAY "
+    "wedge kernel: per-center sorted neighbor arrays, map-side "
+    "explode of in-array (i<j) pairs — one wedge row per common "
+    "neighbor, so ONE groupBy counts the score — then a left-anti "
+    "join against the canonical edge set and two degree joins "
+    "(differently-named keys; the xdb same-lineage rule). Centers "
+    "with degree > 64 are excluded ON BOTH SIDES (explicit semantics: "
+    "hub-mediated co-occurrence is uninformative for link prediction "
+    "AND the cap bounds wedge fan-out at sum(min(deg,64)^2) — the "
+    "100 TB guard the LSH band-cap idiom uses); full degrees still "
+    "feed the Jaccard. Top-20 via orderBy().limit() -> "
+    "TakeOrderedAndProject (the xco rule), unique (cn DESC, u, v) "
+    "order; all integers end-to-end",
+    ("lineitem", "graph", "analytics"),
+)
+def xdx_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "__bk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n_ab"))
+        .filter(F.col("__n_ab") >= 2)
+        .select("u", "v")
+    )
+    from .operators.graph import _both_directions
+
+    und = _both_directions(edges, "u", "v").distinct()
+    adj = und.groupBy("__u").agg(F.sort_array(F.collect_list("__v")).alias("nb"))
+    deg = adj.select(F.col("__u").alias("p"), F.size("nb").cast("long").alias("d"))
+    centers = adj.filter(F.size("nb") <= 64)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("nb"),
+            lambda s, i: F.transform(
+                F.slice(F.col("nb"), i + F.lit(2), F.size(F.col("nb"))),
+                lambda v2: F.array(s, v2),
+            ),
+        )
+    )
+    wedges = centers.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p")[0].alias("u"), F.col("p")[1].alias("v")
+    )
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors")
+    )
+    cand = cn.join(edges, ["u", "v"], "left_anti")
+    deg_u = deg.select(F.col("p").alias("u"), F.col("d").alias("deg_u"))
+    deg_v = deg.select(F.col("p").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        cand.join(deg_u, "u")
+        .join(deg_v, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "deg_u",
+            "deg_v",
+            (
+                F.expr(
+                    "CAST(common_neighbors * 1000000"
+                    " div (deg_u + deg_v - common_neighbors) AS BIGINT)"
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+@query(
+    "xdy_seasonal_dow_profile",
+    """
+    WITH daily0 AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    b AS (SELECT min(day_i) AS dmin, max(day_i) AS dmax FROM daily0),
+    spine AS (
+        SELECT s.dmin, s.dmax, s.d AS day_i,
+               COALESCE(d0.cents, 0) AS cents
+        FROM (SELECT b.dmin, b.dmax,
+                     unnest(generate_series(b.dmin, b.dmax)) AS d
+              FROM b) s
+        LEFT JOIN daily0 d0 ON d0.day_i = s.d
+    ),
+    ma AS (
+        SELECT day_i, dmin, dmax, cents,
+               CAST(sum(cents) OVER (ORDER BY day_i
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ma7
+        FROM spine
+    ),
+    interior AS (
+        SELECT day_i % 7 AS dow, cents, 7 * cents - ma7 AS detr7
+        FROM ma WHERE day_i BETWEEN dmin + 3 AND dmax - 3
+    ),
+    per_dow AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               CAST(sum(detr7) AS BIGINT) AS detr7_sum
+        FROM interior GROUP BY dow
+    )
+    SELECT dow, n_days, revenue_cents,
+           CASE WHEN sum(revenue_cents) OVER () = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(revenue_cents * 1000000
+                          // CAST(sum(revenue_cents) OVER () AS BIGINT) AS BIGINT) / 1e6
+           END AS revenue_share,
+           CAST(detr7_sum * 1000000 // (7 * n_days) AS BIGINT) / 1e6
+               AS mean_detrended_cents
+    FROM per_dow
+    ORDER BY dow
+    """,
+    "DAY-OF-WEEK SEASONAL PROFILE (classical seasonal decomposition, "
+    "weekly period — the time-series closer next to xcu's EWMA level, "
+    "xdr's CUSUM changepoint and x39's anomaly flags: those react to "
+    "shifts, this SEPARATES the recurring weekly shape from trend so "
+    "capacity planning reads signal, not weekday artifact): daily "
+    "purchase revenue on a DENSE integer epoch-day spine (gap days = "
+    "0, no calendar/tz function anywhere — dow = epoch_day % 7, a "
+    "monotone tz-free anchor, 0 = Thursday), trend = centered 7-day "
+    "moving sum over the spine, detrended = 7*daily - ma7_sum (an "
+    "integer cross-multiplication — no float trend mean is ever "
+    "formed), interior days only (complete windows; the boundary rows "
+    "would bias the profile), then per-dow mean detrended cents and "
+    "revenue share as integer-quantized divisions (signed BIGINT "
+    "truncation is engine-identical, the pinned r7 rule). Scale "
+    "shape: everything after the one groupBy(day) runs on the "
+    "bounded day axis",
+    ("events", "analytics", "timeseries"),
+)
+def xdy_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    daily0 = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr(
+                "datediff(cast(ts as date), DATE '1970-01-01')"
+            ).cast("long").alias("day_i"),
+            F.expr("cast(round(value * 100) as bigint)").alias("__vc"),
+        )
+        .groupBy("day_i")
+        .agg(F.sum("__vc").cast("long").alias("cents"))
+    )
+    b = daily0.agg(
+        F.min("day_i").alias("dmin"), F.max("day_i").alias("dmax")
+    )
+    spine = (
+        b.select(
+            "dmin",
+            "dmax",
+            F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("day_i"),
+        )
+        .join(daily0, "day_i", "left")
+        .select(
+            "day_i", "dmin", "dmax", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    ma = spine.select(
+        "day_i",
+        "dmin",
+        "dmax",
+        "cents",
+        F.sum("cents")
+        .over(W.orderBy("day_i").rowsBetween(-3, 3))
+        .cast("long")
+        .alias("ma7"),
+    )
+    interior = ma.filter(
+        (F.col("day_i") >= F.col("dmin") + 3) & (F.col("day_i") <= F.col("dmax") - 3)
+    ).select(
+        (F.col("day_i") % 7).alias("dow"),
+        "cents",
+        (F.lit(7).cast("long") * F.col("cents") - F.col("ma7")).alias("detr7"),
+    )
+    per_dow = interior.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum("detr7").cast("long").alias("detr7_sum"),
+    )
+    return (
+        per_dow.withColumn(
+            "__tot", F.sum("revenue_cents").over(W.partitionBy()).cast("long")
+        )
+        .select(
+            "dow",
+            "n_days",
+            "revenue_cents",
+            F.expr(
+                "CASE WHEN __tot = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE CAST(revenue_cents * 1000000 div __tot AS BIGINT) / 1e6 END"
+            ).alias("revenue_share"),
+            (
+                F.expr("CAST(detr7_sum * 1000000 div (7 * n_days) AS BIGINT)") / 1e6
+            ).alias("mean_detrended_cents"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "xdz_lang_confusion_eval",
+    f"""
+    WITH scores AS (SELECT doc_id, lang, {{LANG_SCORES}} FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               list_sort([{{LANG_STRUCTS}}])[1] AS best
+        FROM scores
+    ),
+    pred AS (
+        SELECT lang AS labeled,
+               CASE WHEN best.neg_s < 0 THEN best.l ELSE 'unknown' END AS detected
+        FROM ranked
+    ),
+    cm AS (
+        SELECT labeled, detected, CAST(count(*) AS BIGINT) AS c
+        FROM pred GROUP BY labeled, detected
+    ),
+    lab AS (SELECT labeled AS cls, CAST(sum(c) AS BIGINT) AS lab_n FROM cm GROUP BY labeled),
+    det AS (SELECT detected AS cls, CAST(sum(c) AS BIGINT) AS det_n FROM cm GROUP BY detected),
+    tp AS (SELECT labeled AS cls, CAST(sum(c) AS BIGINT) AS tp FROM cm
+           WHERE labeled = detected GROUP BY labeled),
+    spine AS (
+        SELECT COALESCE(l.cls, d.cls) AS cls,
+               COALESCE(l.lab_n, 0) AS lab_n,
+               COALESCE(d.det_n, 0) AS det_n,
+               COALESCE(t.tp, 0) AS tp
+        FROM lab l
+        FULL OUTER JOIN det d ON d.cls = l.cls
+        LEFT JOIN tp t ON t.cls = COALESCE(l.cls, d.cls)
+    ),
+    tot AS (
+        SELECT cls, lab_n, det_n, tp,
+               CAST(sum(lab_n) OVER () AS BIGINT) AS n_total,
+               CAST(sum(tp) OVER () AS BIGINT) AS agree,
+               CAST(sum(lab_n * det_n) OVER () AS BIGINT) AS pe
+        FROM spine
+    )
+    SELECT cls, lab_n, det_n, tp,
+           CASE WHEN det_n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(tp * 1000000 // det_n AS BIGINT) / 1e6 END AS precision_q,
+           CASE WHEN lab_n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(tp * 1000000 // lab_n AS BIGINT) / 1e6 END AS recall_q,
+           CASE WHEN det_n + lab_n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(2 * tp * 1000000 // (det_n + lab_n) AS BIGINT) / 1e6
+           END AS f1_q,
+           CAST(agree * 1000000 // n_total AS BIGINT) / 1e6 AS accuracy_q,
+           CASE WHEN n_total * n_total = pe THEN CAST(0 AS DOUBLE)
+                ELSE CAST((n_total * agree - pe) * 1000000
+                          // (n_total * n_total - pe) AS BIGINT) / 1e6
+           END AS kappa_q
+    FROM tot
+    ORDER BY cls
+    """.replace("{LANG_SCORES}", _lang_scores_sql()).replace(
+        "{LANG_STRUCTS}",
+        ", ".join(
+            f"{{'neg_s': -score_{lang}, 'l': '{lang}'}}"
+            for lang in sorted(text_ops.LANG_PROFILES)
+        ),
+    ),
+    "CLASSIFIER CONFUSION-MATRIX EVALUATION WITH COHEN'S KAPPA (the "
+    "model-eval closer for CLASSIFICATION, next to xdv's score-ranking "
+    "AUC, xdc's nDCG and xdb's conformal coverage — and the first "
+    "oracle-checked CALLER of the public operators/text.lang_id "
+    "surface, previously pinned only by its doc_stats consistency "
+    "test): the heuristic language-ID prediction vs the labeled lang "
+    "over the full documents table; per-class support/detected/TP "
+    "with precision tp/det, recall tp/lab and F1 via the exact "
+    "integer identity 2tp/(det+lab) (no float p*r/(p+r) chain), plus "
+    "overall accuracy and chance-corrected Cohen's kappa "
+    "(N*agree - sum lab_k*det_k) / (N^2 - sum lab_k*det_k) — signed "
+    "BIGINT numerator, truncating division engine-identical (pinned "
+    "r7 rule); every metric ONE integer-quantized division, zero "
+    "denominators CASE-guarded on both engines. Class spine = full "
+    "outer of labeled and detected classes, so an 'unknown'-only "
+    "prediction class still reports (precision 0 row). All window "
+    "totals ride the class-level aggregate (bounded). Headroom: "
+    "N^2*1e6 < 2^63 to ~3e6 docs, then pre-divide pe by gcd stages",
+    ("documents", "text", "analytics"),
+)
+def xdz_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.text import lang_id
+
+    t = _t(spark, sf_dir)
+    pred = lang_id(t["documents"].select("doc_id", "lang", "text")).select(
+        F.col("lang").alias("labeled"), F.col("detected_lang").alias("detected")
+    )
+    cm = pred.groupBy("labeled", "detected").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lab = cm.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("c").cast("long").alias("lab_n")
+    )
+    det = cm.groupBy(F.col("detected").alias("cls")).agg(
+        F.sum("c").cast("long").alias("det_n")
+    )
+    tp = (
+        cm.filter(F.col("labeled") == F.col("detected"))
+        .groupBy(F.col("labeled").alias("cls"))
+        .agg(F.sum("c").cast("long").alias("tp"))
+    )
+    spine = (
+        lab.join(det, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("lab_n", F.lit(0)).cast("long").alias("lab_n"),
+            F.coalesce("det_n", F.lit(0)).cast("long").alias("det_n"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    w = W.partitionBy()
+    tot = spine.select(
+        "cls",
+        "lab_n",
+        "det_n",
+        "tp",
+        F.sum("lab_n").over(w).cast("long").alias("n_total"),
+        F.sum("tp").over(w).cast("long").alias("agree"),
+        F.sum(F.col("lab_n") * F.col("det_n")).over(w).cast("long").alias("pe"),
+    )
+    return tot.select(
+        "cls",
+        "lab_n",
+        "det_n",
+        "tp",
+        F.expr(
+            "CASE WHEN det_n = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(tp * 1000000 div det_n AS BIGINT) / 1e6 END"
+        ).alias("precision_q"),
+        F.expr(
+            "CASE WHEN lab_n = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(tp * 1000000 div lab_n AS BIGINT) / 1e6 END"
+        ).alias("recall_q"),
+        F.expr(
+            "CASE WHEN det_n + lab_n = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(2 * tp * 1000000 div (det_n + lab_n) AS BIGINT) / 1e6 END"
+        ).alias("f1_q"),
+        F.expr("CAST(agree * 1000000 div n_total AS BIGINT) / 1e6").alias(
+            "accuracy_q"
+        ),
+        F.expr(
+            "CASE WHEN n_total * n_total = pe THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST((n_total * agree - pe) * 1000000"
+            " div (n_total * n_total - pe) AS BIGINT) / 1e6 END"
+        ).alias("kappa_q"),
+    ).orderBy("cls")

@@ -473,3 +473,142 @@ def test_tree_descend_dag_multiplicity_matches_union_all(spark) -> None:
     )
     # node 4 appears TWICE at depth 2 (path via 2 and path via 3)
     assert got == [(1, 0), (2, 1), (3, 1), (4, 2), (4, 2)]
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def _naive_lpa(edges, rounds=4):
+    """Textbook synchronous label propagation with the (count DESC,
+    label ASC) tie-break, computed independently in plain Python — the
+    third verification layer for label_propagation (the oracle's
+    row_number argmax and Spark's max(struct) are different mechanisms,
+    but both were written by the same author; this one re-derives the
+    semantics from the paper's definition)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = {}
+            for q in adj[v]:
+                cnt[lbl[q]] = cnt.get(lbl[q], 0) + 1
+            new[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lbl = new
+    return lbl
+
+
+def _lpa(spark, edges, **kw):
+    from dask_snowflake_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r["vertex"]: r["community"]
+        for r in label_propagation(df, "a", "b", **kw).collect()
+    }
+
+
+def test_lpa_lollipop_converges_to_one_community(spark) -> None:
+    # triangle + tail: plurality pull absorbs the tail into the
+    # triangle's community within 4 synchronous rounds
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = _lpa(spark, edges)
+    assert got == _naive_lpa(edges) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_lpa_two_cliques_with_bridge(spark) -> None:
+    # two triangles joined by one bridge edge: each keeps its own
+    # community (min member id) — the density lens CC cannot provide
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    got = _lpa(spark, edges)
+    assert got == _naive_lpa(edges)
+    assert len(set(got.values())) == 2
+
+
+def test_lpa_round_cap_is_the_semantics(spark) -> None:
+    # a long path does NOT converge in 2 rounds; the bounded output is
+    # still well-defined and equals the naive sync state after exactly
+    # 2 rounds — the same total function the unrolled oracle computes
+    edges = [(i, i + 1) for i in range(8)]
+    assert _lpa(spark, edges, rounds=2) == _naive_lpa(edges, rounds=2)
+
+
+def test_lpa_random_graphs_match_naive_python(spark) -> None:
+    import hashlib
+
+    for seed in range(3):
+        n_vertices, n_edges = 24, 40
+        edges = []
+        for i in range(n_edges):
+            h = hashlib.md5(f"lpa{seed}:{i}".encode()).hexdigest()
+            a, b = int(h[:8], 16) % n_vertices, int(h[8:16], 16) % n_vertices
+            if a != b:
+                edges.append((a, b))
+        for rounds in (3, 4):
+            assert _lpa(spark, edges, rounds=rounds) == _naive_lpa(
+                edges, rounds=rounds
+            ), (seed, rounds)
+
+
+def test_lpa_drops_self_loops_and_multi_edges(spark) -> None:
+    # (5,5) must not let 5 vote for itself; duplicate (5,6) rows must
+    # count once (the und set is DISTINCT) — naive uses sets, so parity
+    # proves both
+    edges = [(5, 5), (5, 6), (6, 5), (5, 6), (6, 7)]
+    assert _lpa(spark, edges) == _naive_lpa(edges)
+
+
+def test_link_prediction_matches_naive_python(spark) -> None:
+    """xdx's in-array wedge scoring vs a from-scratch python replay of
+    the whole pipeline (co-purchase graph build, hub cap, CN counts,
+    edge exclusion, jaccard, top-20) on the sf0.001 fixture — the
+    third layer next to the oracle's self-join formulation."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.u, r.v, r.common_neighbors, r.deg_u, r.deg_v, r.jaccard)
+        for r in registry()["xdx_link_prediction_cn"].spark_fn(spark, sf).collect()
+    ]
+
+    con = duckdb.connect()
+    items = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf}/lineitem.parquet'"
+    ).fetchall()
+    by_order = {}
+    for ok, pk in items:
+        by_order.setdefault(ok, []).append(pk)
+    pair_n = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] = pair_n.get((ps[i], ps[j]), 0) + 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cn = {}
+    for c, nbrs in adj.items():
+        if len(nbrs) > 64:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] = cn.get((ns[i], ns[j]), 0) + 1
+    want = []
+    for (u, v), c in cn.items():
+        if (u, v) in edges:
+            continue
+        du, dv = len(adj[u]), len(adj[v])
+        want.append((u, v, c, du, dv, (c * 1_000_000 // (du + dv - c)) / 1e6))
+    want.sort(key=lambda r: (-r[2], r[0], r[1]))
+    assert got == want[:20]

@@ -552,3 +552,165 @@ def test_power_iteration_matches_python_replica(spark, sf_oracle):
         (d, vq[d], wq[d]) for d in range(dim)
     ]
     assert any(v != 0 for v in vq)
+
+
+def test_roc_auc_matches_python_replica(spark, sf_oracle):
+    """xdv's doubled-rank Mann-Whitney AUC == an exact python-int
+    replica (average ranks computed from scratch, U from the rank-sum
+    identity) per segment — the oracle mirrors the engine's rank
+    expression, so only an out-of-band replica can catch a mirrored
+    formula bug. Exact equality: both sides are integer arithmetic."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c.c_mktsegment,
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        FROM '{sf_oracle}/orders.parquet' o
+        JOIN '{sf_oracle}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        """
+    ).fetchall()
+    by_seg = {}
+    for seg, score, pos in rows:
+        by_seg.setdefault(seg, []).append((score, pos))
+    want = {}
+    for seg, sp in by_seg.items():
+        sp.sort()
+        n = len(sp)
+        # doubled average rank per row: walk tie runs over the sorted
+        # scores; run [i, j] (0-based) has avg rank (i+j+2)/2 -> doubled
+        # = i + j + 2 — an exact int
+        r2_pos = 0
+        n_pos = sum(p for _, p in sp)
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and sp[j + 1][0] == sp[i][0]:
+                j += 1
+            d2 = i + j + 2
+            for k in range(i, j + 1):
+                if sp[k][1] == 1:
+                    r2_pos += d2
+            i = j + 1
+        n_neg = n - n_pos
+        u2 = r2_pos - n_pos * (n_pos + 1)
+        auc = (u2 * 1_000_000 // (2 * n_pos * n_neg)) / 1e6 if n_pos and n_neg else 0.0
+        want[seg] = (n_pos, n_neg, u2, auc)
+
+    got = registry()["xdv_roc_auc_mann_whitney"].spark_fn(spark, sf_oracle).collect()
+    assert {r.segment: (r.n_pos, r.n_neg, r.u2, r.auc) for r in got} == want
+    # and the metric is informative on this fixture: some segment's AUC
+    # must differ from coin-flip 0.5 by a visible margin or the query
+    # proves nothing
+    assert any(abs(v[3] - 0.5) > 1e-4 for v in want.values())
+
+
+def test_seasonal_dow_matches_python_replica(spark, sf_oracle):
+    """xdy's windowed integer detrend == a from-scratch python replay
+    (daily sums -> dense day spine -> centered 7-day MA -> per-dow
+    means) — exact integer equality, no tolerance."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    daily = dict(
+        con.execute(
+            f"""
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            FROM '{sf_oracle}/events.parquet' WHERE event_type = 'purchase'
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    dmin, dmax = min(daily), max(daily)
+    cents = {d: daily.get(d, 0) for d in range(dmin, dmax + 1)}
+    per_dow = {}
+    for d in range(dmin + 3, dmax - 2):
+        ma7 = sum(cents[x] for x in range(d - 3, d + 4))
+        dow = d % 7
+        n, rev, det = per_dow.get(dow, (0, 0, 0))
+        per_dow[dow] = (n + 1, rev + cents[d], det + 7 * cents[d] - ma7)
+    total = sum(v[1] for v in per_dow.values())
+
+    def q(num, den):
+        # BIGINT truncating division, python-exact for signed ints
+        s = -1 if (num < 0) != (den < 0) else 1
+        return s * (abs(num) * 1_000_000 // abs(den)) / 1e6
+
+    want = {
+        dow: (n, rev, (rev * 1_000_000 // total) / 1e6 if total else 0.0,
+              q(det, 7 * n))
+        for dow, (n, rev, det) in per_dow.items()
+    }
+    got = {
+        r.dow: (r.n_days, r.revenue_cents, r.revenue_share, r.mean_detrended_cents)
+        for r in registry()["xdy_seasonal_dow_profile"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got == want
+    # the profile must cover all 7 weekdays on this fixture or the
+    # decomposition proves nothing
+    assert len(got) == 7
+
+
+def test_lang_confusion_matches_python_replica(spark, sf_oracle):
+    """xdz's confusion/kappa rollup == a from-scratch python replica
+    including the stopword-argmax language ID itself — the oracle
+    shares the scoring SQL by necessity, so the replica is the
+    independent layer for BOTH the classifier and the metrics."""
+    import duckdb
+
+    from dask_snowflake_spark.operators.text import LANG_PROFILES
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    profs = {k: set(v) for k, v in LANG_PROFILES.items()}
+    cm = {}
+    for lang, text in rows:
+        words = [w for w in text.strip().lower().split() if w]
+        scores = {
+            k: sum(1 for w in words if w in p) for k, p in sorted(profs.items())
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        # max() keeps the FIRST maximal key of the sorted order — the
+        # lexicographic tie-break the operator pins
+        det = best if scores[best] > 0 else "unknown"
+        cm[(lang, det)] = cm.get((lang, det), 0) + 1
+    classes = sorted(
+        {l for l, _ in cm} | {d for _, d in cm}
+    )
+    lab = {c: sum(v for (l, _), v in cm.items() if l == c) for c in classes}
+    det_n = {c: sum(v for (_, d), v in cm.items() if d == c) for c in classes}
+    tp = {c: cm.get((c, c), 0) for c in classes}
+    n = sum(lab.values())
+    agree = sum(tp.values())
+    pe = sum(lab[c] * det_n[c] for c in classes)
+
+    def q(num, den):
+        s = -1 if (num < 0) != (den < 0) else 1
+        return s * (abs(num) * 1_000_000 // abs(den)) / 1e6 if den else 0.0
+
+    got = registry()["xdz_lang_confusion_eval"].spark_fn(spark, sf_oracle).collect()
+    assert [r.cls for r in got] == classes
+    for r in got:
+        c = r.cls
+        assert (r.lab_n, r.det_n, r.tp) == (lab[c], det_n[c], tp[c])
+        assert r.precision_q == q(tp[c], det_n[c])
+        assert r.recall_q == q(tp[c], lab[c])
+        assert r.f1_q == q(2 * tp[c], det_n[c] + lab[c])
+        assert r.accuracy_q == q(agree, n)
+        assert r.kappa_q == (q(n * agree - pe, n * n - pe) if n * n != pe else 0.0)
+    # informative on this fixture: the heuristic must beat chance (the
+    # synthetic corpus carries few real stopwords, so kappa is LOW —
+    # the eval exposing a weak classifier is the metric working; it
+    # still must be positive and accuracy must beat the 1-in-5 prior)
+    assert got[0].kappa_q > 0
+    assert got[0].accuracy_q > 0.2
