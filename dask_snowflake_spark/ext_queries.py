@@ -12109,3 +12109,521 @@ def xdz_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_total * n_total - pe) AS BIGINT) / 1e6 END"
         ).alias("kappa_q"),
     ).orderBy("cls")
+
+
+@query(
+    "xe0_cdc_chunking",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    bnd AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
+            FROM documents
+        )
+        WHERE ('0x' || substr(md5('0:' || substr(text, p, 8)), 1, 15))::BIGINT
+              % 64 = 0
+    ),
+    allb AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, p FROM bnd
+            UNION ALL SELECT doc_id, len AS p FROM d
+        )
+    ),
+    chunks AS (
+        SELECT doc_id,
+               COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS s,
+               p AS e
+        FROM allb
+    ),
+    ct AS (
+        SELECT md5(substr(d.text, c.s, c.e - c.s + 1)) AS h,
+               CAST(c.e - c.s + 1 AS BIGINT) AS clen
+        FROM chunks c JOIN d ON d.doc_id = c.doc_id
+    ),
+    per AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS cnt, CAST(min(clen) AS BIGINT) AS clen
+        FROM ct GROUP BY h
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+           CAST(count(*) AS BIGINT) AS distinct_chunks,
+           CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+           CAST(sum(clen) AS BIGINT) AS distinct_bytes,
+           CAST(sum(clen) * 1000000 // sum(cnt * clen) AS BIGINT) / 1e6
+               AS byte_dedup_ratio,
+           CAST(sum(cnt * clen) * 1000000 // sum(cnt) AS BIGINT) / 1e6
+               AS mean_chunk_len
+    FROM per
+    """,
+    "CONTENT-DEFINED CHUNKING + chunk-store dedup audit (the "
+    "storage-dedup primitive — FastCDC/LBFS-style: x54/xb0 cut FIXED "
+    "windows, which shift at every insertion; content-defined "
+    "boundaries (hash of the 8-gram AT a position selects it as a cut "
+    "with P=1/64, expected ~64-char chunks) survive edits, so shared "
+    "regions between near-identical documents dedup at the CHUNK "
+    "level): boundary positions from the portable 60-bit md5 gram "
+    "hash (engine-identical bits), every doc's end is a sentinel "
+    "boundary (DISTINCT against real cut at end — never an empty "
+    "tail chunk), chunk spans = lag window per doc, chunk identity = "
+    "md5 of the substring, then ONE two-level rollup: total vs "
+    "distinct chunks and bytes, byte-level dedup ratio and mean chunk "
+    "length integer-quantized. Same-hash chunks share length, so "
+    "distinct_bytes = sum(min(len)) is exact. Scale shape: "
+    "corpus-linear position hashing (the CMS lesson: the hash IS the "
+    "cost — production swaps the md5 for a gear/rolling hash, the "
+    "boundary->islands->dedup plumbing is unchanged), one doc-keyed "
+    "window on boundary rows only (~len/64 per doc), chunk-hash "
+    "groupBy bounded by distinct content",
+    ("documents", "text", "dedup"),
+)
+def xe0_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.dedup import portable_hash
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text", F.length("text").alias("len"))
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("len") - 7, F.lit(1)))
+        ).alias("p"),
+    )
+    bnd = pos.filter(
+        portable_hash(F.expr("substring(text, p, 8)")) % 64 == 0
+    ).select("doc_id", "p")
+    allb = bnd.unionByName(d.select("doc_id", F.col("len").alias("p"))).distinct()
+    chunks = allb.select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.lag("p").over(W.partitionBy("doc_id").orderBy("p")), F.lit(0)
+            )
+            + 1
+        ).alias("s"),
+        F.col("p").alias("e"),
+    )
+    ct = chunks.join(d.select("doc_id", "text"), "doc_id").select(
+        F.md5(F.expr("substring(text, s, e - s + 1)")).alias("h"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("clen"),
+    )
+    per = ct.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("clen").cast("long").alias("clen"),
+    )
+    return per.agg(
+        F.sum("cnt").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).cast("long").alias("total_bytes"),
+        F.sum("clen").cast("long").alias("distinct_bytes"),
+    ).select(
+        "total_chunks",
+        "distinct_chunks",
+        "total_bytes",
+        "distinct_bytes",
+        (
+            F.expr("CAST(distinct_bytes * 1000000 div total_bytes AS BIGINT)") / 1e6
+        ).alias("byte_dedup_ratio"),
+        (
+            F.expr("CAST(total_bytes * 1000000 div total_chunks AS BIGINT)") / 1e6
+        ).alias("mean_chunk_len"),
+    )
+
+
+@query(
+    "xe1_cluster_silhouette",
+    """
+    WITH q AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS clabel, pos,
+               CAST(sum(xq) AS BIGINT) // CAST(count(*) AS BIGINT) AS mq
+        FROM q GROUP BY label, pos
+    ),
+    d2 AS (
+        SELECT q.vec_id, q.label AS vlabel, c.clabel,
+               CAST(sum((q.xq - c.mq) * (q.xq - c.mq)) AS BIGINT) AS dist_sq
+        FROM q JOIN cent c ON c.pos = q.pos
+        GROUP BY q.vec_id, q.label, c.clabel
+    ),
+    ab AS (
+        SELECT vec_id, vlabel,
+               CAST(max(CASE WHEN clabel = vlabel THEN dist_sq END) AS BIGINT) AS a,
+               CAST(min(CASE WHEN clabel <> vlabel THEN dist_sq END) AS BIGINT) AS b
+        FROM d2 GROUP BY vec_id, vlabel
+    ),
+    s AS (
+        SELECT vec_id, vlabel,
+               CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0
+                    ELSE (CASE WHEN b - a < 0 THEN -1 ELSE 1 END)
+                         * (abs(b - a) * 1000000 // greatest(a, b)) END AS s_q
+        FROM ab
+    )
+    SELECT vlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN s_q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_well_separated,
+           CAST((CASE WHEN sum(s_q) < 0 THEN -1 ELSE 1 END)
+                * (abs(CAST(sum(s_q) AS BIGINT)) // CAST(count(*) AS BIGINT))
+                AS BIGINT) / 1e6 AS mean_silhouette
+    FROM s GROUP BY vlabel
+    ORDER BY label
+    """,
+    "CENTROID SILHOUETTE SCORE (simplified silhouette, squared-"
+    "distance variant — the cluster-QUALITY judgment next to xb6's "
+    "centroid separation audit and x51/xb6's cluster machinery: xb6 "
+    "reports raw centroid geometry, this scores every VECTOR's "
+    "assignment and rolls up per label): a = squared distance to the "
+    "own-label centroid, b = min squared distance to any other "
+    "centroid, s = (b - a)/max(a, b) in [-1, 1] — positive means the "
+    "label holds the vector better than any alternative. Exactness: "
+    "elements quantize to integer MILLI-units at source (floor of one "
+    "IEEE double*1e3 — xb6 idiom, coarsened 1e6 -> 1e3 so that "
+    "|b - a| * 1e6 stays within BIGINT: diffs <= 2e3, squares <= 4e6, "
+    "64-dim sums <= 2.6e8, times 1e6 <= 2.6e14), centroids integer-"
+    "div means, distances exact BIGINT sums of squares in any order; "
+    "s is quantized per vector by MAGNITUDE+SIGN (the r6 rule: the "
+    "s_q > 0 well-separated THRESHOLD must not skew across zero), "
+    "per-label mean = magnitude+sign integer division of the exact "
+    "sum. Scale shape: the centroid table (labels x dim) is "
+    "broadcast-sized at any corpus scale; per-vector work is one "
+    "map-side join fan of labels x dim terms, one (vec, label) agg — "
+    "corpus-linear, no pairwise distances anywhere",
+    ("embeddings", "similarity", "analytics"),
+)
+def xe1_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    q = (
+        t["embeddings"]
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("x").cast("double") * 1_000).cast("long").alias("xq"),
+        )
+    )
+    cent = (
+        q.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.expr("CAST(sum(xq) div count(1) AS BIGINT)").alias("mq")
+        )
+    )
+    d2 = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("vlabel"), "clabel")
+        .agg(
+            F.sum((F.col("xq") - F.col("mq")) * (F.col("xq") - F.col("mq")))
+            .cast("long")
+            .alias("dist_sq")
+        )
+    )
+    ab = d2.groupBy("vec_id", "vlabel").agg(
+        F.max(F.when(F.col("clabel") == F.col("vlabel"), F.col("dist_sq")))
+        .cast("long")
+        .alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("vlabel"), F.col("dist_sq")))
+        .cast("long")
+        .alias("b"),
+    )
+    s = ab.select(
+        "vlabel",
+        F.expr(
+            "CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0L"
+            " ELSE (CASE WHEN b - a < 0 THEN -1L ELSE 1L END)"
+            " * (abs(b - a) * 1000000 div greatest(a, b)) END"
+        ).alias("s_q"),
+    )
+    return (
+        s.groupBy(F.col("vlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("s_q") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_well_separated"),
+            F.expr(
+                "CAST((CASE WHEN sum(s_q) < 0 THEN -1L ELSE 1L END)"
+                " * (abs(CAST(sum(s_q) AS BIGINT)) div count(1)) AS BIGINT)"
+            ).alias("__ms_q"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_well_separated",
+            (F.col("__ms_q") / 1e6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_SCALE = 1_000_000_000  # p vector in integer nano-probabilities
+
+
+def _markov_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled bounded-absorption oracle for
+    ``xe2_markov_removal_attribution``: journeys -> transition counts,
+    a variant fan (base + one per removed channel), then p0..p{rounds}
+    one-row-per-variant MATERIALIZED CTEs computing the within-k-steps
+    conversion probability from every state in integer
+    nano-probabilities (one truncating division per state per round:
+    p'(s) = sum_t cnt_st * p(t) div tot_s, with the REMOVED channel's
+    rows dropped but tot_s kept at the base total — redirected mass
+    converts never, the standard removal-effect semantics)."""
+    chans = _MARKOV_CHANNELS
+    sc = _MARKOV_SCALE
+    cnt_cols = ", ".join(
+        f"CAST(COALESCE(sum(CASE WHEN t.to_s = '{c}' THEN t.cnt END), 0) AS BIGINT)"
+        f" AS cnt_{c}"
+        for c in chans
+    )
+    base_states = ["START"] + list(chans)
+    p_cols0 = ", ".join(f"CAST(0 AS BIGINT) AS p_{s}" for s in base_states)
+    num = " + ".join(f"t.cnt_{c} * p.p_{c}" for c in chans)
+    upd = ", ".join(
+        f"CAST(COALESCE(max(CASE WHEN from_s = '{s}' THEN p_new END), 0) AS BIGINT)"
+        f" AS p_{s}"
+        for s in base_states
+    )
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        rounds_sql.append(
+            f"""p{r} AS MATERIALIZED (
+        SELECT variant, {upd}
+        FROM (
+            SELECT t.variant, t.from_s,
+                   ({num} + t.cnt_conv * {sc}) // t.tot AS p_new
+            FROM tw t JOIN p{r - 1} p ON p.variant = t.variant
+        ) GROUP BY variant
+    )"""
+        )
+    chain = ",\n    ".join(rounds_sql)
+    variants = ", ".join(f"('{c}')" for c in ("__BASE__",) + chans)
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_rows,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prior_conv
+        FROM events
+    ),
+    kept AS (SELECT * FROM ev WHERE prior_conv = 0),
+    steps AS (
+        SELECT user_id, rn,
+               CASE WHEN rn = 1 THEN 'START'
+                    ELSE lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+               END AS from_s,
+               event_type AS to_s
+        FROM kept
+    ),
+    terminal AS (
+        SELECT k.event_type AS from_s, 'NULL' AS to_s
+        FROM kept k
+        JOIN (SELECT user_id, max(rn) AS mx,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_conv
+              FROM kept GROUP BY user_id) u
+          ON u.user_id = k.user_id AND u.mx = k.rn
+        WHERE u.n_conv = 0
+    ),
+    trans AS (
+        SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT from_s, to_s FROM steps UNION ALL SELECT from_s, to_s FROM terminal)
+        GROUP BY from_s, to_s
+    ),
+    tot AS (SELECT from_s, CAST(sum(cnt) AS BIGINT) AS tot FROM trans GROUP BY from_s),
+    variants(removed) AS (VALUES {variants}),
+    tw AS MATERIALIZED (
+        SELECT v.removed AS variant, t.from_s, {cnt_cols},
+               CAST(COALESCE(sum(CASE WHEN t.to_s = 'purchase' THEN t.cnt END), 0)
+                    AS BIGINT) AS cnt_conv,
+               min(o.tot) AS tot
+        FROM variants v
+        JOIN trans t ON t.from_s <> v.removed AND t.to_s <> v.removed
+        JOIN tot o ON o.from_s = t.from_s
+        GROUP BY v.removed, t.from_s
+    ),
+    p0 AS MATERIALIZED (SELECT removed AS variant, {p_cols0} FROM variants),
+    {chain},
+    base AS (SELECT p_START AS p_base FROM p{rounds} WHERE variant = '__BASE__'),
+    rem AS (
+        SELECT variant AS channel, p_START AS p_removed
+        FROM p{rounds} WHERE variant <> '__BASE__'
+    ),
+    eff AS (
+        SELECT r.channel, b.p_base, r.p_removed,
+               b.p_base - r.p_removed AS effect
+        FROM rem r CROSS JOIN base b
+    )
+    SELECT channel,
+           CAST(p_base AS BIGINT) / 1e9 AS p_conv_base,
+           CAST(p_removed AS BIGINT) / 1e9 AS p_conv_removed,
+           CAST(effect AS BIGINT) AS effect_q,
+           CASE WHEN sum(effect) OVER () = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(effect * 1000000
+                          // CAST(sum(effect) OVER () AS BIGINT) AS BIGINT) / 1e6
+           END AS attribution_share
+    FROM eff
+    ORDER BY channel
+    """
+
+
+@query(
+    "xe2_markov_removal_attribution",
+    _markov_oracle_sql(),
+    "MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the "
+    "MODEL-BASED member of the attribution family: x77/xcd credit the "
+    "last touch, attribution_linear splits evenly; this asks the "
+    "counterfactual 'how much conversion probability disappears if "
+    "channel c vanishes' on a first-order Markov model of the "
+    "journeys): per user, events up to the FIRST purchase (unique "
+    "(ts, event_id) order) form a chain START -> ... -> purchase "
+    "(absorbing CONV) or -> NULL (non-converters); removal of channel "
+    "c drops its transitions while keeping base out-totals (redirected "
+    "mass never converts — the standard semantics); conversion "
+    "probability = 8 bounded synchronous rounds of p'(s) = "
+    "(sum_t cnt_st * p(t)) div tot_s in integer NANO-probabilities "
+    "(ONE truncating division per state per round — deterministic and "
+    "engine-identical; within-8-steps absorption is the declared "
+    "total-function semantics, oracle = unrolled MATERIALIZED chain), "
+    "attribution share = effect / sum(effects) integer-quantized. "
+    "Scale shape: the corpus-heavy work is ONE pass (journey windows "
+    "+ transition counts); the state space is CHANNEL-bounded, so the "
+    "8 rounds run on a pivoted ONE-ROW-PER-VARIANT p vector — tiny "
+    "broadcast joins, no checkpoints, no collects, single action. "
+    "Headroom: cnt * 1e9 < 2^63 to ~9e9 transitions per edge; beyond, "
+    "lower the probability scale",
+    ("events", "analytics", "attribution"),
+)
+def xe2_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    chans = _MARKOV_CHANNELS
+    sc = _MARKOV_SCALE
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1))
+            .over(wu.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prior_conv"),
+    )
+    kept = ev.filter(F.col("prior_conv") == 0)
+    steps = kept.select(
+        F.when(F.col("rn") == 1, F.lit("START"))
+        .otherwise(F.lag("event_type").over(W.partitionBy("user_id").orderBy("rn")))
+        .alias("from_s"),
+        F.col("event_type").alias("to_s"),
+    )
+    last = (
+        kept.groupBy("user_id")
+        .agg(
+            F.max("rn").alias("mx"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_conv"),
+        )
+        .filter(F.col("n_conv") == 0)
+    )
+    terminal = (
+        kept.join(last, ["user_id"])
+        .filter(F.col("rn") == F.col("mx"))
+        .select(F.col("event_type").alias("from_s"), F.lit("NULL").alias("to_s"))
+    )
+    trans = (
+        steps.unionByName(terminal)
+        .groupBy("from_s", "to_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = trans.groupBy("from_s").agg(F.sum("cnt").cast("long").alias("tot"))
+    variants = spark.createDataFrame(
+        [(v,) for v in ("__BASE__",) + chans], "removed string"
+    )
+    tw = (
+        variants.crossJoin(trans)
+        .filter(
+            (F.col("from_s") != F.col("removed")) & (F.col("to_s") != F.col("removed"))
+        )
+        .join(tot, "from_s")
+        .groupBy(F.col("removed").alias("variant"), "from_s")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("to_s") == c, F.col("cnt"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"cnt_{c}")
+                for c in chans
+            ],
+            F.coalesce(
+                F.sum(F.when(F.col("to_s") == "purchase", F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("cnt_conv"),
+            F.min("tot").cast("long").alias("tot"),
+        )
+    )
+    base_states = ["START"] + list(chans)
+    p = variants.select(
+        F.col("removed").alias("variant"),
+        *[F.lit(0).cast("long").alias(f"p_{s}") for s in base_states],
+    )
+    num = " + ".join(f"cnt_{c} * p_{c}" for c in chans)
+    for _ in range(8):
+        p = (
+            tw.join(F.broadcast(p), "variant")
+            .select(
+                "variant",
+                "from_s",
+                F.expr(f"({num} + cnt_conv * {sc}L) div tot").alias("p_new"),
+            )
+            .groupBy("variant")
+            .agg(
+                *[
+                    F.coalesce(
+                        F.max(F.when(F.col("from_s") == s, F.col("p_new"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias(f"p_{s}")
+                    for s in base_states
+                ]
+            )
+        )
+    base = p.filter(F.col("variant") == "__BASE__").select(
+        F.col("p_START").alias("p_base")
+    )
+    rem = p.filter(F.col("variant") != "__BASE__").select(
+        F.col("variant").alias("channel"), F.col("p_START").alias("p_removed")
+    )
+    eff = rem.crossJoin(F.broadcast(base)).select(
+        "channel",
+        "p_base",
+        "p_removed",
+        (F.col("p_base") - F.col("p_removed")).cast("long").alias("effect"),
+    )
+    return eff.select(
+        "channel",
+        (F.col("p_base") / 1e9).alias("p_conv_base"),
+        (F.col("p_removed") / 1e9).alias("p_conv_removed"),
+        F.col("effect").alias("effect_q"),
+        F.expr(
+            "CASE WHEN sum(effect) OVER () = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(effect * 1000000 div CAST(sum(effect) OVER () AS BIGINT)"
+            " AS BIGINT) / 1e6 END"
+        ).alias("attribution_share"),
+    ).orderBy("channel")

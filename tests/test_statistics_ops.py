@@ -714,3 +714,187 @@ def test_lang_confusion_matches_python_replica(spark, sf_oracle):
     # still must be positive and accuracy must beat the 1-in-5 prior)
     assert got[0].kappa_q > 0
     assert got[0].accuracy_q > 0.2
+
+
+def test_cdc_chunking_matches_python_replica(spark, sf_oracle):
+    """xe0's boundary->islands->dedup pipeline == a from-scratch python
+    replay (md5 gram hashes, cut positions, chunk md5s, byte rollup) —
+    the oracle necessarily mirrors the boundary hash, so the replica
+    is the independent layer. Exact integer equality."""
+    import duckdb
+    import hashlib
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+
+    def phash(sv: str) -> int:
+        return int(hashlib.md5(f"0:{sv}".encode()).hexdigest()[:15], 16)
+
+    per = {}
+    for _, text in rows:
+        n = len(text)
+        cuts = sorted(
+            {
+                p
+                for p in range(1, max(n - 7, 1) + 1)
+                if phash(text[p - 1 : p - 1 + 8]) % 64 == 0
+            }
+            | {n}
+        )
+        prev = 0
+        for e in cuts:
+            chunk = text[prev:e]
+            h = hashlib.md5(chunk.encode()).hexdigest()
+            cnt, clen = per.get(h, (0, len(chunk)))
+            per[h] = (cnt + 1, clen)
+            prev = e
+    total_chunks = sum(c for c, _ in per.values())
+    distinct_chunks = len(per)
+    total_bytes = sum(c * l for c, l in per.values())
+    distinct_bytes = sum(l for _, l in per.values())
+
+    got = registry()["xe0_cdc_chunking"].spark_fn(spark, sf_oracle).collect()[0]
+    assert (
+        got.total_chunks,
+        got.distinct_chunks,
+        got.total_bytes,
+        got.distinct_bytes,
+    ) == (total_chunks, distinct_chunks, total_bytes, distinct_bytes)
+    assert got.byte_dedup_ratio == (distinct_bytes * 1_000_000 // total_bytes) / 1e6
+    assert got.mean_chunk_len == (total_bytes * 1_000_000 // total_chunks) / 1e6
+    # informative: chunking must actually cut (more chunks than docs)
+    # — expected cut rate is 1/64 per position on ~250-char docs
+    assert total_chunks > len(rows)
+
+
+def test_cluster_silhouette_matches_python_replica(spark, sf_oracle):
+    """xe1's integer silhouette == a from-scratch python-int replica
+    (milli-unit quantization, integer-div centroids, exact squared
+    distances, magnitude+sign quantization) — the oracle mirrors the
+    engine expressions. Exact equality."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{sf_oracle}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {
+        vid: (lab, [math.floor(float(x) * 1000) for x in emb])
+        for vid, lab, emb in rows
+    }
+    labels = sorted({lab for lab, _ in vecs.values()})
+    dim = len(next(iter(vecs.values()))[1])
+    cents = {}
+    for lab in labels:
+        members = [v for l, v in vecs.values() if l == lab]
+        cents[lab] = [
+            _trunc_div(sum(m[i] for m in members), len(members))
+            for i in range(dim)
+        ]
+    per_label = {}
+    for vid, (lab, v) in vecs.items():
+        d2 = {
+            cl: sum((a - b) * (a - b) for a, b in zip(v, c))
+            for cl, c in cents.items()
+        }
+        a = d2[lab]
+        b = min(d for cl, d in d2.items() if cl != lab)
+        den = max(a, b)
+        s_q = 0 if den == 0 else (-1 if b < a else 1) * (abs(b - a) * 1_000_000 // den)
+        n, npos, ssum = per_label.get(lab, (0, 0, 0))
+        per_label[lab] = (n + 1, npos + (1 if s_q > 0 else 0), ssum + s_q)
+
+    got = registry()["xe1_cluster_silhouette"].spark_fn(spark, sf_oracle).collect()
+    assert [r.label for r in got] == labels
+    for r in got:
+        n, npos, ssum = per_label[r.label]
+        assert (r.n_vecs, r.n_well_separated) == (n, npos)
+        want_ms = (-1 if ssum < 0 else 1) * (abs(ssum) // n) / 1e6
+        assert r.mean_silhouette == want_ms, (r.label, r.mean_silhouette, want_ms)
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """BIGINT truncating division (toward zero), python-exact."""
+    s = -1 if (num < 0) != (den < 0) else 1
+    return s * (abs(num) // abs(den))
+
+
+def test_markov_removal_matches_python_replica(spark, sf_oracle):
+    """xe2's journey -> transition -> bounded-absorption pipeline == a
+    from-scratch python-int replica (journeys rebuilt from raw events,
+    8 synchronous rounds of the integer recursion per removal variant)
+    — the oracle mirrors the whole recursion, so the replica is the
+    only independent check. Exact equality."""
+    import duckdb
+
+    from dask_snowflake_spark.ext_queries import _MARKOV_CHANNELS, _MARKOV_SCALE
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, event_type FROM '{sf_oracle}/events.parquet'
+            ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    journeys = {}
+    for uid, et in rows:
+        journeys.setdefault(uid, []).append(et)
+    trans = {}
+    for seq in journeys.values():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+            states = ["START"] + seq
+        else:
+            states = ["START"] + seq + ["NULL"]
+        for a, b in zip(states, states[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    tot = {}
+    for (a, _), c in trans.items():
+        tot[a] = tot.get(a, 0) + c
+    chans = _MARKOV_CHANNELS
+    sc = _MARKOV_SCALE
+    states = ["START"] + list(chans)
+
+    def absorb(removed):
+        p = {s: 0 for s in states}
+        for _ in range(8):
+            p_new = {}
+            for s in states:
+                if s == removed or s not in tot:
+                    p_new[s] = 0
+                    continue
+                num = sum(
+                    trans.get((s, c2), 0) * p[c2]
+                    for c2 in chans
+                    if c2 != removed
+                ) + trans.get((s, "purchase"), 0) * sc
+                p_new[s] = num // tot[s]
+            p = p_new
+        return p["START"]
+
+    p_base = absorb(None)
+    effects = {c: p_base - absorb(c) for c in chans}
+    eff_sum = sum(effects.values())
+
+    got = registry()["xe2_markov_removal_attribution"].spark_fn(
+        spark, sf_oracle
+    ).collect()
+    assert [r.channel for r in got] == sorted(chans)
+    for r in got:
+        assert r.p_conv_base == p_base / 1e9
+        assert r.p_conv_removed == (p_base - effects[r.channel]) / 1e9
+        assert r.effect_q == effects[r.channel]
+        want_share = (
+            (effects[r.channel] * 1_000_000 // eff_sum) / 1e6 if eff_sum else 0.0
+        )
+        assert r.attribution_share == want_share
+    # informative: removing a channel must hurt (strictly positive
+    # effects for at least one channel) and never help (non-negative)
+    assert all(e >= 0 for e in effects.values())
+    assert eff_sum > 0
