@@ -898,3 +898,91 @@ def test_markov_removal_matches_python_replica(spark, sf_oracle):
     # effects for at least one channel) and never help (non-negative)
     assert all(e >= 0 for e in effects.values())
     assert eff_sum > 0
+
+
+def test_average_precision_matches_python_replica(spark, sf_oracle):
+    """xe3's windowed AP == a from-scratch python-int replica (sort by
+    (score DESC, orderkey), walk cumulative positives, nano-quantized
+    precision terms). Exact equality."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c.c_mktsegment, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        FROM '{sf_oracle}/orders.parquet' o
+        JOIN '{sf_oracle}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        """
+    ).fetchall()
+    by_seg = {}
+    for seg, okey, score, pos in rows:
+        by_seg.setdefault(seg, []).append((-score, okey, pos))
+    want = {}
+    for seg, sp in by_seg.items():
+        sp.sort()
+        cum, num, npos = 0, 0, 0
+        for rk, (_, _, pos) in enumerate(sp, start=1):
+            cum += pos
+            if pos:
+                npos += 1
+                num += cum * 1_000_000_000 // rk
+        want[seg] = (npos, num, (num // npos) / 1e9 if npos else 0.0)
+
+    got = registry()["xe3_average_precision"].spark_fn(spark, sf_oracle).collect()
+    assert {r.segment: (r.n_pos, r.ap_num_q, r.average_precision) for r in got} == want
+    # AP of a weak-signal ranking should sit near the positive base
+    # rate, not at 0 or 1 — sanity that the metric is live
+    assert all(0.05 < v[2] < 0.95 for v in want.values())
+
+
+def test_mann_kendall_matches_python_replica(spark, sf_oracle):
+    """xe4's pair-join S / tie-corrected var18 / z == a from-scratch
+    python replica (O(n^2) sign walk per type, python-int variance,
+    float z floor-quantized). Exact equality on the integers; the z
+    float is the same fixed expression over identical integers."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        FROM '{sf_oracle}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, _, cents in rows:
+        series.setdefault(et, []).append(cents)
+    want = {}
+    for et, xs in series.items():
+        n = len(xs)
+        s_stat = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = {}
+        for x in xs:
+            ties[x] = ties.get(x, 0) + 1
+        corr = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - corr
+        if var18 == 0 or s_stat == 0:
+            z = 0.0
+        else:
+            mag = (abs(s_stat) - 1) * math.sqrt(18.0) / math.sqrt(float(var18))
+            z = (-1 if s_stat < 0 else 1) * math.floor(mag * 1_000_000) / 1e6
+        sig = var18 > 0 and (abs(s_stat) - 1) ** 2 * 180000 > var18 * 38416
+        trend = "up" if sig and s_stat > 0 else ("down" if sig and s_stat < 0 else "none")
+        want[et] = (n, s_stat, var18, z, trend)
+
+    got = registry()["xe4_mann_kendall_trend"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.event_type: (r.n_days, r.s_stat, r.var18, r.z_q, r.trend) for r in got
+    } == want
