@@ -12887,3 +12887,180 @@ def xe4_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'none' END"
         ).alias("trend"),
     ).orderBy("event_type")
+
+
+_DBSCAN_EPS2 = 1_500_000  # squared eps in milli-unit space (cos ~ 0.25)
+_DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
+
+
+@query(
+    "xe5_dbscan_embeddings",
+    f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM q a
+        JOIN q b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+        HAVING sum((a.xq - b.xq) * (a.xq - b.xq)) <= {_DBSCAN_EPS2}
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS nn FROM und GROUP BY u),
+    core AS (SELECT u FROM deg WHERE nn >= {_DBSCAN_MIN_NBRS}),
+    ce AS (
+        SELECT e.u, e.v FROM und e
+        JOIN core c1 ON c1.u = e.u
+        JOIN core c2 ON c2.u = e.v
+    ),
+    reach(u, r) AS (
+        SELECT u, v FROM ce
+        UNION
+        SELECT reach.u, e.v FROM reach JOIN ce e ON reach.r = e.u
+    ),
+    lab AS (SELECT u, least(u, min(r)) AS cl FROM reach GROUP BY u),
+    corelab AS (
+        SELECT c.u, COALESCE(l.cl, c.u) AS cl
+        FROM core c LEFT JOIN lab l ON l.u = c.u
+    ),
+    border AS (
+        SELECT e.u, min(cl.cl) AS cl
+        FROM und e
+        JOIN corelab cl ON cl.u = e.v
+        WHERE e.u NOT IN (SELECT u FROM core)
+        GROUP BY e.u
+    ),
+    roles AS (
+        SELECT p.vec_id,
+               CASE WHEN c.cl IS NOT NULL THEN 'core'
+                    WHEN b.cl IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(c.cl, b.cl, -1) AS cluster
+        FROM (SELECT vec_id FROM embeddings) p
+        LEFT JOIN corelab c ON c.u = p.vec_id
+        LEFT JOIN border b ON b.u = p.vec_id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+           CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_border,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM roles GROUP BY cluster ORDER BY cluster
+    """,
+    "DBSCAN DENSITY CLUSTERING over embeddings (Ester et al. 1996 — "
+    "the density member of the clustering family: x51/xaf cluster by "
+    "near-dup REACHABILITY alone, kmeans/IVF partition EVERYTHING; "
+    "DBSCAN separates dense structure (core), its fringe (border) "
+    "and outliers (noise) — the curation lens that finds both the "
+    "over-represented clumps AND the junk): exact integer squared "
+    "distances in milli-unit space (the xe1 quantization; eps^2 = "
+    "1.5e6 ~ cosine 0.25 on unit vectors, core = >= 2 other points "
+    "in range i.e. minPts=3 counting self — declared constants), "
+    "candidates blocked by the coarse label cell (the x98 IVF-style "
+    "declared semantics — at scale the blocker is the pluggable "
+    "part, the density classification is the mechanism); clusters = "
+    "connected components over CORE-CORE edges (frontier hash-min on "
+    "Spark, recursive transitive closure in the oracle — the x51 "
+    "pair), isolated core points self-cluster, border points take "
+    "the MIN core-neighbor cluster (deterministic), everything else "
+    "is noise (cluster -1); output = per-cluster core/border/point "
+    "counts. All integer end-to-end; python replica replays the "
+    "whole pipeline from raw floats",
+    ("embeddings", "similarity", "graph", "analytics"),
+)
+def xe5_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import _both_directions, connected_components
+
+    t = _t(spark, sf_dir)
+    q = (
+        t["embeddings"]
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("pos0").alias("pos"),
+            F.floor(F.col("x").cast("double") * 1_000).cast("long").alias("xq"),
+        )
+    )
+    vecs = q.groupBy("vec_id", "label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "xq"))), lambda s: s["xq"]
+        ).alias("vq")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("__lb"),
+        F.col("vq").alias("vq_b"),
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vq_b"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    pairs = (
+        vecs.join(
+            b,
+            (F.col("label") == F.col("__lb")) & (F.col("vec_id") < F.col("id_b")),
+        )
+        .filter(sqd <= F.lit(_DBSCAN_EPS2))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+    )
+    und = _both_directions(pairs, "id_a", "id_b").select(
+        F.col("__u").alias("u"), F.col("__v").alias("v")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    core = deg.filter(F.col("nn") >= _DBSCAN_MIN_NBRS).select("u")
+    ce = (
+        und.join(core, "u")
+        .join(core.select(F.col("u").alias("v")), "v")
+        .select("u", "v")
+    )
+    cc = connected_components(ce.filter(F.col("u") < F.col("v")), "u", "v")
+    corelab = (
+        core.join(cc.withColumnRenamed("vertex", "u"), "u", "left")
+        .select("u", F.coalesce("component", F.col("u")).alias("cl"))
+    )
+    border = (
+        und.join(
+            corelab.select(F.col("u").alias("v"), "cl"), "v"
+        )
+        .join(core, "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cl").alias("cl"))
+    )
+    roles = (
+        t["embeddings"]
+        .select("vec_id")
+        .join(corelab.withColumnRenamed("u", "vec_id"), "vec_id", "left")
+        .withColumnRenamed("cl", "cl_core")
+        .join(
+            border.withColumnRenamed("u", "vec_id").withColumnRenamed("cl", "cl_b"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("cl_core").isNotNull(), F.lit("core"))
+            .when(F.col("cl_b").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("cl_core", "cl_b", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
+    return (
+        roles.groupBy("cluster")
+        .agg(
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+            .cast("long")
+            .alias("n_core"),
+            F.sum(F.when(F.col("role") == "border", 1).otherwise(0))
+            .cast("long")
+            .alias("n_border"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+        .orderBy("cluster")
+    )

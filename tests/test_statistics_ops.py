@@ -986,3 +986,83 @@ def test_mann_kendall_matches_python_replica(spark, sf_oracle):
     assert {
         r.event_type: (r.n_days, r.s_stat, r.var18, r.z_q, r.trend) for r in got
     } == want
+
+
+def test_dbscan_matches_python_replica(spark, sf_oracle):
+    """xe5's full DBSCAN pipeline == a from-scratch python replica
+    (quantize, label-cell pair scan, core threshold, union-find CC
+    over core-core edges, min-cluster border rule, noise). Exact
+    per-cluster rollup equality."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.ext_queries import _DBSCAN_EPS2, _DBSCAN_MIN_NBRS
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{sf_oracle}/embeddings.parquet'"
+    ).fetchall()
+    pts = {
+        vid: (lab, [math.floor(float(x) * 1000) for x in emb])
+        for vid, lab, emb in rows
+    }
+    by_lab = {}
+    for vid, (lab, _) in pts.items():
+        by_lab.setdefault(lab, []).append(vid)
+    nbrs = {v: set() for v in pts}
+    for lab, vs in by_lab.items():
+        vs = sorted(vs)
+        for i, a in enumerate(vs):
+            va = pts[a][1]
+            for bb in vs[i + 1 :]:
+                vb = pts[bb][1]
+                if sum((x - y) * (x - y) for x, y in zip(va, vb)) <= _DBSCAN_EPS2:
+                    nbrs[a].add(bb)
+                    nbrs[bb].add(a)
+    core = {v for v in pts if len(nbrs[v]) >= _DBSCAN_MIN_NBRS}
+    parent = {v: v for v in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for bb in nbrs[a]:
+            if bb in core:
+                ra, rb = find(a), find(bb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id cluster labels
+    cl = {}
+    for v in core:
+        r = find(v)
+        cl.setdefault(r, []).append(v)
+    core_cl = {}
+    for r, members in cl.items():
+        m = min(members)
+        for v in members:
+            core_cl[v] = m
+    rollup = {}
+    for v in pts:
+        if v in core:
+            key, role = core_cl[v], "core"
+        else:
+            cn = [core_cl[q2] for q2 in nbrs[v] if q2 in core]
+            if cn:
+                key, role = min(cn), "border"
+            else:
+                key, role = -1, "noise"
+        c, b, n = rollup.get(key, (0, 0, 0))
+        rollup[key] = (
+            c + (role == "core"),
+            b + (role == "border"),
+            n + 1,
+        )
+
+    got = registry()["xe5_dbscan_embeddings"].spark_fn(spark, sf_oracle).collect()
+    assert {r.cluster: (r.n_core, r.n_border, r.n_points) for r in got} == rollup
+    # informative: real density structure — several clusters AND noise
+    assert len(rollup) > 5 and -1 in rollup and rollup[-1][2] > 0
