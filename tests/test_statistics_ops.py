@@ -1066,3 +1066,122 @@ def test_dbscan_matches_python_replica(spark, sf_oracle):
     assert {r.cluster: (r.n_core, r.n_border, r.n_points) for r in got} == rollup
     # informative: real density structure — several clusters AND noise
     assert len(rollup) > 5 and -1 in rollup and rollup[-1][2] > 0
+
+
+def test_seasonal_naive_mase_matches_python_replica(spark, sf_oracle):
+    """xe6's windowed MASE/sMAPE == a from-scratch python-int replay
+    (dense spine, lag walks, integer cross-mult ratios). Exact."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            FROM '{sf_oracle}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series = {}
+    for et, d, c in rows:
+        series.setdefault(et, {})[d] = c
+    want = {}
+    for et, daily in series.items():
+        dmin, dmax = min(daily), max(daily)
+        xs = [daily.get(d, 0) for d in range(dmin, dmax + 1)]
+        n = len(xs)
+        test_idx = [i for i in range(n) if i + 1 > n - 14]
+        den_idx = [i for i in range(n) if 2 <= i + 1 <= n - 14]
+        sum_test = sum(abs(xs[i] - xs[i - 7]) for i in test_idx)
+        sum_den = sum(abs(xs[i] - xs[i - 1]) for i in den_idx)
+        n_test, n_den = len(test_idx), len(den_idx)
+        smape_sum = sum(
+            0
+            if abs(xs[i] - xs[i - 7]) == 0
+            else 2 * abs(xs[i] - xs[i - 7]) * 1_000_000 // (abs(xs[i - 7]) + abs(xs[i]))
+            for i in test_idx
+        )
+        mase = (
+            (sum_test * n_den * 1_000_000 // (sum_den * n_test)) / 1e6
+            if sum_den and n_test
+            else 0.0
+        )
+        want[et] = (
+            n_test,
+            sum_test,
+            n_den,
+            sum_den,
+            (sum_test // n_test) / 100.0 if n_test else 0.0,
+            mase,
+            (smape_sum // n_test) / 1e6 if n_test else 0.0,
+        )
+    got = registry()["xe6_seasonal_naive_mase"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.event_type: (
+            r.n_test,
+            r.sum_test_abs,
+            r.n_den,
+            r.sum_den_abs,
+            r.mae_seasonal_dollars,
+            r.mase,
+            r.smape,
+        )
+        for r in got
+    } == want
+
+
+def test_calibration_ece_matches_python_replica(spark, sf_oracle):
+    """xe7's split/boundary/bin/ECE chain == a from-scratch python-int
+    replica (md5 split, exact order-statistic deciles, tie-to-lower
+    binning, integer ECE). Exact."""
+    import duckdb
+    import hashlib
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            FROM '{sf_oracle}/orders.parquet'"""
+    ).fetchall()
+    train, test = [], []
+    for okey, score, pos in rows:
+        bkt = int(hashlib.md5(f"split:{okey}".encode()).hexdigest()[:15], 16) % 1_000_000
+        (train if bkt < 800_000 else test).append((score, okey, pos))
+    train.sort()
+    n = len(train)
+    bounds = []
+    for k in range(1, 10):
+        # max score among ranks rn with rn*10 <= n*k
+        top = n * k // 10
+        bounds.append(train[top - 1][0] if top >= 1 else None)
+
+    def bin_of(score):
+        return 1 + sum(1 for b in bounds if b is not None and b < score)
+
+    tr_stats, te_stats = {}, {}
+    for score, _, pos in train:
+        b = bin_of(score)
+        nb, pb = tr_stats.get(b, (0, 0))
+        tr_stats[b] = (nb + 1, pb + pos)
+    for score, _, pos in test:
+        b = bin_of(score)
+        nb, pb = te_stats.get(b, (0, 0))
+        te_stats[b] = (nb + 1, pb + pos)
+    num, den = 0, 0
+    rows_want = {}
+    for b in sorted(te_stats):
+        n_te, p_te = te_stats[b]
+        n_tr, p_tr = tr_stats.get(b, (0, 0))
+        conf_q = p_tr * 1_000_000 // n_tr if n_tr else 0
+        acc_q = p_te * 1_000_000 // n_te
+        num += n_te * abs(acc_q - conf_q)
+        den += n_te
+        rows_want[b] = (n_tr, n_te, conf_q / 1e6, acc_q / 1e6)
+    ece = (num // den) / 1e6
+
+    got = registry()["xe7_calibration_ece"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.bin: (r.n_train, r.n_test, r.confidence, r.accuracy) for r in got
+    } == rows_want
+    assert all(r.ece == ece for r in got)
