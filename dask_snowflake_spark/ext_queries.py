@@ -1574,7 +1574,7 @@ def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "decontaminate_evals",
+    "xe9_decontaminate_evals",
     """
     WITH sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i+1:i+4], ' ') AS shingle
@@ -1603,7 +1603,7 @@ def x27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "detector; only contaminated docs returned",
     ("text", "decontam"),
 )
-def decontaminate_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xe9_decontaminate_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontam import ngram_overlap
 
     t = _t(spark, sf_dir)
@@ -9338,7 +9338,7 @@ def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "attribution_linear",
+    "xe8_attribution_linear",
     """
     WITH pur AS (
         SELECT event_id AS pid, user_id, ts AS pts,
@@ -9391,7 +9391,7 @@ def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitions (pid is unique, skew-free), one map-side channel rollup",
     ("events", "analytics"),
 )
-def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xe8_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -12112,7 +12112,7 @@ def xdz_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xe0_cdc_chunking",
+    "content_defined_chunks",
     """
     WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
     bnd AS (
@@ -12176,7 +12176,7 @@ def xdz_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupBy bounded by distinct content",
     ("documents", "text", "dedup"),
 )
-def xe0_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators.dedup import portable_hash
@@ -12478,11 +12478,11 @@ def _markov_oracle_sql(rounds: int = 8) -> str:
 
 
 @query(
-    "xe2_markov_removal_attribution",
+    "attribution_markov",
     _markov_oracle_sql(),
     "MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the "
     "MODEL-BASED member of the attribution family: x77/xcd credit the "
-    "last touch, attribution_linear splits evenly; this asks the "
+    "last touch, xe8_attribution_linear splits evenly; this asks "
     "counterfactual 'how much conversion probability disappears if "
     "channel c vanishes' on a first-order Markov model of the "
     "journeys): per user, events up to the FIRST purchase (unique "
@@ -12504,7 +12504,7 @@ def _markov_oracle_sql(rounds: int = 8) -> str:
     "lower the probability scale",
     ("events", "analytics", "attribution"),
 )
-def xe2_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -12894,7 +12894,7 @@ _DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
 
 
 @query(
-    "xe5_dbscan_embeddings",
+    "dbscan_embeddings",
     f"""
     WITH RECURSIVE q AS (
         SELECT vec_id, label, i AS pos,
@@ -12978,7 +12978,7 @@ _DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
     "whole pipeline from raw floats",
     ("embeddings", "similarity", "graph", "analytics"),
 )
-def xe5_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import _both_directions, connected_components
 
     t = _t(spark, sf_dir)

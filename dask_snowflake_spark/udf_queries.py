@@ -25,7 +25,7 @@ from .queries import _t, query
 
 
 @query(
-    "fn_udf_pandas",
+    "xea_fn_udf_pandas",
     """
     SELECT l_returnflag,
            round(sum(l_extendedprice * l_quantity ORDER BY l_extendedprice * l_quantity)
@@ -40,7 +40,7 @@ from .queries import _t, query
     "a grouped-aggregate Pandas UDF (order-independent sorted accumulation)",
     ("udf",),
 )
-def fn_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xea_fn_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     @F.pandas_udf("double")

@@ -56,11 +56,21 @@ def test_priority_window_covers_every_surface():
     # frozen-table BPE encoding), cms_sketch_probe (ex-xdq, count-min
     # sketch), dsir_importance_selection (ex-xdk, DSIR data selection)
     # and pca_power_iteration (ex-xdp, exact power iteration).
+    # Third r11 rotation (continuation session — same-round flagships
+    # again take driver rows immediately): attribution_linear -> xe8_
+    # (driver-green r10; the attribution seat passes to the model-based
+    # flagship), decontaminate_evals -> xe9_ (driver-green r2-r10; the
+    # decontam step also runs inside driver-green pipeline_llm_corpus),
+    # fn_udf_pandas -> xea_ (driver-green r2-r10; two fn_udf_ rows stay
+    # in-window) to make room for attribution_markov (ex-xe2, Markov
+    # removal-effect attribution), content_defined_chunks (ex-xe0,
+    # FastCDC chunk-store dedup) and dbscan_embeddings (ex-xe5, DBSCAN
+    # density clustering).
     prefixes = (
         "ann_", "attribution_", "bpe_", "cms_", "conformal_",
-        "connector_", "dedup_", "doc_", "dsir_", "file_", "flow_",
-        "fn_udf_", "governance_", "graph_", "mm_", "pca_", "pipeline_",
-        "profile_", "q0", "q1", "q2",
+        "connector_", "content_", "dbscan_", "dedup_", "doc_", "dsir_",
+        "file_", "flow_", "fn_udf_", "governance_", "graph_", "mm_",
+        "pca_", "pipeline_", "profile_", "q0", "q1", "q2",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

@@ -757,7 +757,7 @@ def test_cdc_chunking_matches_python_replica(spark, sf_oracle):
     total_bytes = sum(c * l for c, l in per.values())
     distinct_bytes = sum(l for _, l in per.values())
 
-    got = registry()["xe0_cdc_chunking"].spark_fn(spark, sf_oracle).collect()[0]
+    got = registry()["content_defined_chunks"].spark_fn(spark, sf_oracle).collect()[0]
     assert (
         got.total_chunks,
         got.distinct_chunks,
@@ -882,7 +882,7 @@ def test_markov_removal_matches_python_replica(spark, sf_oracle):
     effects = {c: p_base - absorb(c) for c in chans}
     eff_sum = sum(effects.values())
 
-    got = registry()["xe2_markov_removal_attribution"].spark_fn(
+    got = registry()["attribution_markov"].spark_fn(
         spark, sf_oracle
     ).collect()
     assert [r.channel for r in got] == sorted(chans)
@@ -1062,7 +1062,7 @@ def test_dbscan_matches_python_replica(spark, sf_oracle):
             n + 1,
         )
 
-    got = registry()["xe5_dbscan_embeddings"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["dbscan_embeddings"].spark_fn(spark, sf_oracle).collect()
     assert {r.cluster: (r.n_core, r.n_border, r.n_points) for r in got} == rollup
     # informative: real density structure — several clusters AND noise
     assert len(rollup) > 5 and -1 in rollup and rollup[-1][2] > 0
