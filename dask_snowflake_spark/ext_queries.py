@@ -13444,3 +13444,421 @@ def xe7_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("ece"),
     ).orderBy("bin")
+
+
+@query(
+    "xec_ks_drift",
+    """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    < (SELECT min(date_diff('day', DATE '1970-01-01',
+                                            CAST(ts AS DATE))) FROM events) + 15
+                    THEN 1 ELSE 2 END AS half
+        FROM events
+    ),
+    n AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM ev GROUP BY event_type
+    ),
+    pv AS (
+        SELECT event_type, cents,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM ev GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type,
+               CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS f2
+        FROM pv
+    ),
+    d AS (
+        SELECT c.event_type, n.n1, n.n2,
+               CAST(max(abs(c.f1 * n.n2 - c.f2 * n.n1)) AS BIGINT) AS d_num
+        FROM cum c JOIN n ON n.event_type = c.event_type
+        GROUP BY c.event_type, n.n1, n.n2
+    )
+    SELECT event_type, n1, n2, d_num,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) / 1e6
+           END AS ks_stat,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(floor(1358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 1000)
+                          AS BIGINT) / 1e6
+           END AS crit_05,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN false
+                ELSE CAST(d_num * 1000000 // (n1 * n2) AS BIGINT)
+                     > CAST(floor(1358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 1000)
+                            AS BIGINT)
+           END AS drifted
+    FROM d ORDER BY event_type
+    """,
+    "TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST (the exact-supremum "
+    "counterpart to x68's binned PSI — PSI needs bin choices, KS is "
+    "the binning-free distribution-shift judgment): per event type, "
+    "the value distribution of the first 15 days vs the rest; D is "
+    "EXACT over the common denominator n1*n2 — two cumulative window "
+    "sums over the (type, cents) aggregate give f1*n2 - f2*n1 as "
+    "exact BIGINTs at every distinct value, D = max |.| (the "
+    "t-closeness EMD common-denominator idiom applied to a supremum), "
+    "ks = ONE integer-quantized division; the alpha=0.05 critical "
+    "value 1.358*sqrt((n1+n2)/(n1*n2)) is one fixed double expression "
+    "over exact integers floor-quantized at 1e-3 precision/1e6 scale, "
+    "and the drift verdict compares the two QUANTIZED BIGINTs — both "
+    "engine-identical, so the boolean cannot flip on an ulp (the xe4 "
+    "z pattern). ECDF evaluation points are the distinct observed "
+    "values (the KS supremum is attained there); all window work on "
+    "the (type x distinct-cents) aggregate",
+    ("events", "analytics", "quality"),
+)
+def xec_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    ev0 = t["events"].select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        F.expr("datediff(cast(ts as date), DATE '1970-01-01')")
+        .cast("long")
+        .alias("day_i"),
+    )
+    dmin = ev0.agg(F.min("day_i").alias("__dmin"))
+    ev = ev0.crossJoin(F.broadcast(dmin)).select(
+        "event_type",
+        "cents",
+        F.when(F.col("day_i") < F.col("__dmin") + 15, 1)
+        .otherwise(2)
+        .alias("half"),
+    )
+    n = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    pv = ev.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    wc = W.partitionBy("event_type").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = pv.select(
+        "event_type",
+        F.sum("c1").over(wc).cast("long").alias("f1"),
+        F.sum("c2").over(wc).cast("long").alias("f2"),
+    )
+    d = (
+        cum.join(n, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    ks_q = "CAST(d_num * 1000000 div (n1 * n2) AS BIGINT)"
+    crit_q = (
+        "CAST(floor(1358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 1000) AS BIGINT)"
+    )
+    return d.select(
+        "event_type",
+        "n1",
+        "n2",
+        "d_num",
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE {ks_q} / 1e6 END"
+        ).alias("ks_stat"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE {crit_q} / 1e6 END"
+        ).alias("crit_05"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 THEN false"
+            f" ELSE {ks_q} > {crit_q} END"
+        ).alias("drifted"),
+    ).orderBy("event_type")
+
+
+@query(
+    "xed_chi2_cramers_v",
+    """
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS o FROM joined
+              GROUP BY seg, pri),
+    rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY seg),
+    cm AS (SELECT pri, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY pri),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST((SELECT count(*) FROM rm) AS BIGINT) AS k1,
+                   CAST((SELECT count(*) FROM cm) AS BIGINT) AS k2
+            FROM cells),
+    spine AS (
+        SELECT rm.seg, cm.pri, rm.r, cm.c, COALESCE(x.o, 0) AS o
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells x ON x.seg = rm.seg AND x.pri = cm.pri
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   (CAST(o * (SELECT n FROM tot) - r * c AS DOUBLE)
+                    * CAST(o * (SELECT n FROM tot) - r * c AS DOUBLE))
+                   / ((CAST((SELECT n FROM tot) AS DOUBLE) * r) * c)
+                   * 1000000) AS BIGINT) AS term_q
+        FROM spine
+    )
+    SELECT t.n AS n_total, t.k1 AS k_segments, t.k2 AS k_priorities,
+           CAST(s.chi2_q AS BIGINT) AS chi2_q,
+           CAST(s.chi2_q AS BIGINT) / 1e6 AS chi2,
+           CAST(floor(sqrt((CAST(s.chi2_q AS BIGINT) / 1e6)
+                           / (CAST(t.n AS DOUBLE)
+                              * least(t.k1 - 1, t.k2 - 1))) * 1000000)
+                AS BIGINT) / 1e6 AS cramers_v
+    FROM (SELECT CAST(sum(term_q) AS BIGINT) AS chi2_q FROM terms) s
+    CROSS JOIN tot t
+    """,
+    "CHI-SQUARE INDEPENDENCE + CRAMER'S V (the categorical-"
+    "association judgment next to x84's numeric Pearson and xdo's "
+    "rank Spearman — does market segment associate with order "
+    "priority at all, and how strongly on a 0..1 scale): the 5x5 "
+    "contingency table with FULL margin spine (a missing cell "
+    "contributes (0*N - r*c)^2/(N*r*c), never silently dropped); "
+    "per-cell deviation d = o*N - r*c is an exact BIGINT (common-"
+    "denominator idiom), each cell's chi2 term floor-quantized to "
+    "integer micro-units from ONE fixed-order double expression over "
+    "exact integers (d*d may exceed 2^53, but both engines compute "
+    "the IDENTICAL IEEE product of identical doubles — the xe4 "
+    "pattern; and the 25 terms then sum as exact INTEGERS, killing "
+    "the x63 agg-order float-sum trap), V = sqrt(chi2/(N*min(k1-1,"
+    "k2-1))) floor-quantized. Everything after the one groupBy rides "
+    "the 25-cell aggregate",
+    ("orders", "customer", "analytics"),
+)
+def xed_chi2_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .select("o_custkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            t["customer"].select("c_custkey", F.col("c_mktsegment").alias("seg")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("seg", "pri")
+    )
+    cells = joined.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rm = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("pri").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n")).crossJoin(
+        rm.agg(F.count(F.lit(1)).cast("long").alias("k1"))
+    ).crossJoin(cm.agg(F.count(F.lit(1)).cast("long").alias("k2")))
+    spine = (
+        rm.crossJoin(cm)
+        .join(cells, ["seg", "pri"], "left")
+        .select("seg", "pri", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(tot))
+    )
+    terms = spine.select(
+        "n",
+        "k1",
+        "k2",
+        F.expr(
+            "CAST(floor((CAST(o * n - r * c AS DOUBLE)"
+            " * CAST(o * n - r * c AS DOUBLE))"
+            " / ((CAST(n AS DOUBLE) * r) * c) * 1000000) AS BIGINT)"
+        ).alias("term_q"),
+    )
+    return (
+        terms.groupBy("n", "k1", "k2")
+        .agg(F.sum("term_q").cast("long").alias("chi2_q"))
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("k1").alias("k_segments"),
+            F.col("k2").alias("k_priorities"),
+            "chi2_q",
+            (F.col("chi2_q") / 1e6).alias("chi2"),
+            F.expr(
+                "CAST(floor(sqrt((chi2_q / 1e6)"
+                " / (CAST(n AS DOUBLE) * least(k1 - 1, k2 - 1))) * 1000000)"
+                " AS BIGINT)"
+            ).alias("__v_q"),
+        )
+        .select(
+            "n_total",
+            "k_segments",
+            "k_priorities",
+            "chi2_q",
+            "chi2",
+            (F.col("__v_q") / 1e6).alias("cramers_v"),
+        )
+    )
+
+
+def _hits_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled HITS oracle: alternating authority/hub halves, each
+    renormalized by its max via pure integer division with the xdp
+    G-shrink overflow guard; every CTE MATERIALIZED (the kcore rule)."""
+    parts = [
+        """edges AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+        "h0 AS MATERIALIZED (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS hq"
+        " FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ar{r} AS MATERIALIZED (
+        SELECT e.p, CAST(sum(h.hq) AS BIGINT) AS raw
+        FROM edges e JOIN h{r - 1} h ON h.c = e.c GROUP BY e.p
+    )"""
+        )
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+        SELECT p, ((raw // s.g) * 1000000) // greatest(s.mx // s.g, 1) AS aq
+        FROM ar{r} CROSS JOIN (
+            SELECT greatest(max(raw), 1) AS mx,
+                   greatest(greatest(max(raw), 1) // 1000000000000, 1) AS g
+            FROM ar{r}) s
+    )"""
+        )
+        parts.append(
+            f"""hr{r} AS MATERIALIZED (
+        SELECT e.c, CAST(sum(a.aq) AS BIGINT) AS raw
+        FROM edges e JOIN a{r} a ON a.p = e.p GROUP BY e.c
+    )"""
+        )
+        parts.append(
+            f"""h{r} AS MATERIALIZED (
+        SELECT c, ((raw // s.g) * 1000000) // greatest(s.mx // s.g, 1) AS hq
+        FROM hr{r} CROSS JOIN (
+            SELECT greatest(max(raw), 1) AS mx,
+                   greatest(greatest(max(raw), 1) // 1000000000000, 1) AS g
+            FROM hr{r}) s
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    tops AS (
+        SELECT 'authority' AS side, p AS node_key, aq AS score_q
+        FROM a{rounds} ORDER BY aq DESC, p LIMIT 10
+    ),
+    toph AS (
+        SELECT 'hub' AS side, c AS node_key, hq AS score_q
+        FROM h{rounds} ORDER BY hq DESC, c LIMIT 10
+    )
+    SELECT side, CAST(node_key AS BIGINT) AS node_key,
+           CAST(score_q AS BIGINT) / 1e6 AS score
+    FROM (SELECT * FROM tops UNION ALL SELECT * FROM toph)
+    ORDER BY side, score DESC, node_key
+    """
+
+
+@query(
+    "xeb_hits_bipartite",
+    _hits_oracle_sql(),
+    "HITS HUBS AND AUTHORITIES (Kleinberg 1999 — the mutual-"
+    "reinforcement centrality the graph family lacked: PageRank "
+    "scores a vertex by incoming mass on ONE side; HITS alternates "
+    "two scores on a BIPARTITE relation, here customers (hubs) vs "
+    "parts (authorities) of the purchase graph — an authority is a "
+    "part bought by strong hubs, a hub a customer buying strong "
+    "authorities): 4 bounded alternating rounds, each half-step = "
+    "one equi-join + map-side-combinable sum over the cached "
+    "pre-partitioned distinct edge list, renormalized by its MAX via "
+    "pure integer division with the xdp G-shrink overflow guard "
+    "(values stay in 1e6-scale integers; sum bound deg*1e6, the "
+    "guard divides both operands first so raw*1e6 can never overflow "
+    "at any degree); scalar max folds are broadcast one-row "
+    "crossJoins (no driver actions), one localCheckpoint per round "
+    "bounds lineage (probe-free fixed rounds, the x75 rule); output "
+    "= top-10 per side via TakeOrderedAndProject, unique (score, "
+    "key) order. Oracle = unrolled MATERIALIZED alternating chain; "
+    "all integer end-to-end",
+    ("orders", "lineitem", "graph", "analytics"),
+)
+def xeb_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import track_cache
+
+    t = _t(spark, sf_dir)
+    edges = track_cache(
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .repartition("c")
+    )
+
+    def _renorm(raw_df, key):
+        s = raw_df.agg(
+            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+        ).select(
+            "mx",
+            F.greatest(F.expr("mx div 1000000000000"), F.lit(1))
+            .cast("long")
+            .alias("g"),
+        )
+        return raw_df.crossJoin(F.broadcast(s)).select(
+            key,
+            F.expr("((raw div g) * 1000000) div greatest(mx div g, 1)")
+            .cast("long")
+            .alias("q"),
+        )
+
+    h = edges.select("c").distinct().select(
+        "c", F.lit(1_000_000).cast("long").alias("q")
+    )
+    a = None
+    for _ in range(4):
+        # eager-checkpoint each RAW half-step aggregate: the renorm's
+        # broadcast max-fold and its main consumer would otherwise each
+        # re-evaluate the join+agg subtree, and the nesting compounds
+        # per round (first draft: 96 jobs / 10.8 s; checkpointed raw
+        # halves: the join+agg runs exactly once per half-step)
+        ar = (
+            edges.join(h.select("c", F.col("q").alias("hq")), "c")
+            .groupBy("p")
+            .agg(F.sum("hq").cast("long").alias("raw"))
+        ).localCheckpoint(eager=True)
+        a = _renorm(ar, "p")
+        hr = (
+            edges.join(a.select("p", F.col("q").alias("aq")), "p")
+            .groupBy("c")
+            .agg(F.sum("aq").cast("long").alias("raw"))
+        ).localCheckpoint(eager=True)
+        h = _renorm(hr, "c")
+    tops = (
+        a.orderBy(F.col("q").desc(), "p")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").cast("long").alias("node_key"),
+            (F.col("q") / 1e6).alias("score"),
+        )
+    )
+    toph = (
+        h.orderBy(F.col("q").desc(), "c")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").cast("long").alias("node_key"),
+            (F.col("q") / 1e6).alias("score"),
+        )
+    )
+    return tops.unionByName(toph).orderBy(
+        "side", F.col("score").desc(), "node_key"
+    )

@@ -612,3 +612,59 @@ def test_link_prediction_matches_naive_python(spark) -> None:
         want.append((u, v, c, du, dv, (c * 1_000_000 // (du + dv - c)) / 1e6))
     want.sort(key=lambda r: (-r[2], r[0], r[1]))
     assert got == want[:20]
+
+
+def test_hits_bipartite_matches_python_replica(spark, sf_oracle):
+    """xeb's 4-round alternating HITS == a from-scratch python-int
+    replica (dict adjacency, per-round max-renormalization with the
+    G-shrink integer guard). All-integer pipeline -> exact equality
+    on the top-10 rows per side, order included."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM '{sf_oracle}/orders.parquet' o
+        JOIN '{sf_oracle}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    by_c, by_p = {}, {}
+    for c, p in rows:
+        by_c.setdefault(c, []).append(p)
+        by_p.setdefault(p, []).append(c)
+
+    def renorm(raw):
+        mx = max(max(raw.values()), 1)
+        g = max(mx // 1_000_000_000_000, 1)
+        den = max(mx // g, 1)
+        return {k: ((v // g) * 1_000_000) // den for k, v in raw.items()}
+
+    h = {c: 1_000_000 for c in by_c}
+    a = {}
+    for _ in range(4):
+        ar = {}
+        for c, hq in h.items():
+            for p in by_c[c]:
+                ar[p] = ar.get(p, 0) + hq
+        a = renorm(ar)
+        hr = {}
+        for p, aq in a.items():
+            for c in by_p[p]:
+                hr[c] = hr.get(c, 0) + aq
+        h = renorm(hr)
+
+    def top10(scores):
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    want = [
+        ("authority", int(k), q / 1e6) for k, q in top10(a)
+    ] + [("hub", int(k), q / 1e6) for k, q in top10(h)]
+    want.sort(key=lambda r: (r[0], -r[2], r[1]))
+
+    got = registry()["xeb_hits_bipartite"].spark_fn(spark, sf_oracle).collect()
+    assert [(r.side, r.node_key, r.score) for r in got] == want
+    # mutual reinforcement is live: scores are spread, not all at max
+    assert len({q for _, q in top10(a)}) > 1

@@ -1185,3 +1185,107 @@ def test_calibration_ece_matches_python_replica(spark, sf_oracle):
         r.bin: (r.n_train, r.n_test, r.confidence, r.accuracy) for r in got
     } == rows_want
     assert all(r.ece == ece for r in got)
+
+
+def test_ks_drift_matches_python_replica(spark, sf_oracle):
+    """xec's window-cumsum KS == a from-scratch python-int replica
+    (global min day, per-type sorted distinct-cents ECDF walk, exact
+    BIGINT supremum, one quantized division; float only in the fixed
+    critical-value expression over identical integers)."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT),
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        FROM '{sf_oracle}/events.parquet'
+        """
+    ).fetchall()
+    dmin = min(r[2] for r in rows)
+    per_type = {}
+    for et, cents, day in rows:
+        half = 1 if day < dmin + 15 else 2
+        c1, c2 = per_type.setdefault(et, {}).get(cents, (0, 0))
+        per_type[et][cents] = (c1 + (half == 1), c2 + (half == 2))
+    want = {}
+    for et, by_cents in per_type.items():
+        n1 = sum(c1 for c1, _ in by_cents.values())
+        n2 = sum(c2 for _, c2 in by_cents.values())
+        f1 = f2 = d_num = 0
+        for cents in sorted(by_cents):
+            c1, c2 = by_cents[cents]
+            f1, f2 = f1 + c1, f2 + c2
+            d_num = max(d_num, abs(f1 * n2 - f2 * n1))
+        if n1 == 0 or n2 == 0:
+            ks, crit, drift = 0.0, 0.0, False
+        else:
+            ks_q = d_num * 1_000_000 // (n1 * n2)
+            crit_q = math.floor(
+                1358 * math.sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 1000
+            )
+            ks, crit, drift = ks_q / 1e6, crit_q / 1e6, ks_q > crit_q
+        want[et] = (n1, n2, d_num, ks, crit, drift)
+
+    got = registry()["xec_ks_drift"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.event_type: (r.n1, r.n2, r.d_num, r.ks_stat, r.crit_05, r.drifted)
+        for r in got
+    } == want
+    # both halves populated for every type — the split is live
+    assert all(v[0] > 0 and v[1] > 0 for v in want.values())
+
+
+def test_chi2_cramers_v_matches_python_replica(spark, sf_oracle):
+    """xed's margin-spine chi-square == a from-scratch python replica
+    (full seg x pri spine incl. zero cells, exact BIGINT deviations,
+    per-cell floor-quantized term in the identical fixed expression
+    order, integer term sum, quantized V)."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT)
+        FROM '{sf_oracle}/orders.parquet' o
+        JOIN '{sf_oracle}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    cells = {(s, p): o for s, p, o in rows}
+    rm, cm = {}, {}
+    for (s, p), o in cells.items():
+        rm[s] = rm.get(s, 0) + o
+        cm[p] = cm.get(p, 0) + o
+    n = sum(cells.values())
+    chi2_q = 0
+    for s, r in rm.items():
+        for p, c in cm.items():
+            o = cells.get((s, p), 0)
+            d = float(o * n - r * c)
+            chi2_q += math.floor(d * d / ((float(n) * r) * c) * 1_000_000)
+    k1, k2 = len(rm), len(cm)
+    v_q = math.floor(
+        math.sqrt((chi2_q / 1e6) / (float(n) * min(k1 - 1, k2 - 1))) * 1_000_000
+    )
+
+    got = registry()["xed_chi2_cramers_v"].spark_fn(spark, sf_oracle).collect()
+    assert len(got) == 1
+    r0 = got[0]
+    assert (
+        r0.n_total,
+        r0.k_segments,
+        r0.k_priorities,
+        r0.chi2_q,
+        r0.chi2,
+        r0.cramers_v,
+    ) == (n, k1, k2, chi2_q, chi2_q / 1e6, v_q / 1e6)
+    # association strength is a real 0..1 value on this data
+    assert 0.0 <= r0.cramers_v < 1.0
