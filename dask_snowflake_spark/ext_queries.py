@@ -13862,3 +13862,605 @@ def xeb_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tops.unionByName(toph).orderBy(
         "side", F.col("score").desc(), "node_key"
     )
+
+
+@query(
+    "xee_acf_ljung_box",
+    """
+    WITH daily0 AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+                   AS dol
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(day_i) AS dmin, max(day_i) AS dmax
+          FROM daily0 GROUP BY event_type),
+    spine AS (
+        SELECT s.event_type, s.d AS day_i, COALESCE(d0.dol, 0) AS x
+        FROM (SELECT event_type, unnest(generate_series(dmin, dmax)) AS d
+              FROM b) s
+        LEFT JOIN daily0 d0 ON d0.event_type = s.event_type AND d0.day_i = s.d
+    ),
+    cent AS (
+        SELECT event_type, day_i,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(count(*) OVER (PARTITION BY event_type) * x
+                    - sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS y
+        FROM spine
+    ),
+    lagged AS (
+        SELECT event_type, n, y,
+               lag(y, 1) OVER (PARTITION BY event_type ORDER BY day_i) AS y1,
+               lag(y, 2) OVER (PARTITION BY event_type ORDER BY day_i) AS y2,
+               lag(y, 3) OVER (PARTITION BY event_type ORDER BY day_i) AS y3,
+               lag(y, 4) OVER (PARTITION BY event_type ORDER BY day_i) AS y4,
+               lag(y, 5) OVER (PARTITION BY event_type ORDER BY day_i) AS y5,
+               lag(y, 6) OVER (PARTITION BY event_type ORDER BY day_i) AS y6,
+               lag(y, 7) OVER (PARTITION BY event_type ORDER BY day_i) AS y7
+        FROM cent
+    ),
+    agg AS (
+        SELECT event_type, n,
+               CAST(sum(y * y) AS BIGINT) AS den,
+               CAST(COALESCE(sum(y * y1), 0) AS BIGINT) AS num1,
+               CAST(COALESCE(sum(y * y2), 0) AS BIGINT) AS num2,
+               CAST(COALESCE(sum(y * y3), 0) AS BIGINT) AS num3,
+               CAST(COALESCE(sum(y * y4), 0) AS BIGINT) AS num4,
+               CAST(COALESCE(sum(y * y5), 0) AS BIGINT) AS num5,
+               CAST(COALESCE(sum(y * y6), 0) AS BIGINT) AS num6,
+               CAST(COALESCE(sum(y * y7), 0) AS BIGINT) AS num7
+        FROM lagged GROUP BY event_type, n
+    ),
+    quant AS (
+        SELECT event_type, n, den,
+               greatest(den // 1000000000000, 1) AS g,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num1 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a1,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num2 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a2,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num3 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a3,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num4 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a4,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num5 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a5,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num6 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a6,
+               CASE WHEN den = 0 THEN 0 ELSE
+                    ((num7 // greatest(den // 1000000000000, 1)) * 1000000)
+                    // greatest(den // greatest(den // 1000000000000, 1), 1)
+               END AS a7
+        FROM agg
+    ),
+    qstat AS (
+        SELECT event_type, n, a1, a2, a3, a4, a5, a6, a7,
+               CAST(n * (n + 2) * (
+                   CASE WHEN n <= 1 THEN 0 ELSE (a1 * a1) // (n - 1) END
+                 + CASE WHEN n <= 2 THEN 0 ELSE (a2 * a2) // (n - 2) END
+                 + CASE WHEN n <= 3 THEN 0 ELSE (a3 * a3) // (n - 3) END
+                 + CASE WHEN n <= 4 THEN 0 ELSE (a4 * a4) // (n - 4) END
+                 + CASE WHEN n <= 5 THEN 0 ELSE (a5 * a5) // (n - 5) END
+                 + CASE WHEN n <= 6 THEN 0 ELSE (a6 * a6) // (n - 6) END
+                 + CASE WHEN n <= 7 THEN 0 ELSE (a7 * a7) // (n - 7) END
+               ) AS BIGINT) AS q_q
+        FROM quant
+    )
+    SELECT event_type, CAST(l.lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE l.lag WHEN 1 THEN a1 WHEN 2 THEN a2 WHEN 3 THEN a3
+                WHEN 4 THEN a4 WHEN 5 THEN a5 WHEN 6 THEN a6
+                ELSE a7 END AS BIGINT) / 1e6 AS acf,
+           q_q / 1e12 AS lb_q,
+           q_q > 14067140449340 AS autocorrelated
+    FROM qstat CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+    ORDER BY event_type, lag
+    """,
+    "AUTOCORRELATION FUNCTION + LJUNG-BOX PORTMANTEAU TEST (Box & "
+    "Pierce 1970 / Ljung & Box 1978 — the seasonality/dependence "
+    "DETECTOR the time-series family lacked: xdy EXTRACTS a weekly "
+    "shape, xe4 tests monotone trend, xdr locates a level shift; "
+    "this answers 'is the series autocorrelated AT ALL, at which "
+    "lags' — the Box-Jenkins first step): per event type on the "
+    "dense zero-filled daily floor-dollar series, sample ACF at "
+    "lags 1..7 with the common-denominator centering idiom — "
+    "y_t = n*x_t - S is an exact BIGINT, r_k = sum(y_t*y_{t-k}) / "
+    "sum(y_t^2) scaled by n^2 on both sides so no float mean is "
+    "ever formed; the quantized division carries the xdp G-shrink "
+    "guard (den ~ 3.7e13 at sf0.1 — num*1e6 would overflow "
+    "BIGINT; both operands pre-divided by g = den div 1e12, a "
+    "declared deterministic coarsening), signed quotients truncate "
+    "toward zero identically on both engines (r8 engine-pair pin); "
+    "Ljung-Box Q = n(n+2)*sum(r_k_q^2 div (n-k)) rides the "
+    "1e6-scale integers (1e12-scale Q), verdict = integer compare "
+    "vs the chi2(7, 0.95) literal 14.06714044934e12 — no float "
+    "ever crosses the threshold. One day-axis window chain, one "
+    "5-row-per-type aggregate, lag spine via stack. Headroom: den "
+    "< 2^63 to ~1000x bench SF; beyond, coarsen dollars by a "
+    "magnitude probe (docstring contract)",
+    ("events", "analytics", "timeseries"),
+)
+def xee_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    daily0 = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), DATE '1970-01-01')")
+            .cast("long")
+            .alias("day_i"),
+            F.expr("cast(round(value * 100) as bigint)").alias("__vc"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.expr("cast(sum(__vc) div 100 as bigint)").alias("dol"))
+    )
+    b = daily0.groupBy("event_type").agg(
+        F.min("day_i").alias("dmin"), F.max("day_i").alias("dmax")
+    )
+    spine = (
+        b.select(
+            "event_type",
+            F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("day_i"),
+        )
+        .join(daily0, ["event_type", "day_i"], "left")
+        .select("event_type", "day_i", F.coalesce("dol", F.lit(0)).alias("x"))
+    )
+    wp = W.partitionBy("event_type")
+    wt = W.partitionBy("event_type").orderBy("day_i")
+    cent = spine.select(
+        "event_type",
+        "day_i",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        (F.count(F.lit(1)).over(wp) * F.col("x") - F.sum("x").over(wp))
+        .cast("long")
+        .alias("y"),
+    )
+    lagged = cent.select(
+        "event_type",
+        "n",
+        "y",
+        *[F.lag("y", k).over(wt).alias(f"y{k}") for k in range(1, 8)],
+    )
+    agg = lagged.groupBy("event_type", "n").agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("den"),
+        *[
+            F.coalesce(F.sum(F.col("y") * F.col(f"y{k}")), F.lit(0))
+            .cast("long")
+            .alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    gexpr = "greatest(den div 1000000000000, 1)"
+    quant = agg.select(
+        "event_type",
+        "n",
+        "den",
+        *[
+            F.expr(
+                f"CASE WHEN den = 0 THEN 0L ELSE"
+                f" ((num{k} div {gexpr}) * 1000000)"
+                f" div greatest(den div {gexpr}, 1) END"
+            ).alias(f"a{k}")
+            for k in range(1, 8)
+        ],
+    )
+    qterms = " + ".join(
+        f"CASE WHEN n <= {k} THEN 0L ELSE (a{k} * a{k}) div (n - {k}) END"
+        for k in range(1, 8)
+    )
+    qstat = quant.select(
+        "event_type",
+        "n",
+        *[f"a{k}" for k in range(1, 8)],
+        F.expr(f"CAST(n * (n + 2) * ({qterms}) AS BIGINT)").alias("q_q"),
+    )
+    pairs = ", ".join(f"{k}L, a{k}" for k in range(1, 8))
+    return (
+        qstat.selectExpr(
+            "event_type",
+            "n",
+            "q_q",
+            f"stack(7, {pairs}) AS (lag, acf_q)",
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            (F.col("acf_q") / 1e6).alias("acf"),
+            (F.col("q_q") / 1e12).alias("lb_q"),
+            (F.col("q_q") > F.lit(14067140449340)).alias("autocorrelated"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@query(
+    "xef_rfm_segments",
+    """
+    WITH cust AS (
+        SELECT o_custkey AS ck,
+               CAST(date_diff('day', max(o_orderdate),
+                    (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS mon
+        FROM orders GROUP BY o_custkey
+    ),
+    long_f AS (
+        SELECT 'r' AS dim, rec AS v FROM cust
+        UNION ALL SELECT 'f', freq FROM cust
+        UNION ALL SELECT 'm', mon FROM cust
+    ),
+    hist AS (
+        SELECT dim, v, CAST(count(*) AS BIGINT) AS c
+        FROM long_f GROUP BY dim, v
+    ),
+    cum AS (
+        SELECT dim, v,
+               CAST(sum(c) OVER (PARTITION BY dim ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm,
+               CAST(sum(c) OVER (PARTITION BY dim) AS BIGINT) AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT
+            min(CASE WHEN dim = 'r' AND 5 * cm >= n * 1 THEN v END) AS r1,
+            min(CASE WHEN dim = 'r' AND 5 * cm >= n * 2 THEN v END) AS r2,
+            min(CASE WHEN dim = 'r' AND 5 * cm >= n * 3 THEN v END) AS r3,
+            min(CASE WHEN dim = 'r' AND 5 * cm >= n * 4 THEN v END) AS r4,
+            min(CASE WHEN dim = 'f' AND 5 * cm >= n * 1 THEN v END) AS f1,
+            min(CASE WHEN dim = 'f' AND 5 * cm >= n * 2 THEN v END) AS f2,
+            min(CASE WHEN dim = 'f' AND 5 * cm >= n * 3 THEN v END) AS f3,
+            min(CASE WHEN dim = 'f' AND 5 * cm >= n * 4 THEN v END) AS f4,
+            min(CASE WHEN dim = 'm' AND 5 * cm >= n * 1 THEN v END) AS m1,
+            min(CASE WHEN dim = 'm' AND 5 * cm >= n * 2 THEN v END) AS m2,
+            min(CASE WHEN dim = 'm' AND 5 * cm >= n * 3 THEN v END) AS m3,
+            min(CASE WHEN dim = 'm' AND 5 * cm >= n * 4 THEN v END) AS m4
+        FROM cum
+    ),
+    scored AS (
+        SELECT ck, rec, freq, mon,
+               6 - (1 + CASE WHEN rec > r1 THEN 1 ELSE 0 END
+                      + CASE WHEN rec > r2 THEN 1 ELSE 0 END
+                      + CASE WHEN rec > r3 THEN 1 ELSE 0 END
+                      + CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS rs,
+               1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                 + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                 + CASE WHEN freq > f3 THEN 1 ELSE 0 END
+                 + CASE WHEN freq > f4 THEN 1 ELSE 0 END AS fs,
+               1 + CASE WHEN mon > m1 THEN 1 ELSE 0 END
+                 + CASE WHEN mon > m2 THEN 1 ELSE 0 END
+                 + CASE WHEN mon > m3 THEN 1 ELSE 0 END
+                 + CASE WHEN mon > m4 THEN 1 ELSE 0 END AS ms
+        FROM cust CROSS JOIN bounds
+    ),
+    labeled AS (
+        SELECT *,
+               CASE WHEN rs >= 4 AND fs >= 4 THEN 'champions'
+                    WHEN fs >= 4 THEN 'loyal'
+                    WHEN rs <= 2 AND fs >= 3 THEN 'at_risk'
+                    WHEN rs <= 2 THEN 'hibernating'
+                    WHEN rs >= 4 THEN 'recent'
+                    ELSE 'regular' END AS segment_class
+        FROM scored
+    )
+    SELECT segment_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rs) * 1000000 // count(*) AS BIGINT) / 1e6 AS avg_r_score,
+           CAST(sum(freq) * 1000000 // count(*) AS BIGINT) / 1e6 AS avg_freq,
+           CAST(sum(mon) // (100 * count(*)) AS BIGINT) AS avg_monetary_dollars,
+           CAST(sum(rec) // count(*) AS BIGINT) AS avg_recency_days
+    FROM labeled GROUP BY segment_class ORDER BY segment_class
+    """,
+    "RFM CUSTOMER SEGMENTATION (Hughes 1994 — the product-analytics "
+    "staple the inventory lacked: score every purchasing customer "
+    "1..5 on Recency/Frequency/Monetary quintiles and roll up named "
+    "lifecycle classes — champions, loyal, at_risk, hibernating, "
+    "recent, regular, tie-broken in that declared CASE order): "
+    "quintile BOUNDARIES are exact order statistics computed on the "
+    "(dim, value) HISTOGRAM (5*cum >= n*k rank condition, xe7 "
+    "tie-to-lower semantics; shuffle bounded by distinct values — "
+    "never a global per-customer rank, the xco scale rule), all "
+    "three dimensions ride ONE unpivoted histogram chain; the "
+    "12-value boundary row broadcasts back (crossJoin) and "
+    "assignment is a pure codegen CASE ladder; recency inverts "
+    "(6 - bin) so recent = 5; averages are integer-division exact "
+    "(avg scores 1e6-quantized, monetary floor-dollars). One "
+    "customer agg + one tiny histogram chain + one rollup",
+    ("orders", "analytics", "customer"),
+)
+def xef_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    orders = t["orders"]
+    gmax = orders.agg(F.max("o_orderdate").alias("__gmax"))
+    cust = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("__cents"),
+        )
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("__cents").cast("long").alias("mon"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "ck",
+            F.expr("cast(datediff(__gmax, __last) as bigint)").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    long_f = (
+        cust.select(F.lit("r").alias("dim"), F.col("rec").alias("v"))
+        .unionByName(cust.select(F.lit("f").alias("dim"), F.col("freq").alias("v")))
+        .unionByName(cust.select(F.lit("m").alias("dim"), F.col("mon").alias("v")))
+    )
+    hist = long_f.groupBy("dim", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W.partitionBy("dim").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.select(
+        "dim",
+        "v",
+        F.sum("c").over(wc).cast("long").alias("cm"),
+        F.sum("c").over(W.partitionBy("dim")).cast("long").alias("n"),
+    )
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("dim") == d) & (5 * F.col("cm") >= F.col("n") * k),
+                    F.col("v"),
+                )
+            ).alias(f"{d}{k}")
+            for d in ("r", "f", "m")
+            for k in range(1, 5)
+        ]
+    )
+    bin_expr = lambda col, d: " + ".join(
+        f"CASE WHEN {col} > {d}{k} THEN 1 ELSE 0 END" for k in range(1, 5)
+    )
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "rec",
+        "freq",
+        "mon",
+        F.expr(f"6 - (1 + {bin_expr('rec', 'r')})").alias("rs"),
+        F.expr(f"1 + {bin_expr('freq', 'f')}").alias("fs"),
+        F.expr(f"1 + {bin_expr('mon', 'm')}").alias("ms"),
+    )
+    labeled = scored.withColumn(
+        "segment_class",
+        F.expr(
+            "CASE WHEN rs >= 4 AND fs >= 4 THEN 'champions'"
+            " WHEN fs >= 4 THEN 'loyal'"
+            " WHEN rs <= 2 AND fs >= 3 THEN 'at_risk'"
+            " WHEN rs <= 2 THEN 'hibernating'"
+            " WHEN rs >= 4 THEN 'recent'"
+            " ELSE 'regular' END"
+        ),
+    )
+    return (
+        labeled.groupBy("segment_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("rs").cast("long").alias("__srs"),
+            F.sum("freq").cast("long").alias("__sf"),
+            F.sum("mon").cast("long").alias("__sm"),
+            F.sum("rec").cast("long").alias("__sr"),
+        )
+        .select(
+            "segment_class",
+            F.col("__n").alias("n_customers"),
+            F.expr("cast(__srs * 1000000 div __n as bigint) / 1e6").alias(
+                "avg_r_score"
+            ),
+            F.expr("cast(__sf * 1000000 div __n as bigint) / 1e6").alias("avg_freq"),
+            F.expr("cast(__sm div (100 * __n) as bigint)").alias(
+                "avg_monetary_dollars"
+            ),
+            F.expr("cast(__sr div __n as bigint)").alias("avg_recency_days"),
+        )
+        .orderBy("segment_class")
+    )
+
+
+@query(
+    "xeg_attribution_shapley",
+    """
+    WITH uf AS (
+        SELECT user_id,
+               CAST(COALESCE(sum(DISTINCT CASE event_type
+                    WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                    ELSE 0 END), 0) AS BIGINT) AS m,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    exact AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS u,
+               CAST(sum(conv) AS BIGINT) AS c
+        FROM uf GROUP BY m
+    ),
+    spine AS (SELECT unnest(generate_series(0, 15)) AS t),
+    rates AS (
+        SELECT s.t,
+               COALESCE(e.u, 0) AS u,
+               CASE WHEN COALESCE(e.u, 0) = 0 THEN 0
+                    ELSE e.c * 1000000 // e.u END AS r_q
+        FROM spine s LEFT JOIN exact e ON e.m = s.t
+    ),
+    w AS (
+        SELECT s.t AS s, CAST(sum(r.r_q) AS BIGINT) AS w_q
+        FROM spine s JOIN rates r ON (r.t & s.t) = r.t
+        GROUP BY s.t
+    ),
+    ch AS (
+        SELECT col0 AS channel, CAST(col1 AS BIGINT) AS b
+        FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                     ('view', 8)) v(col0, col1)
+    ),
+    phi AS (
+        SELECT ch.channel, ch.b,
+               CAST(sum(
+                   (CASE bit_count(ws.s) WHEN 0 THEN 1 WHEN 1 THEN 1
+                         WHEN 2 THEN 2 ELSE 6 END)
+                 * (CASE 3 - bit_count(ws.s) WHEN 0 THEN 1 WHEN 1 THEN 1
+                         WHEN 2 THEN 2 ELSE 6 END)
+                 * (wsb.w_q - ws.w_q)
+               ) AS BIGINT) AS phi_num
+        FROM ch
+        JOIN w ws ON (ws.s & ch.b) = 0
+        JOIN w wsb ON wsb.s = (ws.s | ch.b)
+        GROUP BY ch.channel, ch.b
+    ),
+    tot AS (SELECT CAST(sum(phi_num // 24) AS BIGINT) AS total FROM phi)
+    SELECT p.channel,
+           CAST((SELECT CAST(sum(u) AS BIGINT) FROM rates r
+                 WHERE (r.t & p.b) <> 0) AS BIGINT) AS exposed_users,
+           CAST(p.phi_num // 24 AS BIGINT) / 1e6 AS shapley_rate_credit,
+           CASE WHEN t.total = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST((p.phi_num // 24) * 1000000 // t.total AS BIGINT)
+                     / 1e6 END AS credit_share
+    FROM phi p CROSS JOIN tot t
+    ORDER BY p.channel
+    """,
+    "SHAPLEY-VALUE ATTRIBUTION (Shapley 1953 via Zhao, Mahboobi & "
+    "Manavoglu 2018 — completes the attribution family's model "
+    "ladder: x77/xcd last-touch argmax, xe8 linear equal-credit, "
+    "attribution_markov removal effects; Shapley is the "
+    "order-free cooperative-game solution marketers quote): users "
+    "are exposure coalitions — per-user bitmask of touched "
+    "non-purchase channels (bit_or as sum DISTINCT of power-of-2 "
+    "codes, engine-portable), conversion = any purchase; exact-set "
+    "conversion rates r_T = c_T*1e6 div u_T (safe count-ratio "
+    "quantization) on the FULL 16-mask spine, characteristic "
+    "w(S) = sum of r_T over T subset-of S via one bitwise-contain "
+    "join on the 16-row lattice (T & S = T), Shapley phi_i = "
+    "sum over S avoiding i of |S|!(n-1-|S|)!*(w(S+i)-w(S)) with "
+    "factorial literals CASEd on bit_count, one exact division by "
+    "n!=24 — marginals are non-negative (w is monotone), so every "
+    "quotient truncates identically; efficiency invariant "
+    "sum(phi) = w(N)-w(empty) pins the replica. The lattice work "
+    "is CONSTANT-size (16 rows) regardless of corpus scale — the "
+    "whole query is one events scan + one user agg + one 16-row "
+    "agg; exposed_users context via a bit-filtered spine sum",
+    ("events", "analytics", "attribution"),
+)
+def xeg_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    uf = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr(
+                "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+                " WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
+            ).alias("__bit"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("__cv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum_distinct(F.col("__bit")), F.lit(0))
+            .cast("long")
+            .alias("m"),
+            F.max("__cv").alias("conv"),
+        )
+    )
+    # the exact-set table is <= 16 rows but derives from the full
+    # events scan + user agg; BOTH the w-lattice and the exposed_users
+    # branch consume it in one action — eager-checkpoint so the corpus
+    # is scanned exactly once (22 -> fewer jobs, 1 scan at any scale)
+    exact = uf.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("u"),
+        F.sum("conv").cast("long").alias("c"),
+    ).localCheckpoint(eager=True)
+    spine = spark.range(16).select(F.col("id").cast("long").alias("t"))
+    rates = (
+        spine.join(exact, spine["t"] == exact["m"], "left")
+        .select(
+            "t",
+            F.coalesce("u", F.lit(0)).cast("long").alias("u"),
+            F.expr(
+                "CASE WHEN coalesce(u, 0) = 0 THEN 0L"
+                " ELSE c * 1000000 div u END"
+            ).alias("r_q"),
+        )
+    )
+    w = (
+        spine.select(F.col("t").alias("s"))
+        .join(rates, F.expr("(t & s) = t"))
+        .groupBy("s")
+        .agg(F.sum("r_q").cast("long").alias("w_q"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, b long",
+    )
+    fact_expr = (
+        "(CASE bit_count(s) WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2"
+        " ELSE 6 END) * (CASE 3 - bit_count(s) WHEN 0 THEN 1 WHEN 1 THEN 1"
+        " WHEN 2 THEN 2 ELSE 6 END)"
+    )
+    ws = w.select(F.col("s"), F.col("w_q").alias("w_s"))
+    wsb = w.select(F.col("s").alias("sb"), F.col("w_q").alias("w_sb"))
+    phi = (
+        ch.join(ws, F.expr("(s & b) = 0"))
+        .join(wsb, F.expr("sb = (s | b)"))
+        .groupBy("channel", "b")
+        .agg(
+            F.sum(F.expr(f"{fact_expr} * (w_sb - w_s)"))
+            .cast("long")
+            .alias("phi_num")
+        )
+    )
+    tot = phi.agg(
+        F.sum(F.expr("phi_num div 24")).cast("long").alias("total")
+    )
+    exposed = (
+        rates.crossJoin(F.broadcast(ch.select(F.col("channel").alias("__c"), F.col("b").alias("__b"))))
+        .filter(F.expr("(t & __b) <> 0"))
+        .groupBy("__c")
+        .agg(F.sum("u").cast("long").alias("exposed_users"))
+        .select(F.col("__c").alias("channel"), "exposed_users")
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .join(exposed, "channel")
+        .select(
+            "channel",
+            "exposed_users",
+            F.expr("CAST(phi_num div 24 AS BIGINT) / 1e6").alias(
+                "shapley_rate_credit"
+            ),
+            F.expr(
+                "CASE WHEN total = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE CAST((phi_num div 24) * 1000000 div total AS BIGINT)"
+                " / 1e6 END"
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )

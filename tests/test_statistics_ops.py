@@ -1289,3 +1289,200 @@ def test_chi2_cramers_v_matches_python_replica(spark, sf_oracle):
     ) == (n, k1, k2, chi2_q, chi2_q / 1e6, v_q / 1e6)
     # association strength is a real 0..1 value on this data
     assert 0.0 <= r0.cramers_v < 1.0
+
+
+def test_acf_ljung_box_matches_python_replica(spark, sf_oracle):
+    """xee's window-chain ACF == a from-scratch python-int replica
+    (zero-filled day spine, exact y = n*x - S centering, G-shrink
+    quantized divisions with toward-zero truncation, integer
+    Ljung-Box terms). Exact equality everywhere."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    def tdiv(a, b):
+        # toward-zero integer division (Spark div / DuckDB BIGINT //)
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+        FROM '{sf_oracle}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    daily = {}
+    for et, d, dol in rows:
+        daily.setdefault(et, {})[d] = dol
+    want = []
+    for et in sorted(daily):
+        by_day = daily[et]
+        days = range(min(by_day), max(by_day) + 1)
+        xs = [by_day.get(d, 0) for d in days]
+        n, s = len(xs), sum(xs)
+        ys = [n * x - s for x in xs]
+        den = sum(y * y for y in ys)
+        g = max(den // 10**12, 1)
+        acfs, qsum = [], 0
+        for k in range(1, 8):
+            num = sum(ys[i] * ys[i - k] for i in range(k, n))
+            aq = 0 if den == 0 else tdiv(tdiv(num, g) * 10**6, max(den // g, 1))
+            acfs.append(aq)
+            if n > k:
+                qsum += aq * aq // (n - k)
+        q_q = n * (n + 2) * qsum
+        for k in range(1, 8):
+            want.append(
+                (et, k, n, acfs[k - 1] / 1e6, q_q / 1e12, q_q > 14067140449340)
+            )
+
+    got = registry()["xee_acf_ljung_box"].spark_fn(spark, sf_oracle).collect()
+    assert [
+        (r.event_type, r.lag, r.n_days, r.acf, r.lb_q, r.autocorrelated)
+        for r in got
+    ] == want
+    # the metric is live: some lag shows non-trivial autocorrelation
+    assert any(abs(w[3]) > 0.01 for w in want)
+
+
+def test_rfm_segments_matches_python_replica(spark, sf_oracle):
+    """xef's histogram-boundary RFM == a from-scratch python replica
+    (sorted-values order statistics with the 5*cum >= n*k tie-to-lower
+    rule, CASE-order class mapping, integer-division averages)."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_custkey, max(o_orderdate), CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM '{sf_oracle}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    gmax = max(r[1] for r in rows)
+    cust = [((gmax - last).days, freq, mon) for _, last, freq, mon in rows]
+
+    def quintile_bounds(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        return [
+            next(v for i, v in enumerate(vs) if 5 * (i + 1) >= n * k)
+            for k in range(1, 5)
+        ]
+
+    rb = quintile_bounds([c[0] for c in cust])
+    fb = quintile_bounds([c[1] for c in cust])
+    mb = quintile_bounds([c[2] for c in cust])
+
+    def bin_of(v, bounds):
+        return 1 + sum(1 for b in bounds if v > b)
+
+    agg = {}
+    for rec, freq, mon in cust:
+        rs = 6 - bin_of(rec, rb)
+        fs = bin_of(freq, fb)
+        if rs >= 4 and fs >= 4:
+            cls = "champions"
+        elif fs >= 4:
+            cls = "loyal"
+        elif rs <= 2 and fs >= 3:
+            cls = "at_risk"
+        elif rs <= 2:
+            cls = "hibernating"
+        elif rs >= 4:
+            cls = "recent"
+        else:
+            cls = "regular"
+        n, srs, sf, sm, sr = agg.get(cls, (0, 0, 0, 0, 0))
+        agg[cls] = (n + 1, srs + rs, sf + freq, sm + mon, sr + rec)
+    want = {
+        cls: (
+            n,
+            (srs * 1_000_000 // n) / 1e6,
+            (sf * 1_000_000 // n) / 1e6,
+            sm // (100 * n),
+            sr // n,
+        )
+        for cls, (n, srs, sf, sm, sr) in agg.items()
+    }
+
+    got = registry()["xef_rfm_segments"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.segment_class: (
+            r.n_customers,
+            r.avg_r_score,
+            r.avg_freq,
+            r.avg_monetary_dollars,
+            r.avg_recency_days,
+        )
+        for r in got
+    } == want
+    # the quintile split is live: all six declared classes appear
+    assert set(want) == {
+        "champions", "loyal", "at_risk", "hibernating", "recent", "regular"
+    }
+
+
+def test_shapley_attribution_matches_python_replica(spark, sf_oracle):
+    """xeg's lattice Shapley == a from-scratch python replica (bitmask
+    exposure sets, quantized exact-set rates, subset-sum w, factorial
+    weights, division by 4!). Exact equality + the efficiency
+    invariant sum(phi_num) == 24*(w(N) - w(0))."""
+    import duckdb
+    from math import factorial
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id,
+               CAST(COALESCE(sum(DISTINCT CASE event_type
+                    WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                    ELSE 0 END), 0) AS BIGINT),
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM '{sf_oracle}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    u_t, c_t = [0] * 16, [0] * 16
+    for _, m, conv in rows:
+        u_t[m] += 1
+        c_t[m] += conv
+    r_q = [c * 1_000_000 // u if u else 0 for c, u in zip(c_t, u_t)]
+    w = [sum(r_q[t] for t in range(16) if (t & s) == t) for s in range(16)]
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    want = {}
+    phis = {}
+    for chn, b in bits.items():
+        phi_num = sum(
+            factorial(bin(s).count("1"))
+            * factorial(3 - bin(s).count("1"))
+            * (w[s | b] - w[s])
+            for s in range(16)
+            if (s & b) == 0
+        )
+        phis[chn] = phi_num
+    total = sum(p // 24 for p in phis.values())
+    for chn, b in bits.items():
+        exposed = sum(u_t[t] for t in range(16) if (t & b) != 0)
+        share = (
+            0.0
+            if total == 0
+            else ((phis[chn] // 24) * 1_000_000 // total) / 1e6
+        )
+        want[chn] = (exposed, (phis[chn] // 24) / 1e6, share)
+    # Shapley efficiency: credits sum to w(N) - w(empty)
+    assert sum(phis.values()) == 24 * (w[15] - w[0])
+
+    got = registry()["xeg_attribution_shapley"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.channel: (r.exposed_users, r.shapley_rate_credit, r.credit_share)
+        for r in got
+    } == want
+    # credit is live and spread across channels
+    assert sum(1 for v in want.values() if v[1] > 0) >= 2
