@@ -14464,3 +14464,274 @@ def xeg_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "xeh_vocab_good_turing",
+    """
+    WITH ws AS (
+        SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM ws WHERE len(w) >= 3)
+    ),
+    wc AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY g
+    ),
+    fof AS (
+        SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY c
+    ),
+    scal AS (
+        SELECT CAST(sum(n_r) AS BIGINT) AS v_total,
+               CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+                   AS n1,
+               CAST(COALESCE(sum(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT)
+                   AS n2
+        FROM fof
+    )
+    SELECT f.r, f.n_r, s.v_total, s.n_tokens,
+           CAST(s.n1 * 1000000 // s.n_tokens AS BIGINT) / 1e6 AS p0_unseen,
+           CAST(s.v_total + (s.n1 * (s.n1 - 1)) // (2 * (s.n2 + 1))
+                AS BIGINT) AS chao1_richness
+    FROM fof f CROSS JOIN scal s
+    WHERE f.r <= 10
+    ORDER BY f.r
+    """,
+    "GOOD-TURING UNSEEN MASS + CHAO1 RICHNESS OVER WORD TRIGRAMS "
+    "(Good 1953, Chao 1984 - the corpus-PLANNING readout the text "
+    "family lacked: xcr measures how token mass is distributed, xdl "
+    "how a tokenizer covers languages; this estimates what the "
+    "corpus has NOT seen - the probability the next 3-gram is novel "
+    "and how many distinct 3-grams exist beyond the sample, i.e. "
+    "the 'is more data worth crawling' judgment AND the open-mass "
+    "estimate for the dedup family's own 3-shingle space): "
+    "frequency-of-frequencies N_r over \\s+-lowercased word "
+    "trigrams (the pinned tokenization rule; trigram unit chosen "
+    "because the fixtures' unigram/bigram vocabularies SATURATE at "
+    "sf0.1 - N1 = 0 - while the trigram space stays open at every "
+    "SF, which is also why shingle dedup works there), built by "
+    "filtered-array index explode with the len >= 3 guard on BOTH "
+    "sides (the xa0 sequence-descend rule); Good-Turing p0 = N1/N "
+    "as the safe count-ratio quantization, bias-corrected Chao1 = "
+    "V + N1(N1-1)/(2(N2+1)) kept ENTIRELY in integer vocabulary "
+    "units (quotient forms before any scaling - no 1e6 blow-up at "
+    "corpus scale; +1 is the standard bias correction and the div0 "
+    "guard). Output = the r<=10 head of N_r with corpus scalars. "
+    "One scan, one gram-keyed agg (the only corpus-sized shuffle), "
+    "one tiny count-keyed agg, broadcast scalar fold",
+    ("documents", "text", "analytics"),
+)
+def xeh_vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ws = t["documents"].select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("w")
+    )
+    toks = (
+        ws.filter(F.size("w") >= 3)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("g")
+        )
+    )
+    wc = toks.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    fof = wc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    scal = fof.agg(
+        F.sum("n_r").cast("long").alias("v_total"),
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return (
+        fof.filter(F.col("r") <= 10)
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "r",
+            "n_r",
+            "v_total",
+            "n_tokens",
+            F.expr(
+                "CAST(n1 * 1000000 div n_tokens AS BIGINT) / 1e6"
+            ).alias("p0_unseen"),
+            F.expr(
+                "CAST(v_total + (n1 * (n1 - 1)) div (2 * (n2 + 1))"
+                " AS BIGINT)"
+            ).alias("chao1_richness"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "xei_eb_shrunk_rates",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    p AS (SELECT user_id, n, c, c * 1000000 // n AS p_q FROM u),
+    sc0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS g,
+               CAST(sum(p_q) AS BIGINT) AS sm,
+               CAST(sum(p_q * p_q) AS BIGINT) AS sv
+        FROM p
+    ),
+    sc1 AS (
+        SELECT g, sm // g AS m_q,
+               sv // g - (sm // g) * (sm // g) AS v_q
+        FROM sc0
+    ),
+    sc AS (
+        SELECT g, m_q, v_q,
+               CASE WHEN v_q <= 0 THEN 0
+                    ELSE greatest(
+                        (m_q * (1000000 - m_q)) * 1000000
+                        // greatest(v_q, 1) - 1000000, 0)
+               END AS k_q
+        FROM sc1
+    ),
+    scored AS (
+        SELECT p.user_id, p.n, p.c, p.p_q, s.m_q, s.k_q,
+               (s.m_q * s.k_q) // 1000000 AS a6,
+               greatest((p.n * 1000000 + s.k_q) // 1000000000000, 1) AS gg
+        FROM p CROSS JOIN sc s
+    ),
+    shr AS (
+        SELECT user_id, n, c, p_q, m_q, k_q,
+               (((c * 1000000 + a6) // gg) * 1000000)
+               // greatest((n * 1000000 + k_q) // gg, 1) AS shrunk_q
+        FROM scored
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           n AS n_events, c AS n_purchases,
+           CAST(p_q AS BIGINT) / 1e6 AS raw_rate,
+           CAST(shrunk_q AS BIGINT) / 1e6 AS shrunk_rate,
+           CAST(m_q AS BIGINT) / 1e6 AS prior_mean,
+           CAST(k_q AS BIGINT) / 1e6 AS prior_strength
+    FROM shr
+    ORDER BY shrunk_q DESC, user_id LIMIT 15
+    """,
+    "EMPIRICAL-BAYES BETA-BINOMIAL SHRINKAGE of per-user purchase "
+    "rates (Efron & Morris 1975 / the 'how not to rank by raw "
+    "average' estimator — the small-sample RANKING fix next to "
+    "xcl's bootstrap uncertainty and xdb's conformal intervals: a "
+    "3/10 user must not outrank a 25/86 user): method-of-moments "
+    "beta prior from the group-rate distribution — per-user rates "
+    "quantized at source (safe count ratio c*1e6 div n), prior "
+    "mean m = Sm div G and variance v = Sv div G - m^2 as DECLARED "
+    "integer-op moments (two divisions instead of the (G*Sv - "
+    "Sm^2)/G^2 form, which overflows BIGINT at ~10x bench scale; "
+    "engine-identical either way), prior strength K = m(1e6-m)*1e6 "
+    "div v - 1e6 clamped at 0 (v <= 0 degenerates to no "
+    "shrinkage), posterior mean (c + a)/(n + K) as ONE quantized "
+    "division under the xdp G-shrink guard; top-15 by (shrunk "
+    "DESC, user_id) via TakeOrderedAndProject (xco rule). "
+    "Differential shrinkage is live on the fixtures: K ~ typical "
+    "n, exposures vary ~2x, so raw and shrunk ORDERINGS disagree "
+    "(replica-pinned). One events scan + user agg + broadcast "
+    "one-row prior fold",
+    ("events", "analytics", "quality"),
+)
+def xei_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    u = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    p = u.select(
+        "user_id", "n", "c", F.expr("c * 1000000 div n").alias("p_q")
+    )
+    sc = (
+        p.agg(
+            F.count(F.lit(1)).cast("long").alias("g"),
+            F.sum("p_q").cast("long").alias("sm"),
+            F.sum(F.col("p_q") * F.col("p_q")).cast("long").alias("sv"),
+        )
+        .select(
+            "g",
+            F.expr("sm div g").alias("m_q"),
+            F.expr("sv div g - (sm div g) * (sm div g)").alias("v_q"),
+        )
+        .select(
+            "g",
+            "m_q",
+            "v_q",
+            F.expr(
+                "CASE WHEN v_q <= 0 THEN 0L"
+                " ELSE greatest((m_q * (1000000 - m_q)) * 1000000"
+                " div greatest(v_q, 1) - 1000000, 0L) END"
+            ).alias("k_q"),
+        )
+    )
+    shr = (
+        p.crossJoin(F.broadcast(sc))
+        .select(
+            "user_id",
+            "n",
+            "c",
+            "p_q",
+            "m_q",
+            "k_q",
+            F.expr("(m_q * k_q) div 1000000").alias("a6"),
+            F.expr(
+                "greatest((n * 1000000 + k_q) div 1000000000000, 1)"
+            ).alias("gg"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "c",
+            "p_q",
+            "m_q",
+            "k_q",
+            F.expr(
+                "(((c * 1000000 + a6) div gg) * 1000000)"
+                " div greatest((n * 1000000 + k_q) div gg, 1)"
+            ).alias("shrunk_q"),
+        )
+    )
+    return (
+        shr.orderBy(F.col("shrunk_q").desc(), "user_id")
+        .limit(15)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n").alias("n_events"),
+            F.col("c").alias("n_purchases"),
+            (F.col("p_q") / 1e6).alias("raw_rate"),
+            (F.col("shrunk_q") / 1e6).alias("shrunk_rate"),
+            (F.col("m_q") / 1e6).alias("prior_mean"),
+            (F.col("k_q") / 1e6).alias("prior_strength"),
+        )
+    )

@@ -1486,3 +1486,102 @@ def test_shapley_attribution_matches_python_replica(spark, sf_oracle):
     } == want
     # credit is live and spread across channels
     assert sum(1 for v in want.values() if v[1] > 0) >= 2
+
+
+def test_good_turing_matches_python_replica(spark, sf_oracle):
+    """xeh's frequency-of-frequencies chain == a from-scratch python
+    replica (regex \\s+ lowercase tokenization, word TRIGRAMS,
+    Counter-of-Counters, integer Chao1). Exact equality."""
+    import duckdb
+    import re
+    from collections import Counter
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    wc = Counter()
+    for (txt,) in texts:
+        words = [w for w in re.split(r"\s+", txt.lower().strip()) if w]
+        for i in range(len(words) - 2):
+            wc[" ".join(words[i : i + 3])] += 1
+    fof = Counter(wc.values())
+    v = sum(fof.values())
+    n = sum(r * nr for r, nr in fof.items())
+    n1, n2 = fof.get(1, 0), fof.get(2, 0)
+    p0 = (n1 * 1_000_000 // n) / 1e6
+    chao1 = v + (n1 * (n1 - 1)) // (2 * (n2 + 1))
+    want = [
+        (r, fof[r], v, n, p0, chao1) for r in sorted(fof) if r <= 10
+    ]
+
+    got = registry()["xeh_vocab_good_turing"].spark_fn(spark, sf_oracle).collect()
+    assert [
+        (x.r, x.n_r, x.v_total, x.n_tokens, x.p0_unseen, x.chao1_richness)
+        for x in got
+    ] == want
+    # estimator is live: unseen mass positive, Chao1 extends V
+    assert p0 > 0 and chao1 > v
+
+
+def test_eb_shrunk_rates_matches_python_replica(spark, sf_oracle):
+    """xei's method-of-moments shrinkage == a from-scratch python-int
+    replica (quantized rates, declared integer-op moments, G-shrink
+    posterior division, top-15 by (shrunk DESC, user_id))."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM '{sf_oracle}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    users = [(uid, n, c, c * 1_000_000 // n) for uid, n, c in rows]
+    g = len(users)
+    sm = sum(p for _, _, _, p in users)
+    sv = sum(p * p for _, _, _, p in users)
+    m_q = sm // g
+    v_q = sv // g - m_q * m_q
+    if v_q <= 0:
+        k_q = 0
+    else:
+        k_q = max((m_q * (1_000_000 - m_q)) * 1_000_000 // max(v_q, 1) - 1_000_000, 0)
+    a6 = (m_q * k_q) // 1_000_000
+    scored = []
+    for uid, n, c, p_q in users:
+        gg = max((n * 1_000_000 + k_q) // 10**12, 1)
+        shrunk = (((c * 1_000_000 + a6) // gg) * 1_000_000) // max(
+            (n * 1_000_000 + k_q) // gg, 1
+        )
+        scored.append((uid, n, c, p_q, shrunk))
+    top = sorted(scored, key=lambda r: (-r[4], r[0]))[:15]
+    want = [
+        (int(uid), n, c, p / 1e6, s / 1e6, m_q / 1e6, k_q / 1e6)
+        for uid, n, c, p, s in top
+    ]
+
+    got = registry()["xei_eb_shrunk_rates"].spark_fn(spark, sf_oracle).collect()
+    assert [
+        (
+            r.user_id,
+            r.n_events,
+            r.n_purchases,
+            r.raw_rate,
+            r.shrunk_rate,
+            r.prior_mean,
+            r.prior_strength,
+        )
+        for r in got
+    ] == want
+    # shrinkage is LIVE: the raw and shrunk orderings disagree somewhere
+    raw_order = [u for u, *_ in sorted(scored, key=lambda r: (-r[3], r[0]))]
+    shr_order = [u for u, *_ in sorted(scored, key=lambda r: (-r[4], r[0]))]
+    assert raw_order != shr_order
+    assert k_q > 0
