@@ -14735,3 +14735,259 @@ def xei_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k_q") / 1e6).alias("prior_strength"),
         )
     )
+
+
+@query(
+    "xej_neyman_allocation",
+    """
+    WITH strata AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(length(text)) AS BIGINT) AS sx,
+               CAST(sum(length(text) * length(text)) AS BIGINT) AS sxx
+        FROM documents GROUP BY lang
+    ),
+    sd AS (
+        SELECT lang, n_h,
+               CAST(floor(sqrt(greatest(
+                   sxx // n_h - (sx // n_h) * (sx // n_h), 0)) * 1000)
+                   AS BIGINT) AS sd_milli
+        FROM strata
+    ),
+    wts AS (
+        SELECT lang, n_h, sd_milli, n_h * sd_milli AS w,
+               CAST(sum(n_h * sd_milli) OVER () AS BIGINT) AS tw
+        FROM sd
+    ),
+    base AS (
+        SELECT lang, n_h, sd_milli, w, tw,
+               greatest(tw // 1000000000000, 1) AS g
+        FROM wts
+    ),
+    seats AS (
+        SELECT lang, n_h, sd_milli, w,
+               (10000 * (w // g)) // greatest(tw // g, 1) AS base_n,
+               (10000 * (w // g)) % greatest(tw // g, 1) AS rem
+        FROM base
+    ),
+    ranked AS (
+        SELECT lang, n_h, sd_milli, w, base_n,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+               CAST(10000 - sum(base_n) OVER () AS BIGINT) AS leftover
+        FROM seats
+    )
+    SELECT lang, n_h AS n_docs,
+           CAST(sd_milli AS BIGINT) / 1e3 AS sd_chars,
+           CAST(w AS BIGINT) AS neyman_weight,
+           CAST(base_n + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_labels
+    FROM ranked ORDER BY lang
+    """,
+    "NEYMAN OPTIMAL ALLOCATION of a 10k-label annotation budget "
+    "across language strata (Neyman 1934 — the survey-sampling "
+    "design step the sampling family lacked: the samplers EXECUTE a "
+    "split, this DECIDES the split that minimizes estimator "
+    "variance, n_h proportional to N_h*S_h): per-language doc-length "
+    "moments as the declared integer-op form (xei rule — the exact "
+    "cross-multiplied variance overflows at corpus scale), S_h = "
+    "floor(sqrt(var)*1000) milli-units (IEEE sqrt of an identical "
+    "integer-derived double is correctly rounded — the x37 "
+    "precedent), weights w_h = N_h*S_h exact BIGINTs, integer "
+    "seats 10000*w_h div W under the xdp G-shrink guard, and the "
+    "leftover distributed by LARGEST REMAINDER with deterministic "
+    "(rem DESC, lang) ties — the xd1 Hamilton idiom on weighted "
+    "strata, so allocations sum to EXACTLY 10000 (replica-pinned "
+    "invariant). Window work rides the strata frame (bounded by "
+    "language count); one documents scan + one lang-keyed agg",
+    ("documents", "analytics", "sampling"),
+)
+def xej_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    strata = (
+        t["documents"]
+        .select("lang", F.length("text").cast("long").alias("x"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    sd = strata.select(
+        "lang",
+        "n_h",
+        F.expr(
+            "CAST(floor(sqrt(greatest("
+            "sxx div n_h - (sx div n_h) * (sx div n_h), 0L)) * 1000)"
+            " AS BIGINT)"
+        ).alias("sd_milli"),
+    )
+    wts = sd.select(
+        "lang",
+        "n_h",
+        "sd_milli",
+        (F.col("n_h") * F.col("sd_milli")).alias("w"),
+        F.sum(F.col("n_h") * F.col("sd_milli"))
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("tw"),
+    )
+    seats = wts.select(
+        "lang",
+        "n_h",
+        "sd_milli",
+        "w",
+        F.expr(
+            "(10000 * (w div greatest(tw div 1000000000000, 1)))"
+            " div greatest(tw div greatest(tw div 1000000000000, 1), 1)"
+        ).alias("base_n"),
+        F.expr(
+            "(10000 * (w div greatest(tw div 1000000000000, 1)))"
+            " % greatest(tw div greatest(tw div 1000000000000, 1), 1)"
+        ).alias("rem"),
+    )
+    ranked = seats.select(
+        "lang",
+        "n_h",
+        "sd_milli",
+        "w",
+        "base_n",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("rem").desc(), "lang"))
+        .alias("rk"),
+        (F.lit(10000) - F.sum("base_n").over(W.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        F.col("n_h").alias("n_docs"),
+        (F.col("sd_milli") / 1e3).alias("sd_chars"),
+        F.col("w").cast("long").alias("neyman_weight"),
+        F.expr(
+            "CAST(base_n + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("alloc_labels"),
+    ).orderBy("lang")
+
+
+@query(
+    "xek_anova_doc_length",
+    """
+    WITH g AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_j,
+               CAST(sum(length(text)) AS BIGINT) AS s_j,
+               CAST(sum(length(text) * length(text)) AS BIGINT) AS sxx_j
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_j) AS BIGINT) AS n,
+               CAST(sum(s_j) AS BIGINT) AS s,
+               CAST(sum(sxx_j) AS BIGINT) AS sxx,
+               CAST(sum((s_j * s_j) // n_j) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT n, k,
+               t - (s * s) // n AS ssb,
+               sxx - t AS ssw
+        FROM tot
+    ),
+    f AS (
+        SELECT n, k, ssb, ssw,
+               greatest(greatest(ssb, ssw) // 1000000000000, 1) AS gg
+        FROM ss
+    )
+    SELECT g.lang, g.n_j AS n_docs,
+           CAST(g.s_j // g.n_j AS BIGINT) AS mean_chars,
+           f.ssb AS ss_between, f.ssw AS ss_within,
+           CAST(CASE WHEN f.ssw = 0 OR f.k <= 1 THEN 0
+                ELSE (((f.ssb // f.gg) * 1000000)
+                      // greatest(f.ssw // f.gg, 1))
+                     * (f.n - f.k) // (f.k - 1) END AS BIGINT) / 1e6
+               AS f_stat,
+           CAST(CASE WHEN f.ssb + f.ssw = 0 THEN 0
+                ELSE ((f.ssb // f.gg) * 1000000)
+                     // greatest((f.ssb + f.ssw) // f.gg, 1) END AS BIGINT)
+               / 1e6 AS eta_squared
+    FROM g CROSS JOIN f
+    ORDER BY g.lang
+    """,
+    "ONE-WAY ANOVA + ETA-SQUARED: does document length differ by "
+    "language (Fisher 1925 — completes the bivariate-association "
+    "matrix: xed chi-square is categorical x categorical, x84/xdo "
+    "Pearson/Spearman numeric x numeric, xec KS two-sample; this is "
+    "the categorical x numeric member): per-language char-length "
+    "moments, between/within sum-of-squares via the quantized "
+    "group-term T = sum(S_j^2 div n_j) (error < 1 char^2 per group, "
+    "bounded group count — declared quantization), SSB = T - S^2 "
+    "div N and SSW = Sxx - T exact BIGINTs from there, F = "
+    "(SSB/(k-1))/(SSW/(N-k)) and effect size eta^2 = SSB/(SSB+SSW) "
+    "each as ONE G-shrink-guarded integer division (ratios in 1e6 "
+    "units; SSB*1e6 alone would overflow at ~10x bench scale). NO "
+    "significance verdict is emitted: the F critical value depends "
+    "on data-driven degrees of freedom (k-1, N-k), which cannot be "
+    "a pinned literal — the statistic and effect size are the "
+    "deliverable (the xe4/xec verdict pattern applies only when "
+    "dof is fixed). One scan + one lang agg + broadcast scalar fold",
+    ("documents", "analytics", "text"),
+)
+def xek_anova_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    g = (
+        t["documents"]
+        .select("lang", F.length("text").cast("long").alias("x"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_j"),
+            F.sum("x").cast("long").alias("s_j"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_j"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum("s_j").cast("long").alias("s"),
+        F.sum("sxx_j").cast("long").alias("sxx"),
+        F.sum(F.expr("(s_j * s_j) div n_j")).cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    f = tot.select(
+        "n",
+        "k",
+        F.expr("t - (s * s) div n").alias("ssb"),
+        F.expr("sxx - t").alias("ssw"),
+    ).select(
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        F.expr("greatest(greatest(ssb, ssw) div 1000000000000, 1)").alias(
+            "gg"
+        ),
+    )
+    return (
+        g.crossJoin(F.broadcast(f))
+        .select(
+            "lang",
+            F.col("n_j").alias("n_docs"),
+            F.expr("CAST(s_j div n_j AS BIGINT)").alias("mean_chars"),
+            F.col("ssb").alias("ss_between"),
+            F.col("ssw").alias("ss_within"),
+            F.expr(
+                "CAST(CASE WHEN ssw = 0 OR k <= 1 THEN 0"
+                " ELSE (((ssb div gg) * 1000000)"
+                " div greatest(ssw div gg, 1)) * (n - k) div (k - 1) END"
+                " AS BIGINT) / 1e6"
+            ).alias("f_stat"),
+            F.expr(
+                "CAST(CASE WHEN ssb + ssw = 0 THEN 0"
+                " ELSE ((ssb div gg) * 1000000)"
+                " div greatest((ssb + ssw) div gg, 1) END AS BIGINT) / 1e6"
+            ).alias("eta_squared"),
+        )
+        .orderBy("lang")
+    )

@@ -1585,3 +1585,104 @@ def test_eb_shrunk_rates_matches_python_replica(spark, sf_oracle):
     shr_order = [u for u, *_ in sorted(scored, key=lambda r: (-r[4], r[0]))]
     assert raw_order != shr_order
     assert k_q > 0
+
+
+def test_neyman_allocation_matches_python_replica(spark, sf_oracle):
+    """xej's weighted Hamilton allocation == a from-scratch python-int
+    replica; allocations sum to EXACTLY the 10000 budget."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, CAST(count(*) AS BIGINT),
+               CAST(sum(length(text)) AS BIGINT),
+               CAST(sum(length(text) * length(text)) AS BIGINT)
+        FROM '{sf_oracle}/documents.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    sd = {}
+    for lang, n_h, sx, sxx in rows:
+        var_q = max(sxx // n_h - (sx // n_h) * (sx // n_h), 0)
+        sd[lang] = (n_h, math.floor(math.sqrt(var_q) * 1000))
+    w = {lang: n_h * s for lang, (n_h, s) in sd.items()}
+    tw = sum(w.values())
+    g = max(tw // 10**12, 1)
+    twg = max(tw // g, 1)
+    base = {l: (10000 * (wv // g)) // twg for l, wv in w.items()}
+    rem = {l: (10000 * (wv // g)) % twg for l, wv in w.items()}
+    leftover = 10000 - sum(base.values())
+    order = sorted(rem, key=lambda l: (-rem[l], l))
+    alloc = {
+        l: base[l] + (1 if i < leftover else 0) for i, l in enumerate(order)
+    }
+    want = {
+        l: (sd[l][0], sd[l][1] / 1e3, w[l], alloc[l]) for l in sd
+    }
+
+    got = registry()["xej_neyman_allocation"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.lang: (r.n_docs, r.sd_chars, r.neyman_weight, r.alloc_labels)
+        for r in got
+    } == want
+    assert sum(a for *_, a in want.values()) == 10000
+    # allocation is genuinely non-proportional somewhere (S_h differs)
+    assert len({s for _, s, _, _ in want.values()}) > 1
+
+
+def test_anova_matches_python_replica(spark, sf_oracle):
+    """xek's SS decomposition == a from-scratch python-int replica
+    (quantized group terms, exact SSB/SSW, G-shrink F and eta^2)."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, CAST(count(*) AS BIGINT),
+               CAST(sum(length(text)) AS BIGINT),
+               CAST(sum(length(text) * length(text)) AS BIGINT)
+        FROM '{sf_oracle}/documents.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    n = sum(r[1] for r in rows)
+    s = sum(r[2] for r in rows)
+    sxx = sum(r[3] for r in rows)
+    t_sum = sum((sj * sj) // nj for _, nj, sj, _ in rows)
+    k = len(rows)
+    ssb = t_sum - (s * s) // n
+    ssw = sxx - t_sum
+    gg = max(max(ssb, ssw) // 10**12, 1)
+    f_q = (
+        0
+        if ssw == 0 or k <= 1
+        else (((ssb // gg) * 1_000_000) // max(ssw // gg, 1)) * (n - k) // (k - 1)
+    )
+    eta_q = (
+        0
+        if ssb + ssw == 0
+        else ((ssb // gg) * 1_000_000) // max((ssb + ssw) // gg, 1)
+    )
+    want = {
+        lang: (nj, sj // nj, ssb, ssw, f_q / 1e6, eta_q / 1e6)
+        for lang, nj, sj, _ in rows
+    }
+
+    got = registry()["xek_anova_doc_length"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.lang: (
+            r.n_docs,
+            r.mean_chars,
+            r.ss_between,
+            r.ss_within,
+            r.f_stat,
+            r.eta_squared,
+        )
+        for r in got
+    } == want
+    # the statistic is live: group means differ and F is positive
+    assert len({v[1] for v in want.values()}) > 1 and f_q > 0
