@@ -13538,13 +13538,26 @@ def xec_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .alias("half"),
     )
-    n = ev.groupBy("event_type").agg(
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    # eager-checkpoint the (type, cents) aggregate: both the half
+    # totals n1/n2 (derived FROM it, not from a second events pass)
+    # and the ECDF window consume it — one corpus scan for the half
+    # split instead of three (dmin's pruned day-only scan is the
+    # only other events read)
+    pv = (
+        ev.groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+        .localCheckpoint(eager=True)
     )
-    pv = ev.groupBy("event_type", "cents").agg(
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c1"),
-        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    n = pv.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
     )
     wc = W.partitionBy("event_type").orderBy("cents").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -13653,9 +13666,12 @@ def xed_chi2_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("seg", "pri")
     )
+    # the 25-row contingency table derives from the corpus-sized
+    # orders-customer join but feeds FIVE consumers (rm, cm, tot's
+    # three legs, the spine) — eager-checkpoint so the join runs once
     cells = joined.groupBy("seg", "pri").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    )
+    ).localCheckpoint(eager=True)
     rm = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
     cm = cells.groupBy("pri").agg(F.sum("o").cast("long").alias("c"))
     tot = cells.agg(F.sum("o").cast("long").alias("n")).crossJoin(
@@ -14209,12 +14225,21 @@ def xef_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "mon",
         )
+        # consumed by the histogram chain AND the boundary-assignment
+        # pass in one action — eager-checkpoint so the orders scan +
+        # customer agg run once (the r6 self-union lesson: a 3-way
+        # union of the same frame evaluates its subtree 3x)
+        .localCheckpoint(eager=True)
     )
-    long_f = (
-        cust.select(F.lit("r").alias("dim"), F.col("rec").alias("v"))
-        .unionByName(cust.select(F.lit("f").alias("dim"), F.col("freq").alias("v")))
-        .unionByName(cust.select(F.lit("m").alias("dim"), F.col("mon").alias("v")))
-    )
+    long_f = cust.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('dim', 'r', 'v', rec),"
+                " named_struct('dim', 'f', 'v', freq),"
+                " named_struct('dim', 'm', 'v', mon))"
+            )
+        ).alias("s")
+    ).select(F.col("s.dim").alias("dim"), F.col("s.v").alias("v"))
     hist = long_f.groupBy("dim", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wc = W.partitionBy("dim").orderBy("v").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -14550,9 +14575,12 @@ def xeh_vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = toks.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the tiny frequency-of-frequencies table derives from the
+    # corpus-sized gram shuffle but feeds both the scalar fold and
+    # the r<=10 head — eager-checkpoint so the scan+shuffle run once
     fof = wc.groupBy(F.col("c").alias("r")).agg(
         F.count(F.lit(1)).cast("long").alias("n_r")
-    )
+    ).localCheckpoint(eager=True)
     scal = fof.agg(
         F.sum("n_r").cast("long").alias("v_total"),
         F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
@@ -14670,9 +14698,12 @@ def xei_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
+    # consumed by the prior fold AND the posterior scoring in one
+    # action — eager-checkpoint the user aggregate so the events scan
+    # + user shuffle run once (xeg pattern; #users << #events)
     p = u.select(
         "user_id", "n", "c", F.expr("c * 1000000 div n").alias("p_q")
-    )
+    ).localCheckpoint(eager=True)
     sc = (
         p.agg(
             F.count(F.lit(1)).cast("long").alias("g"),
@@ -14947,6 +14978,9 @@ def xek_anova_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("x").cast("long").alias("s_j"),
             F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_j"),
         )
+        # feeds the SS fold and the per-language output rows in one
+        # action — eager-checkpoint so the documents scan runs once
+        .localCheckpoint(eager=True)
     )
     tot = g.agg(
         F.sum("n_j").cast("long").alias("n"),
