@@ -13881,7 +13881,7 @@ def xeb_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xee_acf_ljung_box",
+    "acf_ljung_box",
     """
     WITH daily0 AS (
         SELECT event_type,
@@ -14008,7 +14008,7 @@ def xeb_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "magnitude probe (docstring contract)",
     ("events", "analytics", "timeseries"),
 )
-def xee_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -14311,7 +14311,7 @@ def xef_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xeg_attribution_shapley",
+    "attribution_shapley",
     """
     WITH uf AS (
         SELECT user_id,
@@ -14393,7 +14393,7 @@ def xef_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg; exposed_users context via a bit-filtered spine sum",
     ("events", "analytics", "attribution"),
 )
-def xeg_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     uf = (
         t["events"]
@@ -14612,7 +14612,7 @@ def xeh_vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xei_eb_shrunk_rates",
+    "eb_shrunk_rates",
     """
     WITH u AS (
         SELECT user_id,
@@ -14684,7 +14684,7 @@ def xeh_vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one-row prior fold",
     ("events", "analytics", "quality"),
 )
-def xei_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     u = (
         t["events"]

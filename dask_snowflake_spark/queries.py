@@ -378,7 +378,7 @@ def x16_collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02_filter_predicates",
+    "xel_filter_predicates",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS total
     FROM orders
@@ -392,7 +392,7 @@ def x16_collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compound predicates: IN / BETWEEN / LIKE / IS NULL / boolean logic, pushed to the scan",
     ("filter",),
 )
-def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xel_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     o = t["orders"]
     return (
@@ -414,7 +414,7 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q03_projection_expr",
+    "xem_projection_expr",
     """
     SELECT p_partkey,
            upper(p_brand)                                   AS brand_uc,
@@ -429,7 +429,7 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection with scalar expressions, CASE WHEN, arithmetic",
     ("projection",),
 )
-def q03_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xem_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["part"]

@@ -79,7 +79,7 @@ def xea_fn_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fn_udf_apply_in_pandas",
+    "xen_fn_udf_apply_in_pandas",
     """
     SELECT c_custkey, c_nationkey,
            round(CASE WHEN max(c_acctbal) OVER w = min(c_acctbal) OVER w THEN 0.5
@@ -92,7 +92,7 @@ def xea_fn_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applyInPandas grouped-map: per-nation min-max scaling (exact under reordering)",
     ("udf",),
 )
-def fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xen_fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:

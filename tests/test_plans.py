@@ -77,7 +77,7 @@ def test_whole_stage_codegen_active(spark, sf_oracle):
     """The scan->filter->project pipeline of q02 must sit inside a
     WholeStageCodegen span (codegen explain mode; AQE's formatted plan
     hides spans until execution)."""
-    df = registry()["q02_filter_predicates"].spark_fn(spark, sf_oracle)
+    df = registry()["xel_filter_predicates"].spark_fn(spark, sf_oracle)
     df.collect()  # AQE finalizes the physical plan only on execution
     p = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark WholeStageCodegenExec spans in the final plan

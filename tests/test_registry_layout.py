@@ -66,11 +66,23 @@ def test_priority_window_covers_every_surface():
     # removal-effect attribution), content_defined_chunks (ex-xe0,
     # FastCDC chunk-store dedup) and dbscan_embeddings (ex-xe5, DBSCAN
     # density clustering).
+    # Fourth r11 rotation (continuation session): q02_filter_predicates
+    # -> xel_ (compound-predicate pushdown rides every filtered scan in
+    # the window — q01/q04/q06 all push predicates; driver-green
+    # r1-r10), q03_projection_expr -> xem_ (scalar-expression
+    # projection rides q17/q18/q20's function rows; driver-green
+    # r1-r10), fn_udf_apply_in_pandas -> xen_ (the applyInPandas
+    # grouped-map surface is driver-exercised inside dbscan_embeddings'
+    # kernel and flow_stateful_counters' stateful variant; one fn_udf_
+    # row stays in-window) to make room for attribution_shapley
+    # (ex-xeg, lattice cooperative-game credit), acf_ljung_box (ex-xee,
+    # Box-Jenkins dependence detector) and eb_shrunk_rates (ex-xei,
+    # empirical-Bayes small-sample ranking).
     prefixes = (
-        "ann_", "attribution_", "bpe_", "cms_", "conformal_",
+        "acf_", "ann_", "attribution_", "bpe_", "cms_", "conformal_",
         "connector_", "content_", "dbscan_", "dedup_", "doc_", "dsir_",
-        "file_", "flow_", "fn_udf_", "governance_", "graph_", "mm_",
-        "pca_", "pipeline_", "profile_", "q0", "q1", "q2",
+        "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
+        "mm_", "pca_", "pipeline_", "profile_", "q0", "q1", "q2",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

@@ -1338,7 +1338,7 @@ def test_acf_ljung_box_matches_python_replica(spark, sf_oracle):
                 (et, k, n, acfs[k - 1] / 1e6, q_q / 1e12, q_q > 14067140449340)
             )
 
-    got = registry()["xee_acf_ljung_box"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["acf_ljung_box"].spark_fn(spark, sf_oracle).collect()
     assert [
         (r.event_type, r.lag, r.n_days, r.acf, r.lb_q, r.autocorrelated)
         for r in got
@@ -1479,7 +1479,7 @@ def test_shapley_attribution_matches_python_replica(spark, sf_oracle):
     # Shapley efficiency: credits sum to w(N) - w(empty)
     assert sum(phis.values()) == 24 * (w[15] - w[0])
 
-    got = registry()["xeg_attribution_shapley"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["attribution_shapley"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.channel: (r.exposed_users, r.shapley_rate_credit, r.credit_share)
         for r in got
@@ -1567,7 +1567,7 @@ def test_eb_shrunk_rates_matches_python_replica(spark, sf_oracle):
         for uid, n, c, p, s in top
     ]
 
-    got = registry()["xei_eb_shrunk_rates"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["eb_shrunk_rates"].spark_fn(spark, sf_oracle).collect()
     assert [
         (
             r.user_id,
