@@ -15025,3 +15025,194 @@ def xek_anova_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "xeo_theil_sen_slope",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (b.c - a.c) * 1000000 // (b.d - a.d) AS slope_q,
+               a.d AS d1, b.d AS d2
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    med AS (
+        SELECT event_type, slope_q,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope_q, d1, d2) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        FROM pairs
+    ),
+    sl AS (
+        SELECT event_type, slope_q AS ts_slope_q, m AS n_pairs
+        FROM med WHERE rn = (m + 1) // 2
+    ),
+    resid AS (
+        SELECT d.event_type,
+               d.c * 1000000 - s.ts_slope_q * d.d AS r_q,
+               d.d,
+               s.ts_slope_q, s.n_pairs
+        FROM daily d JOIN sl s ON s.event_type = d.event_type
+    ),
+    rmed AS (
+        SELECT event_type, ts_slope_q, n_pairs, r_q,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY r_q, d) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM resid
+    )
+    SELECT event_type, n AS n_days, n_pairs,
+           CAST(ts_slope_q AS BIGINT) / 1e6 AS slope_cents_per_day,
+           CAST(r_q AS BIGINT) / 1e6 AS intercept_cents
+    FROM rmed WHERE rn = (n + 1) // 2
+    ORDER BY event_type
+    """,
+    "THEIL-SEN ROBUST SLOPE + INTERCEPT (Theil 1950 / Sen 1968 — the "
+    "robust ESTIMATOR beside the family's tests: xe4 Mann-Kendall "
+    "answers 'is there a monotone trend', xce OLS fits a "
+    "least-squares line an outlier day can hijack; Theil-Sen is the "
+    "median of all pairwise slopes, 29% breakdown): per event type "
+    "on the observed daily revenue-cents series, pairwise slopes "
+    "(c2-c1)*1e6 div (d2-d1) from a renamed-key self-join on the "
+    "BOUNDED day axis (the xe4 pair frame; C(n,2) pairs per type — "
+    "never corpus-sized), signed quotients truncate toward zero "
+    "identically (r8 pin); the median is the DECLARED LOWER median "
+    "at rank (m+1) div 2 under the unique (slope_q, d1, d2) order "
+    "(no two-middle averaging — stays integer); intercept = lower "
+    "median of residuals c*1e6 - slope_q*d under (r_q, d) order. "
+    "Two bounded-size window passes; one events scan feeds the "
+    "checkpointed daily aggregate consumed by pairs AND residuals",
+    ("events", "analytics", "timeseries"),
+)
+def xeo_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), DATE '1970-01-01')")
+            .cast("long")
+            .alias("d"),
+            F.expr("cast(round(value * 100) as bigint)").alias("__vc"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("__vc").cast("long").alias("c"))
+        # consumed by the pair join (twice, as both sides) and the
+        # residual pass — checkpoint so the events scan runs once
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        b, (F.col("et2") == F.col("event_type")) & (F.col("d2") > F.col("d1"))
+    ).select(
+        "event_type",
+        F.expr("(c2 - c1) * 1000000 div (d2 - d1)").alias("slope_q"),
+        "d1",
+        "d2",
+    )
+    wm = W.partitionBy("event_type").orderBy("slope_q", "d1", "d2")
+    med = pairs.select(
+        "event_type",
+        "slope_q",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("m"),
+    )
+    sl = med.filter(F.expr("rn = (m + 1) div 2")).select(
+        "event_type",
+        F.col("slope_q").alias("ts_slope_q"),
+        F.col("m").alias("n_pairs"),
+    )
+    resid = daily.join(sl, "event_type").select(
+        "event_type",
+        "ts_slope_q",
+        "n_pairs",
+        F.expr("c * 1000000 - ts_slope_q * d").alias("r_q"),
+        "d",
+    )
+    wr = W.partitionBy("event_type").orderBy("r_q", "d")
+    rmed = resid.select(
+        "event_type",
+        "ts_slope_q",
+        "n_pairs",
+        "r_q",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    return (
+        rmed.filter(F.expr("rn = (n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            (F.col("ts_slope_q") / 1e6).alias("slope_cents_per_day"),
+            (F.col("r_q") / 1e6).alias("intercept_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "xep_file_orc_roundtrip",
+    """
+    SELECT l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "ORC sink + source roundtrip (completes the file-format matrix "
+    "next to xa1's CSV/JSON-lines and the parquet family: ORC is "
+    "the other columnar format Spark ships a native vectorized "
+    "reader for — Hive-ecosystem interchange): write a pruned "
+    "lineitem projection to ORC with integer cents materialized "
+    "BEFORE the sink (the float never crosses the format boundary, "
+    "so the roundtrip aggregate is exact by construction), read "
+    "back with an explicit schema, aggregate; oracle = the same "
+    "aggregate straight off parquet — equality proves the "
+    "sink+source pair is lossless for longs and strings. Scratch "
+    "namespaced per source fixture (_scratch_dir)",
+    ("source", "sink", "lineitem"),
+)
+def xep_file_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _scratch_dir
+
+    t = _t(spark, sf_dir)
+    path = _scratch_dir("file_rt_orc", sf_dir)
+    t["lineitem"].select(
+        "l_orderkey",
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "l_orderkey long, l_returnflag string, cents long"
+    ).orc(path)
+    return (
+        back.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("grp")
+    )

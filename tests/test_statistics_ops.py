@@ -1686,3 +1686,54 @@ def test_anova_matches_python_replica(spark, sf_oracle):
     } == want
     # the statistic is live: group means differ and F is positive
     assert len({v[1] for v in want.values()}) > 1 and f_q > 0
+
+
+def test_theil_sen_matches_python_replica(spark, sf_oracle):
+    """xeo's pair-join median slope == a from-scratch python replica
+    (O(n^2) pairwise slopes with toward-zero division, declared lower
+    median, residual-median intercept). Exact equality."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        FROM '{sf_oracle}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, d, c in rows:
+        series.setdefault(et, []).append((d, c))
+    want = {}
+    for et, pts in series.items():
+        slopes = []
+        for i, (d1, c1) in enumerate(pts):
+            for d2, c2 in pts[i + 1 :]:
+                slopes.append((tdiv((c2 - c1) * 1_000_000, d2 - d1), d1, d2))
+        slopes.sort()
+        m = len(slopes)
+        slope_q = slopes[(m + 1) // 2 - 1][0]
+        resid = sorted((c * 1_000_000 - slope_q * d, d) for d, c in pts)
+        n = len(pts)
+        b_q = resid[(n + 1) // 2 - 1][0]
+        want[et] = (n, m, slope_q / 1e6, b_q / 1e6)
+
+    got = registry()["xeo_theil_sen_slope"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.event_type: (
+            r.n_days,
+            r.n_pairs,
+            r.slope_cents_per_day,
+            r.intercept_cents,
+        )
+        for r in got
+    } == want
+    # the estimator is live: at least one type has a nonzero slope
+    assert any(v[2] != 0 for v in want.values())
