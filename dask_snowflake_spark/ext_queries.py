@@ -15216,3 +15216,130 @@ def xep_file_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "xeq_degree_assortativity",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    ),
+    directed AS (
+        SELECT u AS s, v AS d FROM pairs
+        UNION ALL
+        SELECT v, u FROM pairs
+    ),
+    degs AS (
+        SELECT s, d,
+               CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS deg
+        FROM directed
+    ),
+    per_edge AS (
+        SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+               CAST(max(CASE WHEN s = least(s, d) THEN deg END) AS BIGINT)
+                   AS dlo,
+               CAST(max(CASE WHEN s = greatest(s, d) THEN deg END) AS BIGINT)
+                   AS dhi
+        FROM degs GROUP BY least(s, d), greatest(s, d)
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(2 * count(*) AS BIGINT) AS n,
+               CAST(sum(dlo + dhi) AS BIGINT) AS sx,
+               CAST(sum(2 * dlo * dhi) AS BIGINT) AS sxy,
+               CAST(sum(dlo * dlo + dhi * dhi) AS BIGINT) AS sxx,
+               CAST(max(greatest(dlo, dhi)) AS BIGINT) AS maxdeg
+        FROM per_edge
+    )
+    SELECT m AS n_edges,
+           CAST(sx // n AS BIGINT) AS mean_degree,
+           maxdeg AS max_degree,
+           CAST(CASE WHEN sxx // n - (sx // n) * (sx // n) <= 0 THEN 0
+                ELSE (sxy // n - (sx // n) * (sx // n)) * 1000000
+                     // (sxx // n - (sx // n) * (sx // n)) END AS BIGINT)
+               / 1e6 AS assortativity
+    FROM sums
+    """,
+    "DEGREE ASSORTATIVITY of the co-purchase part graph (Newman 2002 "
+    "— the graph-diagnostics scalar the family lacked: CC/kcore/LPA "
+    "find structure, PageRank/HITS rank vertices; assortativity says "
+    "whether hubs attach to hubs (r > 0, social-network-like) or to "
+    "leaves (r < 0, hub-and-spoke) — decides if degree-based "
+    "sampling/salting is needed before the joins): distinct "
+    "co-purchase pairs from a renamed-key same-order self-join "
+    "(basket-bounded fan-out — TPC-H baskets <= 7 lines, so pairs "
+    "per order are C(7,2)-bounded at any corpus scale), endpoint "
+    "degrees via the r8 idiom (ONE window count over the directed "
+    "explode, then one (lo,hi)-keyed agg of each edge's two rows — "
+    "no degree joins), and Newman's r over the DIRECTED pair list, "
+    "where symmetry makes Sy = Sx so r = (Sxy/n - mean^2)/(Sxx/n - "
+    "mean^2) — NO sqrt at all; declared integer-op moments (xei "
+    "rule, overflow-free at any scale), one signed toward-zero "
+    "quantized division, b <= 0 degenerates to 0. Degrees are exact "
+    "integers end-to-end; one lineitem self-join + one window + two "
+    "aggs",
+    ("lineitem", "graph", "analytics"),
+)
+def xeq_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators.graph import _both_directions
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v")
+    )
+    pairs = (
+        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("v") > F.col("u")))
+        .select("u", "v")
+        .distinct()
+    )
+    directed = _both_directions(pairs, "u", "v").select(
+        F.col("__u").alias("s"), F.col("__v").alias("d")
+    )
+    degs = directed.select(
+        "s",
+        "d",
+        F.count(F.lit(1)).over(W.partitionBy("s")).cast("long").alias("deg"),
+    )
+    per_edge = (
+        degs.select(
+            F.least("s", "d").alias("lo"),
+            F.greatest("s", "d").alias("hi"),
+            "s",
+            "deg",
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.max(F.when(F.col("s") == F.col("lo"), F.col("deg")))
+            .cast("long")
+            .alias("dlo"),
+            F.max(F.when(F.col("s") == F.col("hi"), F.col("deg")))
+            .cast("long")
+            .alias("dhi"),
+        )
+    )
+    sums = per_edge.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (2 * F.count(F.lit(1))).cast("long").alias("n"),
+        F.sum(F.col("dlo") + F.col("dhi")).cast("long").alias("sx"),
+        F.sum(2 * F.col("dlo") * F.col("dhi")).cast("long").alias("sxy"),
+        F.sum(F.col("dlo") * F.col("dlo") + F.col("dhi") * F.col("dhi"))
+        .cast("long")
+        .alias("sxx"),
+        F.max(F.greatest("dlo", "dhi")).cast("long").alias("maxdeg"),
+    )
+    return sums.select(
+        F.col("m").alias("n_edges"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_degree"),
+        F.col("maxdeg").alias("max_degree"),
+        F.expr(
+            "CAST(CASE WHEN sxx div n - (sx div n) * (sx div n) <= 0 THEN 0"
+            " ELSE (sxy div n - (sx div n) * (sx div n)) * 1000000"
+            " div (sxx div n - (sx div n) * (sx div n)) END AS BIGINT) / 1e6"
+        ).alias("assortativity"),
+    )

@@ -668,3 +668,51 @@ def test_hits_bipartite_matches_python_replica(spark, sf_oracle):
     assert [(r.side, r.node_key, r.score) for r in got] == want
     # mutual reinforcement is live: scores are spread, not all at max
     assert len({q for _, q in top10(a)}) > 1
+
+
+def test_assortativity_matches_python_replica(spark, sf_oracle):
+    """xeq's window-degree Newman r == a from-scratch python replica
+    (dict adjacency degrees, directed symmetrized sums, declared
+    integer-op moments, toward-zero division)."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{sf_oracle}/lineitem.parquet' a
+        JOIN '{sf_oracle}/lineitem.parquet' b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        """
+    ).fetchall()
+    deg = {}
+    for u, v in rows:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(rows)
+    n = 2 * m
+    sx = sum(deg[u] + deg[v] for u, v in rows)
+    sxy = sum(2 * deg[u] * deg[v] for u, v in rows)
+    sxx = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in rows)
+    maxdeg = max(deg.values())
+    mx = sx // n
+    b_q = sxx // n - mx * mx
+    a_q = sxy // n - mx * mx
+    r = 0.0 if b_q <= 0 else tdiv(a_q * 1_000_000, b_q) / 1e6
+
+    got = registry()["xeq_degree_assortativity"].spark_fn(spark, sf_oracle).collect()
+    assert len(got) == 1
+    g0 = got[0]
+    assert (g0.n_edges, g0.mean_degree, g0.max_degree, g0.assortativity) == (
+        m,
+        mx,
+        maxdeg,
+        r,
+    )
+    # the graph is non-trivial: degrees spread, r computed off a real mix
+    assert maxdeg > mx > 0
