@@ -15343,3 +15343,148 @@ def xeq_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (sxx div n - (sx div n) * (sx div n)) END AS BIGINT) / 1e6"
         ).alias("assortativity"),
     )
+
+
+@query(
+    "xer_lang_jsd_matrix",
+    """
+    WITH wcl AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                         AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY lang, w
+    ),
+    nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM wcl GROUP BY lang),
+    legs AS (
+        SELECT a.lang AS la, nb.lang AS lb, a.w,
+               a.c AS cp, COALESCE(b.c, 0) AS cq,
+               na.n AS np, nb.n AS nq
+        FROM wcl a
+        JOIN nl na ON na.lang = a.lang
+        CROSS JOIN nl nb
+        LEFT JOIN wcl b ON b.lang = nb.lang AND b.w = a.w
+        WHERE nb.lang <> a.lang
+    ),
+    terms AS (
+        SELECT la, lb,
+               CAST(cp * CAST(floor(ln(
+                   (2.0 * cp * nq) / (cp * nq + cq * np)) * 1000000)
+                   AS BIGINT) AS BIGINT) AS t_q,
+               np
+        FROM legs
+    ),
+    kl AS (
+        SELECT la, lb, np,
+               CAST(sum(t_q) AS BIGINT) AS s_q
+        FROM terms GROUP BY la, lb, np
+    )
+    SELECT k1.la AS lang_a, k1.lb AS lang_b,
+           k1.np AS n_tokens_a, k2.np AS n_tokens_b,
+           CAST(k1.s_q // (2 * k1.np) + k2.s_q // (2 * k2.np) AS BIGINT)
+               / 1e6 AS jsd_nats
+    FROM kl k1 JOIN kl k2 ON k2.la = k1.lb AND k2.lb = k1.la
+    WHERE k1.la < k1.lb
+    ORDER BY lang_a, lang_b
+    """,
+    "PAIRWISE LANGUAGE JENSEN-SHANNON DIVERGENCE MATRIX (Lin 1991 — "
+    "the corpus-mixture GEOMETRY readout: xdt resamples languages to "
+    "target proportions, xdk importance-weights toward a target "
+    "distribution; this measures how far apart the language "
+    "subcorpora actually are, the quantity mixture planning needs): "
+    "per-language unigram distributions (\\\\s+-lowercase, the pinned "
+    "tokenization), JSD(P,Q) = KL(P||M)/1 ... decomposed per word "
+    "with ZERO-count words handled natively (a word absent from Q "
+    "gives ln(2p/(p+q)) = ln 2 exactly; absent from P contributes "
+    "0); the ln ARGUMENT is ONE division of exact BIGINT products "
+    "2*c_p*n_q / (c_p*n_q + c_q*n_p) (the xdk rule — identical "
+    "quotient doubles on both engines, products < 2^53 to ~100x "
+    "bench scale), each term floor-quantized to integer micro-nats "
+    "at the WORD level then summed as c_p-weighted exact integers "
+    "with the per-language denominator constant per leg — two "
+    "integer divisions per pair at the very end. Both KL legs ride "
+    "ONE checkpointed (lang, word) aggregate (vocabulary-bounded; "
+    "the corpus-sized work is the single word-count shuffle); "
+    "ln-boundary fixture contract pinned in "
+    "tests/test_fixture_contracts.py",
+    ("documents", "text", "analytics"),
+)
+def xer_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    wcl = (
+        t["documents"]
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # both KL legs and the totals consume this vocabulary-bounded
+        # aggregate — checkpoint so the corpus shuffle runs once
+        .localCheckpoint(eager=True)
+    )
+    nl = wcl.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    a = wcl.select(
+        F.col("lang").alias("la"), "w", F.col("c").alias("cp")
+    ).join(
+        nl.select(F.col("lang").alias("la"), F.col("n").alias("np")), "la"
+    )
+    bspine = nl.select(F.col("lang").alias("lb"), F.col("n").alias("nq"))
+    bcounts = wcl.select(
+        F.col("lang").alias("lb2"), F.col("w").alias("w2"), F.col("c").alias("cq0")
+    )
+    legs = (
+        a.crossJoin(F.broadcast(bspine))
+        .filter(F.col("lb") != F.col("la"))
+        .join(
+            bcounts,
+            (F.col("lb2") == F.col("lb")) & (F.col("w2") == F.col("w")),
+            "left",
+        )
+        .select(
+            "la",
+            "lb",
+            "cp",
+            F.coalesce("cq0", F.lit(0)).cast("long").alias("cq"),
+            "np",
+            "nq",
+        )
+    )
+    terms = legs.select(
+        "la",
+        "lb",
+        "np",
+        F.expr(
+            "CAST(cp * CAST(floor(ln((2.0 * cp * nq) / (cp * nq + cq * np))"
+            " * 1000000) AS BIGINT) AS BIGINT)"
+        ).alias("t_q"),
+    )
+    kl = terms.groupBy("la", "lb", "np").agg(
+        F.sum("t_q").cast("long").alias("s_q")
+    )
+    k2 = kl.select(
+        F.col("la").alias("la2"),
+        F.col("lb").alias("lb2"),
+        F.col("np").alias("np2"),
+        F.col("s_q").alias("s_q2"),
+    )
+    return (
+        kl.join(
+            k2, (F.col("la2") == F.col("lb")) & (F.col("lb2") == F.col("la"))
+        )
+        .filter(F.col("la") < F.col("lb"))
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            F.col("np").alias("n_tokens_a"),
+            F.col("np2").alias("n_tokens_b"),
+            F.expr(
+                "CAST(s_q div (2 * np) + s_q2 div (2 * np2) AS BIGINT) / 1e6"
+            ).alias("jsd_nats"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -382,3 +382,31 @@ def test_embeddings_dim_and_component_bounds(sf_dir: str) -> None:
     assert mx < 1.0, f"|embedding component| reaches {mx} at {sf_dir}"
     lens = pc.list_value_length(col)
     assert pc.min(lens).as_py() == 64 and pc.max(lens).as_py() == 64
+
+
+def test_xer_jsd_terms_away_from_boundaries() -> None:
+    """xer quantizes the per-word KL-leg term
+    floor(ln((2*cp*nq)/(cp*nq + cq*np)) * 1e6) once per (lang pair,
+    word) leg; every term must sit clear of an integer boundary at the
+    oracle-compare SF so the engines' libm cannot floor apart (the
+    x66/x68/xb3/xdk contract class). cq = 0 gives ln 2 exactly —
+    covered by the guard like any other term."""
+    tbl = _documents_sf001()
+    vocab: dict[str, Counter[str]] = {}
+    for lang, text in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        ws = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        vocab.setdefault(lang, Counter()).update(ws)
+    totals = {lang: sum(c.values()) for lang, c in vocab.items()}
+    terms = []
+    for la, ca in vocab.items():
+        for lb, cb in vocab.items():
+            if lb == la:
+                continue
+            np_, nq = totals[la], totals[lb]
+            for w, cp in ca.items():
+                cq = cb.get(w, 0)
+                scaled = (
+                    math.log((2.0 * cp * nq) / (cp * nq + cq * np_)) * 1_000_000
+                )
+                terms.append((f"{la}->{lb}:{w}", scaled))
+    _assert_clear(terms, "xer jsd leg terms")

@@ -1737,3 +1737,58 @@ def test_theil_sen_matches_python_replica(spark, sf_oracle):
     } == want
     # the estimator is live: at least one type has a nonzero slope
     assert any(v[2] != 0 for v in want.values())
+
+
+def test_lang_jsd_matches_python_replica(spark, sf_oracle):
+    """xer's two-leg JSD == a from-scratch python replica (Counter
+    vocabularies, micro-nat floor per word, exact weighted sums, two
+    integer divisions). Exact equality + JSD bounds [0, ln 2]."""
+    import duckdb
+    import math
+    import re
+    from collections import Counter
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    vocab, totals = {}, {}
+    for lang, text in rows:
+        ws = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        vocab.setdefault(lang, Counter()).update(ws)
+    totals = {lang: sum(c.values()) for lang, c in vocab.items()}
+
+    def leg(la, lb):
+        np_, nq = totals[la], totals[lb]
+        s = 0
+        for w, cp in vocab[la].items():
+            cq = vocab[lb].get(w, 0)
+            lnq = math.floor(
+                math.log((2.0 * cp * nq) / (cp * nq + cq * np_)) * 1_000_000
+            )
+            s += cp * lnq
+        return s
+
+    want = {}
+    for la in sorted(vocab):
+        for lb in sorted(vocab):
+            if la < lb:
+                j = leg(la, lb) // (2 * totals[la]) + leg(lb, la) // (
+                    2 * totals[lb]
+                )
+                want[(la, lb)] = (totals[la], totals[lb], j / 1e6)
+
+    got = registry()["xer_lang_jsd_matrix"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        (r.lang_a, r.lang_b): (r.n_tokens_a, r.n_tokens_b, r.jsd_nats)
+        for r in got
+    } == want
+    # JSD bounds (up to quantization): 0 <= jsd <= ln 2; and the
+    # matrix is live — every pair strictly positive with a real SPREAD
+    # (the fixture languages share one vocabulary with shifted marker
+    # mass, so absolute JSDs are small but pair distances differ ~2x)
+    jsds = [v[2] for v in want.values()]
+    assert all(-1e-6 <= j <= math.log(2) + 1e-6 for j in jsds)
+    assert min(jsds) > 0 and max(jsds) >= 1.5 * min(jsds)
