@@ -1792,3 +1792,56 @@ def test_lang_jsd_matches_python_replica(spark, sf_oracle):
     jsds = [v[2] for v in want.values()]
     assert all(-1e-6 <= j <= math.log(2) + 1e-6 for j in jsds)
     assert min(jsds) > 0 and max(jsds) >= 1.5 * min(jsds)
+
+
+def test_burstiness_matches_python_replica(spark, sf_oracle):
+    """xes's windowed burstiness == a from-scratch python replica
+    (sorted gaps in whole seconds, integer-op moments, milli-sqrt
+    seam, signed toward-zero B). Exact equality; the fixture's
+    Poisson arrivals must read as 'regular' (B ~ 0) — the
+    Goh-Barabási theory check."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, epoch_us(ts), event_id
+        FROM '{sf_oracle}/events.parquet' ORDER BY user_id, 2, 3
+        """
+    ).fetchall()
+    by_user = {}
+    for uid, us, _ in rows:
+        by_user.setdefault(uid, []).append(us)
+    bands = {}
+    for uid, tss in by_user.items():
+        ds = [(b - a) // 1_000_000 for a, b in zip(tss, tss[1:])]
+        n = len(ds)
+        if n < 5:
+            continue
+        sx, sxx = sum(ds), sum(d * d for d in ds)
+        mu = (sx // n) * 1000
+        sd = math.floor(math.sqrt(max(sxx // n - (sx // n) ** 2, 0)) * 1000)
+        b_q = 0 if sd + mu == 0 else tdiv((sd - mu) * 1_000_000, sd + mu)
+        band = (
+            "periodic" if b_q <= -200000 else "bursty" if b_q > 200000 else "regular"
+        )
+        cnt, sb, sn, sm = bands.get(band, (0, 0, 0, 0))
+        bands[band] = (cnt + 1, sb + b_q, sn + n, sm + mu // 1000)
+    want = {
+        band: (cnt, tdiv(sb, cnt) / 1e6, sn // cnt, sm // cnt)
+        for band, (cnt, sb, sn, sm) in bands.items()
+    }
+
+    got = registry()["xes_burstiness"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.band: (r.n_users, r.mean_burstiness, r.mean_gaps, r.mean_gap_seconds)
+        for r in got
+    } == want
+    # Poisson arrivals => B ~ 0: every fixture user is 'regular'
+    assert set(want) == {"regular"} and abs(want["regular"][1]) < 0.2
