@@ -15622,3 +15622,157 @@ def xes_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# SPRT literal table (Wald 1945, H0 p=0.15 vs H1 p=0.25, alpha=beta=
+# 0.05): per-observation LLR steps and decision bounds in integer
+# micro-nats, computed once in python and pinned by formula test —
+# A = floor(ln(p1/p0)*1e6), B = floor(ln((1-p1)/(1-p0))*1e6) (floor
+# of a NEGATIVE value — -125163.14 floors to -125164),
+# UP = floor(ln((1-beta)/alpha)*1e6), LO = -UP (symmetric alpha=beta).
+_SPRT_STEP_SUCC = 510825
+_SPRT_STEP_FAIL = -125164
+_SPRT_BOUND_Q = 2944438
+
+
+@query(
+    "xet_sprt_ab",
+    """
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT
+                         % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    walk AS (
+        SELECT arm, user_id, conv,
+               CAST(sum(conv * 510825 + (1 - conv) * -125164)
+                    OVER (PARTITION BY arm ORDER BY user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s,
+               row_number() OVER (PARTITION BY arm ORDER BY user_id) AS rn
+        FROM arms
+    ),
+    agg AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv,
+               CAST(sum(conv * 510825 + (1 - conv) * -125164) AS BIGINT)
+                   AS final_llr_q,
+               min(CASE WHEN s >= 2944438 THEN rn END) AS rn_up,
+               min(CASE WHEN s <= -2944438 THEN rn END) AS rn_lo
+        FROM walk GROUP BY arm
+    )
+    SELECT arm, n_users, n_conv,
+           CAST(CASE
+                WHEN rn_up IS NOT NULL
+                     AND (rn_lo IS NULL OR rn_up < rn_lo) THEN rn_up
+                WHEN rn_lo IS NOT NULL THEN rn_lo
+                ELSE n_users END AS BIGINT) AS n_at_decision,
+           CASE WHEN rn_up IS NOT NULL
+                     AND (rn_lo IS NULL OR rn_up < rn_lo)
+                THEN 'accept_lift'
+                WHEN rn_lo IS NOT NULL THEN 'reject_lift'
+                ELSE 'undecided' END AS decision,
+           CAST(final_llr_q AS BIGINT) / 1e6 AS final_llr
+    FROM agg ORDER BY arm
+    """,
+    "WALD SPRT SEQUENTIAL A/B TEST (Wald 1945 — the EARLY-STOPPING "
+    "member of the experimentation family: x73 reads the experiment "
+    "out at a fixed horizon, xdd variance-reduces it; SPRT answers "
+    "'how early could we have stopped' — the sample-efficiency "
+    "judgment sequential testing exists for): H0 p=0.15 vs H1 "
+    "p=0.25 at alpha=beta=0.05 over x73's exact arm/conversion "
+    "frame (md5-hash arms, high-value purchase conversion), "
+    "enrollment order DECLARED as user_id; the log-likelihood walk "
+    "is an exact INTEGER cumsum — per-user steps and decision "
+    "bounds are python-precomputed micro-nat literals (the r10 "
+    "literal-table idiom, formula-pinned incl. the floor-of-"
+    "negative B), so crossing detection is a pure integer compare "
+    "at every prefix; first crossing via two conditional mins "
+    "(earlier bound wins), no crossing -> 'undecided' with n_users "
+    "(degenerate-total semantics); final LLR = one exact counts "
+    "expression. One events scan + user agg + one arm-ordered "
+    "window + tiny agg. SCALE NOTE: a sequential test is inherently "
+    "order-dependent — the per-arm cumsum window moves one arm to "
+    "one partition; at corpus scale implement the walk as the "
+    "standard two-pass parallel prefix scan (per-bucket partial "
+    "sums, broadcast prefix offsets, in-bucket cumsum) — "
+    "bit-identical integers, no single-partition sort",
+    ("events", "analytics", "quality"),
+)
+def xet_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    arms = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' AND value > 250"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("conv")
+        )
+        .select(
+            "user_id",
+            "conv",
+            F.when(
+                F.pmod(
+                    dedup_ops.portable_hash(F.col("user_id"), F.lit("ab")),
+                    F.lit(2),
+                )
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+        )
+    )
+    step = (
+        F.col("conv") * F.lit(_SPRT_STEP_SUCC)
+        + (1 - F.col("conv")) * F.lit(_SPRT_STEP_FAIL)
+    )
+    ww = W.partitionBy("arm").orderBy("user_id")
+    walk = arms.select(
+        "arm",
+        "conv",
+        F.sum(step)
+        .over(ww.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("s"),
+        F.row_number().over(ww).alias("rn"),
+    )
+    agg = walk.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+        F.sum(step).cast("long").alias("final_llr_q"),
+        F.min(
+            F.when(F.col("s") >= _SPRT_BOUND_Q, F.col("rn"))
+        ).alias("rn_up"),
+        F.min(
+            F.when(F.col("s") <= -_SPRT_BOUND_Q, F.col("rn"))
+        ).alias("rn_lo"),
+    )
+    return agg.select(
+        "arm",
+        "n_users",
+        "n_conv",
+        F.expr(
+            "CAST(CASE WHEN rn_up IS NOT NULL"
+            " AND (rn_lo IS NULL OR rn_up < rn_lo) THEN rn_up"
+            " WHEN rn_lo IS NOT NULL THEN rn_lo"
+            " ELSE n_users END AS BIGINT)"
+        ).alias("n_at_decision"),
+        F.expr(
+            "CASE WHEN rn_up IS NOT NULL"
+            " AND (rn_lo IS NULL OR rn_up < rn_lo) THEN 'accept_lift'"
+            " WHEN rn_lo IS NOT NULL THEN 'reject_lift'"
+            " ELSE 'undecided' END"
+        ).alias("decision"),
+        (F.col("final_llr_q") / 1e6).alias("final_llr"),
+    ).orderBy("arm")

@@ -1845,3 +1845,77 @@ def test_burstiness_matches_python_replica(spark, sf_oracle):
     } == want
     # Poisson arrivals => B ~ 0: every fixture user is 'regular'
     assert set(want) == {"regular"} and abs(want["regular"][1]) < 0.2
+
+
+def test_sprt_literals_match_formula():
+    """The SPRT step/bound literals are floor(ln(...)*1e6) of the
+    declared hypotheses H0 p=0.15 / H1 p=0.25, alpha=beta=0.05 —
+    incl. the floor-of-negative B (-125163.14 -> -125164)."""
+    import math
+
+    from dask_snowflake_spark.ext_queries import (
+        _SPRT_BOUND_Q,
+        _SPRT_STEP_FAIL,
+        _SPRT_STEP_SUCC,
+    )
+
+    assert _SPRT_STEP_SUCC == math.floor(math.log(0.25 / 0.15) * 1e6)
+    assert _SPRT_STEP_FAIL == math.floor(math.log(0.75 / 0.85) * 1e6)
+    assert _SPRT_BOUND_Q == math.floor(math.log(0.95 / 0.05) * 1e6)
+
+
+def test_sprt_matches_python_replica(spark, sf_oracle):
+    """xet's windowed LLR walk == a from-scratch python replica
+    (portable-hash arms, user_id enrollment order, integer walk,
+    first-crossing decision). Exact equality; the fixture's ~8%
+    conversion must reject the 25% lift hypothesis early."""
+    import duckdb
+    import hashlib
+
+    from dask_snowflake_spark.ext_queries import (
+        _SPRT_BOUND_Q,
+        _SPRT_STEP_FAIL,
+        _SPRT_STEP_SUCC,
+    )
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END)
+        FROM '{sf_oracle}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    walks = {"A": [], "B": []}
+    for uid, conv in rows:
+        h = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15], 16)
+        walks["A" if h % 2 == 0 else "B"].append(conv)
+    want = {}
+    for arm, convs in walks.items():
+        s, rn_up, rn_lo = 0, None, None
+        for i, c in enumerate(convs, start=1):
+            s += _SPRT_STEP_SUCC if c else _SPRT_STEP_FAIL
+            if rn_up is None and s >= _SPRT_BOUND_Q:
+                rn_up = i
+            if rn_lo is None and s <= -_SPRT_BOUND_Q:
+                rn_lo = i
+        if rn_up is not None and (rn_lo is None or rn_up < rn_lo):
+            dec, n_dec = "accept_lift", rn_up
+        elif rn_lo is not None:
+            dec, n_dec = "reject_lift", rn_lo
+        else:
+            dec, n_dec = "undecided", len(convs)
+        want[arm] = (len(convs), sum(convs), n_dec, dec, s / 1e6)
+
+    got = registry()["xet_sprt_ab"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.arm: (r.n_users, r.n_conv, r.n_at_decision, r.decision, r.final_llr)
+        for r in got
+    } == want
+    # early stopping is LIVE: both arms reject the lift well before
+    # their fixed horizon
+    assert all(
+        v[3] == "reject_lift" and v[2] < v[0] for v in want.values()
+    )
