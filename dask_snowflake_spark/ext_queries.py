@@ -15776,3 +15776,110 @@ def xet_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decision"),
         (F.col("final_llr_q") / 1e6).alias("final_llr"),
     ).orderBy("arm")
+
+
+@query(
+    "xeu_hill_tail_index",
+    """
+    WITH purch AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    top101 AS (
+        SELECT cents, event_id FROM purch
+        ORDER BY cents DESC, event_id LIMIT 101
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, event_id) AS rn
+        FROM top101
+    ),
+    ks AS (SELECT unnest([50, 100]) AS k),
+    thr AS (
+        SELECT ks.k, r.cents AS x_k1
+        FROM ks JOIN ranked r ON r.rn = ks.k + 1
+    ),
+    terms AS (
+        SELECT t.k, t.x_k1,
+               CAST(sum(CAST(floor(ln(CAST(r.cents AS DOUBLE) / t.x_k1)
+                        * 1000000) AS BIGINT)) AS BIGINT) AS sum_ln_q
+        FROM thr t JOIN ranked r ON r.rn <= t.k
+        GROUP BY t.k, t.x_k1
+    )
+    SELECT CAST(k AS BIGINT) AS k, x_k1 AS threshold_cents,
+           sum_ln_q,
+           CASE WHEN sum_ln_q = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(k * 1000000000000 // sum_ln_q AS BIGINT) / 1e6
+           END AS hill_alpha
+    FROM terms ORDER BY k
+    """,
+    "HILL TAIL-INDEX ESTIMATOR of the purchase-value distribution "
+    "(Hill 1975 — the tail-heaviness judgment completing the "
+    "inequality family: xcr's Gini says how unequal the mass is, "
+    "this says whether the tail is POWER-LAW and how heavy — "
+    "alpha < 2 means infinite variance, the 'can I trust my mean "
+    "revenue' diagnostic): alpha_k = k / sum ln(x_(i)/x_(k+1)) "
+    "over the k largest order statistics, at k = 50 and 100 (two "
+    "rows — the stability readout: a stable alpha across k "
+    "supports the power-law read); top-101 via ONE "
+    "TakeOrderedAndProject under the unique (cents DESC, event_id) "
+    "order (the xco rule — never a global rank), every ln argument "
+    "ONE division of two exact BIGINT cents (xdk rule), micro-nat "
+    "floor per term, exact integer sums, alpha = one integer "
+    "quantized division (k*1e12 div sum); x_i = x_(k+1) gives "
+    "ln 1 = 0 exactly; zero-cent purchases excluded (declared); "
+    "ln-boundary fixture contract pinned. All window/join work on "
+    "the 101-row frame",
+    ("events", "analytics", "quality"),
+)
+def xeu_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    purch = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+    )
+    top101 = purch.orderBy(F.col("cents").desc(), "event_id").limit(101)
+    ranked = top101.select(
+        "cents",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("cents").desc(), "event_id"))
+        .alias("rn"),
+    ).localCheckpoint(eager=True)
+    ks = spark.createDataFrame([(50,), (100,)], "k long")
+    thr = ks.join(ranked, F.col("rn") == F.col("k") + 1).select(
+        "k", F.col("cents").alias("x_k1")
+    )
+    terms = (
+        thr.join(
+            ranked.select(F.col("cents").alias("ci"), "rn"),
+            F.col("rn") <= F.col("k"),
+        )
+        .groupBy("k", "x_k1")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(ln(CAST(ci AS DOUBLE) / x_k1) * 1000000)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("sum_ln_q")
+        )
+    )
+    return terms.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("x_k1").alias("threshold_cents"),
+        "sum_ln_q",
+        F.expr(
+            "CASE WHEN sum_ln_q = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(k * 1000000000000 div sum_ln_q AS BIGINT) / 1e6 END"
+        ).alias("hill_alpha"),
+    ).orderBy("k")

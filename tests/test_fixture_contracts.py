@@ -410,3 +410,28 @@ def test_xer_jsd_terms_away_from_boundaries() -> None:
                 )
                 terms.append((f"{la}->{lb}:{w}", scaled))
     _assert_clear(terms, "xer jsd leg terms")
+
+
+def test_xeu_hill_terms_away_from_boundaries() -> None:
+    """xeu quantizes floor(ln(cents_i / cents_(k+1)) * 1e6) over the
+    top-101 purchase cents; every term must sit clear of an integer
+    boundary at the oracle-compare SF (the x66/xdk contract class).
+    ln(1) = 0 terms are exact and excluded by the guard helper."""
+    tbl = _events_sf001()
+    cents = sorted(
+        (
+            round(v * 100)
+            for ty, v in zip(
+                tbl["event_type"].to_pylist(), tbl["value"].to_pylist()
+            )
+            if ty == "purchase" and round(v * 100) > 0
+        ),
+        reverse=True,
+    )[:101]
+    terms = []
+    for k in (50, 100):
+        x_k1 = cents[k]
+        for i in range(k):
+            scaled = math.log(cents[i] / x_k1) * 1_000_000
+            terms.append((f"k{k}:i{i}", scaled))
+    _assert_clear(terms, "xeu hill ln terms")

@@ -1919,3 +1919,40 @@ def test_sprt_matches_python_replica(spark, sf_oracle):
     assert all(
         v[3] == "reject_lift" and v[2] < v[0] for v in want.values()
     )
+
+
+def test_hill_tail_index_matches_python_replica(spark, sf_oracle):
+    """xeu's order-statistic Hill == a from-scratch python replica
+    (sorted cents, micro-nat floors, integer quantized alpha)."""
+    import duckdb
+    import math
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(round(value * 100) AS BIGINT)
+        FROM '{sf_oracle}/events.parquet'
+        WHERE event_type = 'purchase'
+          AND CAST(round(value * 100) AS BIGINT) > 0
+        """
+    ).fetchall()
+    cents = sorted((c for (c,) in rows), reverse=True)[:101]
+    want = {}
+    for k in (50, 100):
+        x_k1 = cents[k]
+        s = sum(
+            math.floor(math.log(cents[i] / x_k1) * 1_000_000)
+            for i in range(k)
+        )
+        alpha = 0.0 if s == 0 else (k * 10**12 // s) / 1e6
+        want[k] = (x_k1, s, alpha)
+
+    got = registry()["xeu_hill_tail_index"].spark_fn(spark, sf_oracle).collect()
+    assert {
+        r.k: (r.threshold_cents, r.sum_ln_q, r.hill_alpha) for r in got
+    } == want
+    # tail index is live and in a plausible range for a bounded
+    # synthetic value distribution (light tail => larger alpha)
+    assert all(v[2] > 0.5 for v in want.values())
