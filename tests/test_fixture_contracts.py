@@ -435,3 +435,20 @@ def test_xeu_hill_terms_away_from_boundaries() -> None:
             scaled = math.log(cents[i] / x_k1) * 1_000_000
             terms.append((f"k{k}:i{i}", scaled))
     _assert_clear(terms, "xeu hill ln terms")
+
+
+def test_xev_zipf_lns_away_from_boundaries() -> None:
+    """xev floor-quantizes ln(rank)*1e6 and ln(count)*1e6 over the
+    whole vocabulary; every value must sit clear of an integer
+    boundary at the oracle-compare SF (ln(1) = 0 ranks/counts are
+    exact and skipped by the guard helper)."""
+    tbl = _documents_sf001()
+    vocab: Counter[str] = Counter()
+    for text in tbl["text"].to_pylist():
+        vocab.update(w for w in re.split(r"\s+", text.lower().strip()) if w)
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    terms = []
+    for rk, (w, c) in enumerate(ranked, start=1):
+        terms.append((f"rank:{rk}", math.log(rk) * 1_000_000))
+        terms.append((f"count:{w}", math.log(c) * 1_000_000))
+    _assert_clear(terms, "xev zipf ln values")
