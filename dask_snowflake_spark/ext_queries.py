@@ -15636,7 +15636,7 @@ _SPRT_BOUND_Q = 2944438
 
 
 @query(
-    "xet_sprt_ab",
+    "sprt_ab",
     """
     WITH arms AS (
         SELECT user_id,
@@ -15703,7 +15703,7 @@ _SPRT_BOUND_Q = 2944438
     "bit-identical integers, no single-partition sort",
     ("events", "analytics", "quality"),
 )
-def xet_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)

@@ -792,7 +792,7 @@ def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q15_topk",
+    "xew_topk",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total
     FROM orders
@@ -802,7 +802,7 @@ def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global top-k: Spark runs TakeOrderedAndProject (per-partition heap, no full sort)",
     ("sort",),
 )
-def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]

@@ -68,7 +68,7 @@ def test_semi_join_stays_semi(spark, sf_oracle):
 def test_topk_uses_take_ordered(spark, sf_oracle):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
     partition heaps), not a global sort."""
-    df = registry()["q15_topk"].spark_fn(spark, sf_oracle)
+    df = registry()["xew_topk"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "TakeOrderedAndProject" in p, p
 

@@ -78,11 +78,18 @@ def test_priority_window_covers_every_surface():
     # (ex-xeg, lattice cooperative-game credit), acf_ljung_box (ex-xee,
     # Box-Jenkins dependence detector) and eb_shrunk_rates (ex-xei,
     # empirical-Bayes small-sample ranking).
+    # Fifth r11 rotation: q15_topk -> xew_ (the TakeOrderedAndProject
+    # surface is driver-exercised by xco's hybrid fusion and every
+    # orderBy().limit() flagship — eb_shrunk_rates, xeu, link
+    # prediction; driver-green r1-r10) to make room for sprt_ab
+    # (ex-xet, Wald sequential early stopping — the experimentation
+    # family's sequential member).
     prefixes = (
         "acf_", "ann_", "attribution_", "bpe_", "cms_", "conformal_",
         "connector_", "content_", "dbscan_", "dedup_", "doc_", "dsir_",
         "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
         "mm_", "pca_", "pipeline_", "profile_", "q0", "q1", "q2",
+        "sprt_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

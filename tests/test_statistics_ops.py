@@ -1909,7 +1909,7 @@ def test_sprt_matches_python_replica(spark, sf_oracle):
             dec, n_dec = "undecided", len(convs)
         want[arm] = (len(convs), sum(convs), n_dec, dec, s / 1e6)
 
-    got = registry()["xet_sprt_ab"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["sprt_ab"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.arm: (r.n_users, r.n_conv, r.n_at_decision, r.decision, r.final_llr)
         for r in got
