@@ -16013,3 +16013,118 @@ def xev_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT) / 1e6"
         ).alias("r_squared"),
     )
+
+
+@query(
+    "xex_ltv_cohort_triangle",
+    """
+    WITH o AS (
+        SELECT o_custkey AS ck,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS mo,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    firsts AS (SELECT ck, min(mo) AS cohort FROM o GROUP BY ck),
+    base AS (
+        SELECT f.cohort, o.mo - f.cohort AS age,
+               o.cents, o.ck
+        FROM o JOIN firsts f ON f.ck = o.ck
+    ),
+    lim AS (SELECT min(cohort) AS c0 FROM firsts),
+    cell AS (
+        SELECT b.cohort, b.age,
+               CAST(sum(b.cents) AS BIGINT) AS rev_cents
+        FROM base b CROSS JOIN lim
+        WHERE b.cohort < lim.c0 + 12 AND b.age BETWEEN 0 AND 11
+        GROUP BY b.cohort, b.age
+    ),
+    sizes AS (
+        SELECT f.cohort, CAST(count(*) AS BIGINT) AS n_cust
+        FROM firsts f CROSS JOIN lim
+        WHERE f.cohort < lim.c0 + 12
+        GROUP BY f.cohort
+    ),
+    cum AS (
+        SELECT c.cohort, c.age, s.n_cust, c.rev_cents,
+               CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort
+                    ORDER BY c.age
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM cell c JOIN sizes s ON s.cohort = c.cohort
+    )
+    SELECT cohort AS cohort_month_idx, age AS age_months, n_cust,
+           CAST(rev_cents // 100 AS BIGINT) AS revenue_dollars,
+           CAST(cum_cents // (100 * n_cust) AS BIGINT)
+               AS cum_ltv_dollars_per_cust
+    FROM cum ORDER BY cohort, age
+    """,
+    "COHORT LTV TRIANGLE (the revenue-accumulation staple next to "
+    "xb5's presence-based retention matrix — a MATERIALLY different "
+    "measure per the extension rule: retention counts who came "
+    "back, LTV sums what each acquisition cohort has spent by age "
+    "N, the payback-period readout growth teams plan spend "
+    "against): cohort = month index of the customer's first order "
+    "(year*12 + month — integer, tz-free on DATE), age = order "
+    "month - cohort month, first 12 cohorts x ages 0..11 declared "
+    "(the triangle's fixed frame; the min-cohort fold is a "
+    "broadcast one-row crossJoin), per-cell exact cent sums, "
+    "cumulative LTV per customer = one cohort-partitioned window "
+    "cumsum + integer floor-dollar division by cohort size. All "
+    "integer end-to-end (2dp-true o_totalprice recovery class); "
+    "orders scanned for facts + one first-order agg, both "
+    "checkpoint-free linear chains over the bounded month axis",
+    ("orders", "analytics", "customer"),
+)
+def xex_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+        ).alias("mo"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    firsts = o.groupBy("ck").agg(F.min("mo").alias("cohort")).localCheckpoint(
+        eager=True
+    )
+    lim = firsts.agg(F.min("cohort").alias("c0"))
+    base = o.join(firsts, "ck").select(
+        "cohort", (F.col("mo") - F.col("cohort")).alias("age"), "cents"
+    )
+    cell = (
+        base.crossJoin(F.broadcast(lim))
+        .filter(
+            (F.col("cohort") < F.col("c0") + 12)
+            & F.col("age").between(0, 11)
+        )
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    sizes = (
+        firsts.crossJoin(F.broadcast(lim))
+        .filter(F.col("cohort") < F.col("c0") + 12)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    wc = W.partitionBy("cohort").orderBy("age").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = cell.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        "n_cust",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_cents"),
+    )
+    return cum.select(
+        F.col("cohort").alias("cohort_month_idx"),
+        F.col("age").alias("age_months"),
+        "n_cust",
+        F.expr("CAST(rev_cents div 100 AS BIGINT)").alias("revenue_dollars"),
+        F.expr("CAST(cum_cents div (100 * n_cust) AS BIGINT)").alias(
+            "cum_ltv_dollars_per_cust"
+        ),
+    ).orderBy("cohort_month_idx", "age_months")

@@ -2011,3 +2011,65 @@ def test_zipf_exponent_matches_python_replica(spark, sf_oracle):
     # reads exponent ~ 0.18 at r^2 ~ 0.06 — exactly the
     # generated-vs-organic separation the screen exists for
     assert 0 < expo < 0.6 and 0 < r2 < 0.5
+
+
+def test_ltv_cohort_matches_python_replica(spark, sf_oracle):
+    """xex's cohort triangle == a from-scratch python replica (month
+    index cohorts, 12x12 frame, integer cent cumsums, floor-dollar
+    per-customer division). Exact equality + the triangle invariant:
+    cumulative LTV is non-decreasing in age within every cohort."""
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM '{sf_oracle}/orders.parquet'
+        """
+    ).fetchall()
+    first = {}
+    for ck, mo, _ in rows:
+        first[ck] = min(first.get(ck, mo), mo)
+    c0 = min(first.values())
+    sizes, cells = {}, {}
+    for ck, coh in first.items():
+        if coh < c0 + 12:
+            sizes[coh] = sizes.get(coh, 0) + 1
+    for ck, mo, cents in rows:
+        coh = first[ck]
+        age = mo - coh
+        if coh < c0 + 12 and 0 <= age <= 11:
+            cells[(coh, age)] = cells.get((coh, age), 0) + cents
+    want = []
+    for coh in sorted(sizes):
+        cum = 0
+        for age in sorted(a for c, a in cells if c == coh):
+            rev = cells[(coh, age)]
+            cum += rev
+            want.append(
+                (coh, age, sizes[coh], rev // 100, cum // (100 * sizes[coh]))
+            )
+
+    got = registry()["xex_ltv_cohort_triangle"].spark_fn(spark, sf_oracle).collect()
+    assert [
+        (
+            r.cohort_month_idx,
+            r.age_months,
+            r.n_cust,
+            r.revenue_dollars,
+            r.cum_ltv_dollars_per_cust,
+        )
+        for r in got
+    ] == want
+    # triangle is live: multiple cohorts, follow-on ages exist, and
+    # the cumulative per-customer curve is non-decreasing in age
+    assert len(sizes) >= 2
+    assert any(w[1] > 0 for w in want)
+    by_cohort = {}
+    for coh, age, _, _, ltv in want:
+        assert ltv >= by_cohort.get(coh, 0)
+        by_cohort[coh] = ltv
