@@ -526,3 +526,38 @@ def test_bpe_chain_early_convergence_engine_identical(spark):
     ]
     assert got_spark == want
     assert got_duck == want
+
+
+def test_bitops_and_distinct_sum_engine_identical(spark):
+    """The xeg/attribution_shapley lattice family relies on three
+    constructs being engine-identical: `&`/`|`/bit_count on BIGINT,
+    and sum(DISTINCT <power-of-2 codes>) as a portable bit_or.
+    Pinned on adversarial literals (duplicates, zero, all-bits, a
+    63-bit value), fixture-independent."""
+    import duckdb
+
+    spark_rows = spark.sql(
+        """
+        SELECT CAST(13 & 9 AS BIGINT),
+               CAST(13 | 2 AS BIGINT),
+               bit_count(CAST(4611686018427387904 AS BIGINT)),
+               bit_count(CAST(15 AS BIGINT)),
+               (SELECT CAST(sum(DISTINCT v) AS BIGINT)
+                FROM VALUES (1), (1), (2), (0), (0), (8) AS t(v))
+        """
+    ).collect()[0]
+    con = duckdb.connect()
+    try:
+        duck_rows = con.execute(
+            """
+            SELECT CAST(13 & 9 AS BIGINT),
+                   CAST(13 | 2 AS BIGINT),
+                   bit_count(CAST(4611686018427387904 AS BIGINT)),
+                   bit_count(CAST(15 AS BIGINT)),
+                   (SELECT CAST(sum(DISTINCT v) AS BIGINT)
+                    FROM (VALUES (1), (1), (2), (0), (0), (8)) t(v))
+            """
+        ).fetchone()
+    finally:
+        con.close()
+    assert tuple(spark_rows) == tuple(duck_rows) == (9, 15, 1, 4, 11)
