@@ -11528,14 +11528,20 @@ def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(1 - pos) AS BIGINT) AS n_neg,
                CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2_pos
         FROM ranked GROUP BY segment
+    ),
+    agg2 AS (
+        SELECT segment, n_pos, n_neg,
+               r2_pos - n_pos * (n_pos + 1) AS u2
+        FROM agg
     )
-    SELECT segment, n_pos, n_neg,
-           r2_pos - n_pos * (n_pos + 1) AS u2,
+    SELECT segment, n_pos, n_neg, u2,
            CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS DOUBLE)
-                ELSE CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
-                          // (2 * n_pos * n_neg) AS BIGINT) / 1e6
+                ELSE CAST(((u2 // greatest(u2 // 1000000000000, 1)) * 1000000)
+                          // greatest((2 * n_pos * n_neg)
+                                      // greatest(u2 // 1000000000000, 1), 1)
+                          AS BIGINT) / 1e6
            END AS auc
-    FROM agg ORDER BY segment
+    FROM agg2 ORDER BY segment
     """,
     "ROC-AUC VIA TIE-CORRECTED MANN-WHITNEY RANK SUMS (the "
     "classifier-discrimination closer next to xdc's nDCG ranking "
@@ -11548,12 +11554,14 @@ def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identity (2*avg_rank = 2*rank() + tie_count - 1, an exact "
     "integer), summed over positives: u2 = 2*R_pos - n_pos*(n_pos+1) "
     "= 2*U with ties contributing exactly 1/2 each; auc = u2 / "
-    "(2*n_pos*n_neg) as ONE integer-quantized division (1e-6). All "
+    "(2*n_pos*n_neg) as ONE integer-quantized division (1e-6) under "
+    "the xdp G-shrink guard (g = max(u2 div 1e12, 1) divides both "
+    "sides first — u2*1e6 would overflow at ~4e6 rows/segment, one "
+    "decade past the repo's own 100x probes; the guard is exact "
+    "whenever g = 1 and keeps the quotient within one quantum "
+    "otherwise, r12 ADVICE fix). All "
     "BIGINT end-to-end — scores are 2dp-true prices in integer cents "
-    "(the recovery class), ranks/counts/sums exact; headroom: "
-    "u2*1e6 < 2^63 holds to ~4e6 rows per segment, beyond which the "
-    "quantization splits into quotient+remainder stages (docstring "
-    "rule, same as xdo's moment pre-scale). Scale shape: one "
+    "(the recovery class), ranks/counts/sums exact. Scale shape: one "
     "segment-keyed rank window over the orders-customer join (AQE "
     "broadcasts the dimension), one same-keyed aggregation — the "
     "groupBy reuses the window's hash partitioning, zero extra "
@@ -11594,17 +11602,24 @@ def xdv_roc_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_pos"),
     )
-    return agg.select(
+    agg2 = agg.select(
         "segment",
         "n_pos",
         "n_neg",
         (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1).cast("long")))
         .cast("long")
         .alias("u2"),
+    )
+    return agg2.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        "u2",
         F.expr(
             "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS DOUBLE)"
-            " ELSE CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000"
-            " div (2 * n_pos * n_neg) AS BIGINT) / 1e6 END"
+            " ELSE CAST(((u2 div greatest(u2 div 1000000000000, 1)) * 1000000)"
+            " div greatest((2 * n_pos * n_neg)"
+            " div greatest(u2 div 1000000000000, 1), 1) AS BIGINT) / 1e6 END"
         ).alias("auc"),
     ).orderBy("segment")
 
@@ -13117,7 +13132,8 @@ def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT event_type,
-               CAST(sum(CASE WHEN r > n - 14 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(sum(CASE WHEN r > n - 14 AND c7 IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_test,
                CAST(COALESCE(sum(CASE WHEN r > n - 14
                     THEN abs(cents - c7) END), 0) AS BIGINT) AS sum_test_abs,
@@ -13151,7 +13167,11 @@ def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whether 'same weekday last week' actually predicts, the baseline "
     "every production forecaster must beat): per event type on the "
     "dense zero-filled day spine, forecast f_t = x_(t-7) over the "
-    "last-14-day test window; MASE = test MAE over the IN-SAMPLE "
+    "last-14-day test window (a test row counts toward n_test only "
+    "when its seasonal lag exists — c7 IS NOT NULL on both engines, "
+    "r12 ADVICE fix: sub-21-day series otherwise kept NULL-skipped "
+    "error rows in the denominator count, silently deflating "
+    "MAE/sMAPE); MASE = test MAE over the IN-SAMPLE "
     "one-step naive MAE as ONE integer cross-multiplied division "
     "(sum_test*n_den*1e6 div (sum_den*n_test) — no float MAE is ever "
     "formed); sMAPE per test day 2|f-x|*1e6 div (|f|+|x|) quantized "
@@ -13198,7 +13218,11 @@ def xe6_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("cents", 7).over(wt).alias("c7"),
     )
     agg = lagged.groupBy("event_type").agg(
-        F.sum(F.when(F.col("r") > F.col("n") - 14, 1).otherwise(0))
+        F.sum(
+            F.when(
+                (F.col("r") > F.col("n") - 14) & F.col("c7").isNotNull(), 1
+            ).otherwise(0)
+        )
         .cast("long")
         .alias("n_test"),
         F.coalesce(
@@ -15901,8 +15925,8 @@ def xeu_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wc
     ),
     lns AS (
-        SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
         FROM ranked
     ),
     mom AS (
@@ -15942,9 +15966,14 @@ def xeu_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generated-vs-organic screen): vocabulary ranked by the unique "
     "(count DESC, word) order (vocabulary-bounded window — the "
     "corpus-sized work is the one word-count shuffle), ln(rank) "
-    "and ln(count) floor-quantized to micro-nats (each ln takes "
+    "and ln(count) floor-quantized to MILLI-nats (each ln takes "
     "ONE integer argument — trivially the xdk single-quotient "
-    "form; boundary fixture contract pinned), OLS slope via "
+    "form; boundary fixture contract pinned; r12 ADVICE fix: at "
+    "micro-nats the raw moment sums sum(x*x) overflowed BIGINT at "
+    "~1e5 distinct words — milli-nats bound x,y <= ln(2^63)*1e3 ~ "
+    "43700, so sum(x*x) < 2^63 holds to ~4.8e9 vocabulary words, "
+    "beyond any real corpus; slope precision loss ~1e-4, "
+    "immaterial for a naturalness screen), OLS slope via "
     "declared integer-op moments (the xei overflow-free form), "
     "exponent = one signed G-shrink-guarded quantized division "
     "NEGATED (the covariance*1e6 product is unguarded-overflow at "
@@ -15978,10 +16007,10 @@ def xev_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lns = ranked.select(
         F.expr(
-            "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT)"
+            "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT)"
         ).alias("x"),
         F.expr(
-            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT)"
         ).alias("y"),
     )
     mom = lns.agg(

@@ -438,10 +438,11 @@ def test_xeu_hill_terms_away_from_boundaries() -> None:
 
 
 def test_xev_zipf_lns_away_from_boundaries() -> None:
-    """xev floor-quantizes ln(rank)*1e6 and ln(count)*1e6 over the
-    whole vocabulary; every value must sit clear of an integer
-    boundary at the oracle-compare SF (ln(1) = 0 ranks/counts are
-    exact and skipped by the guard helper)."""
+    """xev floor-quantizes ln(rank)*1e3 and ln(count)*1e3 (milli-nats
+    since the r12 overflow fix) over the whole vocabulary; every value
+    must sit clear of an integer boundary at the oracle-compare SF
+    (ln(1) = 0 ranks/counts are exact and skipped by the guard
+    helper)."""
     tbl = _documents_sf001()
     vocab: Counter[str] = Counter()
     for text in tbl["text"].to_pylist():
@@ -449,6 +450,6 @@ def test_xev_zipf_lns_away_from_boundaries() -> None:
     ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
     terms = []
     for rk, (w, c) in enumerate(ranked, start=1):
-        terms.append((f"rank:{rk}", math.log(rk) * 1_000_000))
-        terms.append((f"count:{w}", math.log(c) * 1_000_000))
+        terms.append((f"rank:{rk}", math.log(rk) * 1_000))
+        terms.append((f"count:{w}", math.log(c) * 1_000))
     _assert_clear(terms, "xev zipf ln values")

@@ -598,7 +598,14 @@ def test_roc_auc_matches_python_replica(spark, sf_oracle):
             i = j + 1
         n_neg = n - n_pos
         u2 = r2_pos - n_pos * (n_pos + 1)
-        auc = (u2 * 1_000_000 // (2 * n_pos * n_neg)) / 1e6 if n_pos and n_neg else 0.0
+        # G-shrink guard mirrors the engine pair (exact when g == 1,
+        # which holds far past the fixture scale)
+        g = max(u2 // 10**12, 1)
+        auc = (
+            ((u2 // g) * 1_000_000 // max((2 * n_pos * n_neg) // g, 1)) / 1e6
+            if n_pos and n_neg
+            else 0.0
+        )
         want[seg] = (n_pos, n_neg, u2, auc)
 
     got = registry()["xdv_roc_auc_mann_whitney"].spark_fn(spark, sf_oracle).collect()
@@ -1089,7 +1096,11 @@ def test_seasonal_naive_mase_matches_python_replica(spark, sf_oracle):
         dmin, dmax = min(daily), max(daily)
         xs = [daily.get(d, 0) for d in range(dmin, dmax + 1)]
         n = len(xs)
-        test_idx = [i for i in range(n) if i + 1 > n - 14]
+        # r12 ADVICE fix: a test row only counts when its seasonal lag
+        # exists (c7 defined <=> i >= 7 on the dense spine) — otherwise
+        # n_test deflates MAE/sMAPE on sub-21-day series (and python's
+        # xs[i-7] would wrap negatively here)
+        test_idx = [i for i in range(n) if i + 1 > n - 14 and i >= 7]
         den_idx = [i for i in range(n) if 2 <= i + 1 <= n - 14]
         sum_test = sum(abs(xs[i] - xs[i - 7]) for i in test_idx)
         sum_den = sum(abs(xs[i] - xs[i - 1]) for i in den_idx)
@@ -1960,7 +1971,7 @@ def test_hill_tail_index_matches_python_replica(spark, sf_oracle):
 
 def test_zipf_exponent_matches_python_replica(spark, sf_oracle):
     """xev's moment-form log-log OLS == a from-scratch python replica
-    (Counter vocab, unique rank order, micro-nat floors, integer-op
+    (Counter vocab, unique rank order, milli-nat floors, integer-op
     moments, G-shrink signed division, fixed-expression r^2)."""
     import duckdb
     import math
@@ -1980,8 +1991,10 @@ def test_zipf_exponent_matches_python_replica(spark, sf_oracle):
     for (txt,) in texts:
         vocab.update(w for w in re.split(r"\s+", txt.lower().strip()) if w)
     ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
-    xs = [math.floor(math.log(rk) * 1_000_000) for rk in range(1, len(ranked) + 1)]
-    ys = [math.floor(math.log(c) * 1_000_000) for _, c in ranked]
+    # milli-nat quantum (r12: micro-nat moment sums overflow BIGINT at
+    # ~1e5 vocab — the engine pair pre-scales, so the replica must too)
+    xs = [math.floor(math.log(rk) * 1_000) for rk in range(1, len(ranked) + 1)]
+    ys = [math.floor(math.log(c) * 1_000) for _, c in ranked]
     n = len(xs)
     sx, sy = sum(xs), sum(ys)
     sxy = sum(x * y for x, y in zip(xs, ys))
