@@ -5185,17 +5185,31 @@ def x86_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer counts and quantized at 1e-9 BEFORE the cross-type sum "
     "(at most 5 terms, but their float-sum order still differs per "
     "engine), so the per-user total is exact integer addition. The "
-    "bot-vs-human behavioral signal; two map-side-combinable aggs + "
-    "one user-keyed join",
+    "bot-vs-human behavioral signal; one map-side-combinable agg, a "
+    "user-keyed window sum for the totals (r12: the former totals "
+    "self-join sat on an AQE broadcast threshold and flipped 6/7 jobs "
+    "run-to-run — the window plan is deterministic and one exchange "
+    "cheaper; same-keyed groupBy after it is exchange-free)",
     ("events", "analytics", "quality"),
 )
 def x87_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     t = _t(spark, sf_dir)
     counts = t["events"].groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("c")
     )
-    totals = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
-    terms = counts.join(totals, "user_id").select(
+    # r12: per-user totals as a window sum instead of a totals
+    # self-join — the join's broadcast decision flipped with AQE's
+    # runtime size estimate (6 vs 7 jobs across passes in ONE session,
+    # the lone r11 plan_stable delta); the window form is deterministic,
+    # drops the join exchanges, and the same-keyed groupBy after it is
+    # exchange-free (CLAUDE.md r7 totals-self-join rule)
+    terms = counts.select(
+        "user_id",
+        F.sum("c").over(W.partitionBy("user_id")).cast("long").alias("n"),
+        "c",
+    ).select(
         "user_id",
         "n",
         F.floor(
