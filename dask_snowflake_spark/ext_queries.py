@@ -591,7 +591,7 @@ def xdh_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "flow_windows",
+    "xf3_flow_windows",
     """
     -- Spark's F.window FLOORS raw micros (pre-epoch 23:59:59.4 ->
     -- window 18:00 of the PREVIOUS bucket); DuckDB's BIGINT //
@@ -618,7 +618,7 @@ def xdh_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to completion over the bounded events source and tag-unioned",
     ("streaming",),
 )
-def flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xf3_flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_ops._events_stream(spark, sf_dir)
     tumb_t, slide_t = stream_ops.run_streams_to_tables(
         [
@@ -632,7 +632,7 @@ def flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "flow_sessions",
+    "xf4_flow_sessions",
     """
     WITH marked AS (
         SELECT user_id, ts, value,
@@ -659,7 +659,7 @@ def flow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session windows (30-min gap) per user: session_window agg == gaps-and-islands sessionization",
     ("streaming",),
 )
-def flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xf4_flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["events"]
@@ -4893,7 +4893,7 @@ def x81_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session BOUNCE rate: gaps-and-islands sessionization (30-min "
     "inactivity boundary, deterministic event_id tie-break) -> "
     "single-event-session fraction as an integer-quantized ratio — the "
-    "engagement metric on top of the same sessionization flow_sessions "
+    "engagement metric on top of the same sessionization xf4_flow_sessions "
     "verifies against streaming session_window; two windows + one agg, "
     "all partitioned by user",
     ("events", "analytics"),
@@ -11639,7 +11639,7 @@ def xdv_roc_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_oracle_sql(rounds: int = 4) -> str:
-    """Unrolled bounded-LPA oracle for ``xdw_graph_lpa_communities``:
+    """Unrolled bounded-LPA oracle for ``graph_lpa_communities``:
     label states l0..l{rounds}, each round the plurality-label argmax
     (count DESC, label ASC) over the previous state joined one hop out.
     Every per-round CTE is ``AS MATERIALIZED`` (the kcore rule: DuckDB
@@ -11685,7 +11685,7 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
 
 
 @query(
-    "xdw_graph_lpa_communities",
+    "graph_lpa_communities",
     _lpa_oracle_sql(),
     "LABEL-PROPAGATION COMMUNITIES (bounded synchronous LPA, Raghavan "
     "et al. 2007 — the community-DETECTION closer for the graph "
@@ -11709,7 +11709,7 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     "integer; no RNG, no update-order dependence",
     ("lineitem", "graph", "analytics"),
 )
-def xdw_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     t = _t(spark, sf_dir)
@@ -12261,7 +12261,7 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xe1_cluster_silhouette",
+    "cluster_silhouette",
     """
     WITH q AS (
         SELECT vec_id, label, i AS pos,
@@ -12324,7 +12324,7 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-linear, no pairwise distances anywhere",
     ("embeddings", "similarity", "analytics"),
 )
-def xe1_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import track_cache
 
     t = _t(spark, sf_dir)
@@ -12920,6 +12920,56 @@ def xe4_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DBSCAN_EPS2 = 1_500_000  # squared eps in milli-unit space (cos ~ 0.25)
 _DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
+# Loud ceiling on one blocking cell (r12, the VERDICT watch item made a
+# CONTRACT): the per-cell kernel is O(cell^2 * dim) flops by design —
+# exact DBSCAN within a cell — so a skewed giant cell must FAIL with a
+# named mitigation rather than silently go quadratic at 100 TB. 1e5
+# rows/cell ~ 6.4e14 BLAS flops, the edge of single-task sanity; the
+# fixture cells are ~3 orders of magnitude under it (contract-tested).
+_DBSCAN_MAX_CELL = 100_000
+
+
+def _dbscan_cell_pairs(pdf):
+    """Arrow-batched per-cell pair kernel for ``dbscan_embeddings``:
+    one BLAS matmul per 2048-row block against the whole cell — exact
+    despite float64 (every quantized component is an integer with
+    |xq| <= ~1e3, so products <= ~1.6e7 and 64-dim sums <= ~1e9, far
+    inside 2^53; the <= eps^2 compare is an integer compare). Emits
+    only integer ids (the r8 rule: python never touches driver-facing
+    floats). Cells beyond ``_DBSCAN_MAX_CELL`` raise — the blocker
+    (label today, finer IVF/grid cells at scale) must keep cells
+    bounded; a loud error names the fix, silent O(cell^2) does not."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) > _DBSCAN_MAX_CELL:
+        raise ValueError(
+            f"dbscan blocking cell holds {len(pdf)} rows > _DBSCAN_MAX_CELL="
+            f"{_DBSCAN_MAX_CELL}; the per-cell kernel is O(cell^2) by design "
+            "— use a finer blocking key (trained IVF cells / grid refine) "
+            "so cells stay bounded instead of letting one cell go quadratic"
+        )
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vq"]])
+    n2 = (X * X).sum(axis=1)
+    out_a: list = []
+    out_b: list = []
+    step = 2048
+    for s in range(0, len(ids), step):
+        blk = X[s : s + step]
+        sqd = n2[s : s + step, None] + n2[None, :] - 2.0 * (blk @ X.T)
+        ii, jj = np.nonzero(sqd <= float(_DBSCAN_EPS2))
+        gi = ii + s
+        keep = gi < jj  # sorted by vec_id, so index order IS id order
+        out_a.append(ids[gi[keep]])
+        out_b.append(ids[jj[keep]])
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+        }
+    )
 
 
 @query(
@@ -12986,7 +13036,7 @@ _DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
     "DBSCAN separates dense structure (core), its fringe (border) "
     "and outliers (noise) — the curation lens that finds both the "
     "over-represented clumps AND the junk): exact integer squared "
-    "distances in milli-unit space (the xe1 quantization; eps^2 = "
+    "distances in milli-unit space (the cluster_silhouette (ex-xe1) quantization; eps^2 = "
     "1.5e6 ~ cosine 0.25 on unit vectors, core = >= 2 other points "
     "in range i.e. minPts=3 counting self — declared constants), "
     "candidates blocked by the coarse label cell (the x98 IVF-style "
@@ -13003,7 +13053,11 @@ _DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
     "per label cell does the block with ONE BLAS matmul — exact "
     "despite float64 (every intermediate an integer < 2^53), "
     "integer-id output only (the r8 python-kernel rule); 3.5 s at "
-    "sf0.1. All integer end-to-end; python replica replays the "
+    "sf0.1. Cell-size CONTRACT (r12): the kernel is O(cell^2) by "
+    "design, so cells beyond _DBSCAN_MAX_CELL=1e5 raise a loud error "
+    "naming the mitigation (finer blocking cells) instead of silently "
+    "going quadratic; fixture cells contract-tested ~3 orders under "
+    "the bound. All integer end-to-end; python replica replays the "
     "whole pipeline from raw floats",
     ("embeddings", "similarity", "graph", "analytics"),
 )
@@ -13028,41 +13082,13 @@ def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pairwise distances are the one step DataFrame built-ins can't
     # express efficiently (an interpreted 64-element HOF per candidate
-    # pair benched 44 s at sf0.1): a vectorized Arrow-batched
-    # applyInPandas kernel per label cell computes the full block with
-    # one BLAS matmul. EXACT despite float64: every quantized component
-    # is an integer with |xq| <= ~1e3, so products <= ~1.6e7 and
-    # 64-dim sums <= ~1e9 — far inside 2^53, every float64 intermediate
-    # is exact and the <= eps^2 compare is an integer compare. The
-    # kernel emits only integer ids (the r8 rule: python never touches
-    # driver-facing floats).
-    def _cell_pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vq"]])
-        n2 = (X * X).sum(axis=1)
-        out_a: list = []
-        out_b: list = []
-        step = 2048
-        for s in range(0, len(ids), step):
-            blk = X[s : s + step]
-            sqd = n2[s : s + step, None] + n2[None, :] - 2.0 * (blk @ X.T)
-            ii, jj = np.nonzero(sqd <= float(_DBSCAN_EPS2))
-            gi = ii + s
-            keep = gi < jj  # sorted by vec_id, so index order IS id order
-            out_a.append(ids[gi[keep]])
-            out_b.append(ids[jj[keep]])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
-                "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
-            }
-        )
-
-    pairs = vecs.groupBy("label").applyInPandas(_cell_pairs, "id_a long, id_b long")
+    # pair benched 44 s at sf0.1): the module-level Arrow-batched
+    # _dbscan_cell_pairs kernel computes each label cell with one BLAS
+    # matmul per 2048-row block, guarded by the _DBSCAN_MAX_CELL
+    # contract (see both docstrings).
+    pairs = vecs.groupBy("label").applyInPandas(
+        _dbscan_cell_pairs, "id_a long, id_b long"
+    )
     und = _both_directions(pairs, "id_a", "id_b").select(
         F.col("__u").alias("u"), F.col("__v").alias("v")
     )
@@ -13485,7 +13511,7 @@ def xe7_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xec_ks_drift",
+    "ks_drift",
     """
     WITH ev AS (
         SELECT event_type,
@@ -13557,7 +13583,7 @@ def xe7_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the (type x distinct-cents) aggregate",
     ("events", "analytics", "quality"),
 )
-def xec_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -13819,7 +13845,7 @@ def _hits_oracle_sql(rounds: int = 4) -> str:
 
 
 @query(
-    "xeb_hits_bipartite",
+    "hits_bipartite",
     _hits_oracle_sql(),
     "HITS HUBS AND AUTHORITIES (Kleinberg 1999 — the mutual-"
     "reinforcement centrality the graph family lacked: PageRank "
@@ -13841,7 +13867,7 @@ def _hits_oracle_sql(rounds: int = 4) -> str:
     "all integer end-to-end",
     ("orders", "lineitem", "graph", "analytics"),
 )
-def xeb_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import track_cache
 
     t = _t(spark, sf_dir)
@@ -14143,7 +14169,7 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xef_rfm_segments",
+    "rfm_segments",
     """
     WITH cust AS (
         SELECT o_custkey AS ck,
@@ -14238,7 +14264,7 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer agg + one tiny histogram chain + one rollup",
     ("orders", "analytics", "customer"),
 )
-def xef_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -14530,7 +14556,7 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xeh_vocab_good_turing",
+    "vocab_good_turing",
     """
     WITH ws AS (
         SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -14589,7 +14615,7 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one tiny count-keyed agg, broadcast scalar fold",
     ("documents", "text", "analytics"),
 )
-def xeh_vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     ws = t["documents"].select(
         F.filter(
@@ -14989,7 +15015,7 @@ def xej_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ONE-WAY ANOVA + ETA-SQUARED: does document length differ by "
     "language (Fisher 1925 — completes the bivariate-association "
     "matrix: xed chi-square is categorical x categorical, x84/xdo "
-    "Pearson/Spearman numeric x numeric, xec KS two-sample; this is "
+    "Pearson/Spearman numeric x numeric, ks_drift KS two-sample; this is "
     "the categorical x numeric member): per-language char-length "
     "moments, between/within sum-of-squares via the quantized "
     "group-term T = sum(S_j^2 div n_j) (error < 1 char^2 per group, "
@@ -15001,7 +15027,7 @@ def xej_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "significance verdict is emitted: the F critical value depends "
     "on data-driven degrees of freedom (k-1, N-k), which cannot be "
     "a pinned literal — the statistic and effect size are the "
-    "deliverable (the xe4/xec verdict pattern applies only when "
+    "deliverable (the xe4/ks_drift verdict pattern applies only when "
     "dof is fixed). One scan + one lang agg + broadcast scalar fold",
     ("documents", "analytics", "text"),
 )
@@ -15974,7 +16000,7 @@ def xeu_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "ZIPF RANK-FREQUENCY EXPONENT (Zipf 1949 — the corpus-"
     "NATURALNESS diagnostic closing the corpus-statistics family: "
-    "xeh estimates unseen mass, xcr token inequality, xer language "
+    "vocab_good_turing estimates unseen mass, xcr token inequality, xer language "
     "geometry; natural language shows ln(freq) ~ -s*ln(rank) with "
     "s ~ 1, synthetic word salads drift far from it — a cheap "
     "generated-vs-organic screen): vocabulary ranked by the unique "
@@ -16171,3 +16197,323 @@ def xex_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_ltv_dollars_per_cust"
         ),
     ).orderBy("cohort_month_idx", "age_months")
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (r12 depth flagship)
+# ---------------------------------------------------------------------------
+
+
+def _qc_sigmoid_edges() -> list[int]:
+    """257 sigmoid samples at the milli-logit edges -16000 + 125*k
+    (k = 0..256), each floored to micro-probability.
+
+    The literal-table idiom (sprt_ab / inverse-CDF family) extended to
+    a TRANSCENDENTAL CURVE: python computes the table once, both
+    engines index the identical literal list and linearly interpolate
+    between adjacent edges in pure integer arithmetic, so sigmoid(s)
+    is an exact total function of the integer logit on Spark, DuckDB
+    and the python replica alike — no engine ever calls exp(). Pinned
+    by a formula test (test_statistics_ops)."""
+    import math
+
+    return [
+        math.floor(1_000_000 / (1 + math.exp(-(-16000 + 125 * k) / 1000)))
+        for k in range(257)
+    ]
+
+
+_QC_FEATS = ("w_stop", "w_punct", "w_digit", "w_distinct", "w_len")
+_QC_ROUNDS = 10
+_QC_ETA_NUM = 4
+
+
+def _qc_chain_sql() -> str:
+    """Unrolled integer-GD logistic-regression oracle for
+    ``quality_classifier``: feature extraction -> integer
+    standardization -> _QC_ROUNDS gradient/update rounds, every
+    per-round CTE ``AS MATERIALIZED`` (the kcore rule — DuckDB inlines
+    plain CTEs, so an unrolled chain would otherwise compile
+    exponential subtree copies), each one-row state CTE consumed via
+    ``LEFT JOIN ... ON true`` (the r11 BPE-chain rule)."""
+    edges = "[" + ",".join(str(v) for v in _qc_sigmoid_edges()) + "]"
+    split = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    stop = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        " x -> list_contains(['the','a','of','and','in','to','is'], lower(x)))"
+    )
+    ctes = [
+        f"""chars AS MATERIALIZED (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+        FROM documents
+    )""",
+        f"""wp AS MATERIALIZED (
+        SELECT doc_id,
+               len({split}) AS n_words,
+               len(list_distinct({split})) AS n_distinct,
+               len({stop}) AS n_stop
+        FROM documents
+    )""",
+        """feats AS MATERIALIZED (
+        SELECT w.n_stop * 1000 // greatest(w.n_words, 1) AS f1,
+               c.n_punct * 1000 // greatest(c.n_chars, 1) AS f2,
+               c.n_digit * 1000 // greatest(c.n_chars, 1) AS f3,
+               w.n_distinct * 1000 // greatest(w.n_words, 1) AS f4,
+               least(w.n_words, 1000) AS f5,
+               CASE WHEN w.n_words >= 5 AND w.n_words <= 5000
+                     AND c.n_nonspace >= w.n_words * 2
+                     AND c.n_nonspace <= w.n_words * 12
+                     AND w.n_stop >= 2
+                     AND c.n_punct * 10 <= c.n_chars * 3
+                     AND c.n_digit * 5 <= c.n_chars
+                     AND w.n_distinct * 10 >= w.n_words * 3
+                THEN 1 ELSE 0 END AS y
+        FROM chars c JOIN wp w USING (doc_id)
+    )""",
+        "stats AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_, "
+        + ", ".join(
+            f"CAST(sum(f{j}) AS BIGINT) AS s{j}, CAST(sum(f{j} * f{j}) AS BIGINT) AS q{j}"
+            for j in range(1, 6)
+        )
+        + " FROM feats)",
+        "norm AS MATERIALIZED (SELECT n_, "
+        + ", ".join(
+            f"s{j} // n_ AS m{j}, "
+            f"greatest(CAST(floor(sqrt(CAST(greatest(q{j} // n_ - (s{j} // n_) * (s{j} // n_), 0) AS DOUBLE))) AS BIGINT), 1) AS d{j}"
+            for j in range(1, 6)
+        )
+        + " FROM stats)",
+        "zf AS MATERIALIZED (SELECT y, "
+        + ", ".join(
+            f"least(greatest((f{j} - m{j}) * 1000 // d{j}, -4000), 4000) AS z{j}"
+            for j in range(1, 6)
+        )
+        + " FROM feats LEFT JOIN norm ON true)",
+        f"edges AS (SELECT {edges} AS e)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(6))
+        + ")",
+    ]
+    zsum = " + ".join(f"w.w{j} * z{j}" for j in range(1, 6))
+    for r in range(1, _QC_ROUNDS + 2):
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+        SELECT CAST(sum(em * 1000) AS BIGINT) AS g0,
+               {", ".join(f"CAST(sum(em * z{j}) AS BIGINT) AS g{j}" for j in range(1, 6))},
+               CAST(sum(ok) AS BIGINT) AS correct
+        FROM (
+            SELECT z1, z2, z3, z4, z5,
+                   (e[kk + 1] + (e[kk + 2] - e[kk + 1]) * (sm + 16000 - 125 * kk) // 125)
+                       // 1000 - 1000 * y AS em,
+                   CASE WHEN (s >= 0) = (y = 1) THEN 1 ELSE 0 END AS ok, y
+            FROM (
+                SELECT *, (sm + 16000) // 125 AS kk
+                FROM (
+                    SELECT *, least(greatest(s // 1000, -16000), 15999) AS sm
+                    FROM (
+                        SELECT zf.*, e, w.w0 * 1000 + {zsum} AS s
+                        FROM zf LEFT JOIN w{r - 1} w ON true
+                        LEFT JOIN edges ON true
+                    )
+                )
+            )
+        ) t(z1, z2, z3, z4, z5, em, ok, y)
+    )"""
+        )
+        if r <= _QC_ROUNDS:
+            ctes.append(
+                f"w{r} AS MATERIALIZED (SELECT "
+                + ", ".join(
+                    f"w.w{j} - ({_QC_ETA_NUM} * (g.g{j} // s.n_)) // 1000 AS w{j}"
+                    for j in range(6)
+                )
+                + f" FROM w{r - 1} w LEFT JOIN g{r} g ON true LEFT JOIN norm s ON true)"
+            )
+    selects = []
+    names = ("w_bias",) + _QC_FEATS
+    for r in range(_QC_ROUNDS + 1):
+        cols = ", ".join(f"w.w{j} AS {names[j]}" for j in range(6))
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, {cols},"
+            f" CAST(g.correct * 1000000 // s.n_ AS BIGINT) / 1e6 AS acc"
+            f" FROM w{r} w LEFT JOIN g{r + 1} g ON true LEFT JOIN norm s ON true"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY round"
+    )
+
+
+@query(
+    "quality_classifier",
+    _qc_chain_sql(),
+    "TRAINED QUALITY CLASSIFIER (the fastText-style learned quality "
+    "gate every production corpus pipeline ships between cheap "
+    "heuristics and dedup — Brown et al. 2020 trained LR on "
+    "WebText-vs-CommonCrawl, CCNet/DSIR distill heuristic signals the "
+    "same way; this is the missing TRAINED member of the quality "
+    "family: x50 rules -> x53/x66 perplexity -> dsir importance -> "
+    "THIS, a logistic regression distilling the Gopher rule verdict "
+    "into a smooth linear scorer): 5 integer per-mille features "
+    "(stopword/punct/digit/distinct per-mille + capped word count; "
+    "the doc_stats extraction, exact on both engines), label = the "
+    "x50 Gopher composite (integer cross-multiplication thresholds), "
+    "integer z-standardization (milli-z, clamped +-4000; sd = "
+    "floor(sqrt(integer variance)) — sqrt of an exact BIGINT is "
+    "engine-identical IEEE, the x37 lesson), then _QC_ROUNDS rounds "
+    "of full-batch gradient descent in EXACT INTEGER arithmetic: "
+    "sigmoid via a 257-edge literal micro-prob table with integer "
+    "linear interpolation between edges (the sprt_ab literal-table "
+    "idiom extended to a transcendental CURVE — no engine calls "
+    "exp(); a step-function table stalled at 0.888 accuracy, "
+    "interpolation reaches the 0.97 float ceiling, measured), "
+    "milli-quantized error so gradient sums hold BIGINT to ~2.3e12 "
+    "docs, truncating-division updates (engine-pair pinned). Output: "
+    "the (round, weights, accuracy) training trajectory — accuracy "
+    "0.76 base -> 0.97 at round 10 on the fixture. Scale shape "
+    "(kmeans collect-per-round pattern, measured optimal r7): ONE "
+    "text-parsing pass materialized by eager localCheckpoint (7 ints "
+    "per doc — regex parsing is expensive COMPUTE, the r11 cache rule "
+    "cuts the other way for cheap re-scans), one stats aggregate, "
+    "then rounds+1 scan-agg jobs each collecting a 7-int gradient "
+    "row; weights travel as literals, no driver-side data motion "
+    "beyond 7 ints per round. Oracle: the identical integer chain "
+    "unrolled as MATERIALIZED CTEs (bpe-chain generator pattern)",
+    ("documents", "text", "quality", "analytics"),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    text = F.col("text")
+    cc = text_ops.char_classes(text)
+    chars = docs.select(
+        "doc_id",
+        cc["n_chars"].alias("n_chars"),
+        cc["n_punct"].alias("n_punct"),
+        cc["n_digit"].alias("n_digit"),
+        (cc["n_chars"] - cc["n_space"]).alias("n_nonspace"),
+    )
+    wp = text_ops.word_profile(docs).select(
+        "doc_id", "n_words", "n_distinct", "n_stop"
+    )
+    # left join: empty/whitespace-only docs have no word rows
+    j = chars.join(wp, "doc_id", "left").select(
+        "n_chars",
+        "n_punct",
+        "n_digit",
+        "n_nonspace",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("n_stop", F.lit(0)).cast("long").alias("n_stop"),
+    )
+    feats = j.select(
+        F.expr("n_stop * 1000 div greatest(n_words, 1)").alias("f1"),
+        F.expr("n_punct * 1000 div greatest(n_chars, 1)").alias("f2"),
+        F.expr("n_digit * 1000 div greatest(n_chars, 1)").alias("f3"),
+        F.expr("n_distinct * 1000 div greatest(n_words, 1)").alias("f4"),
+        F.expr("least(n_words, 1000)").alias("f5"),
+        F.expr(
+            "CAST(CASE WHEN n_words >= 5 AND n_words <= 5000"
+            " AND n_nonspace >= n_words * 2 AND n_nonspace <= n_words * 12"
+            " AND n_stop >= 2"
+            " AND n_punct * 10 <= n_chars * 3"
+            " AND n_digit * 5 <= n_chars"
+            " AND n_distinct * 10 >= n_words * 3"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def tdiv(a: int, b: int) -> int:
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    st = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_"),
+        *[F.sum(f"f{j_}").cast("long").alias(f"s{j_}") for j_ in range(1, 6)],
+        *[
+            F.sum(F.col(f"f{j_}") * F.col(f"f{j_}")).cast("long").alias(f"q{j_}")
+            for j_ in range(1, 6)
+        ],
+    ).collect()[0]
+    import math as _math
+
+    n = int(st["n_"])
+    means = [tdiv(int(st[f"s{j_}"]), n) for j_ in range(1, 6)]
+    sds = [
+        max(
+            _math.floor(
+                _math.sqrt(
+                    max(tdiv(int(st[f"q{j_}"]), n) - tdiv(int(st[f"s{j_}"]), n) ** 2, 0)
+                )
+            ),
+            1,
+        )
+        for j_ in range(1, 6)
+    ]
+    zf = feats.select(
+        "y",
+        *[
+            F.expr(
+                f"least(greatest((f{j_} - {means[j_ - 1]}) * 1000"
+                f" div {sds[j_ - 1]}, -4000), 4000)"
+            ).alias(f"z{j_}")
+            for j_ in range(1, 6)
+        ],
+    )
+    edges = _qc_sigmoid_edges()
+    w = [0] * 6
+    rows: list[tuple] = []
+    for r in range(_QC_ROUNDS + 1):
+        zsum = " + ".join(f"{w[j_]}L * z{j_}" for j_ in range(1, 6))
+        scored = zf.select(
+            "y",
+            *[f"z{j_}" for j_ in range(1, 6)],
+            F.expr(f"{w[0]}L * 1000 + {zsum}").alias("s"),
+            F.lit(edges).alias("__e"),
+        ).select(
+            "y",
+            *[f"z{j_}" for j_ in range(1, 6)],
+            "s",
+            F.expr("least(greatest(s div 1000, -16000), 15999)").alias("sm"),
+            "__e",
+        )
+        em = (
+            "(element_at(__e, CAST((sm + 16000) div 125 + 1 AS INT))"
+            " + (element_at(__e, CAST((sm + 16000) div 125 + 2 AS INT))"
+            "    - element_at(__e, CAST((sm + 16000) div 125 + 1 AS INT)))"
+            "   * (sm + 16000 - 125 * ((sm + 16000) div 125)) div 125)"
+            " div 1000 - 1000 * y"
+        )
+        g = (
+            scored.select(
+                F.expr(em).alias("em"),
+                F.expr("CASE WHEN (s >= 0) = (y = 1) THEN 1 ELSE 0 END").alias("ok"),
+                *[f"z{j_}" for j_ in range(1, 6)],
+            )
+            .agg(
+                F.sum(F.expr("em * 1000")).cast("long").alias("g0"),
+                *[
+                    F.sum(F.expr(f"em * z{j_}")).cast("long").alias(f"g{j_}")
+                    for j_ in range(1, 6)
+                ],
+                F.sum("ok").cast("long").alias("correct"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (r, *w, (int(g["correct"]) * 1_000_000 // max(n, 1)) / 1e6)
+        )
+        if r < _QC_ROUNDS:
+            for j_ in range(6):
+                w[j_] -= tdiv(_QC_ETA_NUM * tdiv(int(g[f"g{j_}"]), n), 1000)
+    names = ("w_bias",) + _QC_FEATS
+    schema = (
+        "round long, "
+        + ", ".join(f"{c} long" for c in names)
+        + ", acc double"
+    )
+    return spark.createDataFrame(rows, schema)

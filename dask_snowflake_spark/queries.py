@@ -221,7 +221,7 @@ def x11_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q09_count_distinct",
+    "xey_count_distinct",
     """
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_customers,
@@ -234,7 +234,7 @@ def x11_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count-distinct (expand-based distinct agg) alongside plain aggs",
     ("aggregation",),
 )
-def q09_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xey_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]
@@ -657,7 +657,7 @@ def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q12_window_rank",
+    "xez_window_rank",
     """
     SELECT * FROM (
         SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
@@ -675,7 +675,7 @@ def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ top-k per group (row_number filter)",
     ("window",),
 )
-def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xez_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     # rank/dense_rank/cume_dist over the rounded value so float-equality
@@ -704,7 +704,7 @@ def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q13_window_analytic",
+    "xf0_window_analytic",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
            lag(o_orderkey)  OVER w AS prev_order,
@@ -718,7 +718,7 @@ def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytic windows: lag/lead/first_value with deterministic tie-broken ordering",
     ("window",),
 )
-def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xf0_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -739,7 +739,7 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_window_running",
+    "xf1_window_running",
     """
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (
@@ -759,7 +759,7 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over a time axis (trailing 30-day aggregates)",
     ("window",),
 )
-def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xf1_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     w = (
         W.partitionBy("o_custkey")
@@ -855,7 +855,7 @@ def xcy_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_string_funcs",
+    "xf2_string_funcs",
     """
     SELECT p_partkey,
            concat(p_brand, ':', p_type)                        AS brand_type,
@@ -873,7 +873,7 @@ def xcy_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string function family: concat/substr/length/trim/case/regexp/split/levenshtein",
     ("functions",),
 )
-def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xf2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["part"]

@@ -453,3 +453,42 @@ def test_xev_zipf_lns_away_from_boundaries() -> None:
         terms.append((f"rank:{rk}", math.log(rk) * 1_000))
         terms.append((f"count:{w}", math.log(c) * 1_000))
     _assert_clear(terms, "xev zipf ln values")
+
+
+def test_dbscan_cell_sizes_far_under_kernel_bound() -> None:
+    """dbscan_embeddings' per-cell kernel is O(cell^2) by design and
+    raises loudly beyond _DBSCAN_MAX_CELL (the r12 cell-size
+    CONTRACT); the fixture's label cells must sit orders of magnitude
+    under the bound at every local SF so the guard never fires in a
+    correct run — if a regenerated fixture ever skews one label, this
+    fails before the kernel melts."""
+    from dask_snowflake_spark.ext_queries import _DBSCAN_MAX_CELL
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        tbl = pq.read_table(path, columns=["label"])
+        counts = pc.value_counts(tbl["label"])
+        biggest = max(c["counts"].as_py() for c in counts)
+        assert biggest * 10 <= _DBSCAN_MAX_CELL, (sf, biggest)
+
+
+def test_dbscan_kernel_guard_raises_on_oversized_cell(monkeypatch) -> None:
+    """The _DBSCAN_MAX_CELL guard fails LOUDLY with the mitigation in
+    the message (contract: never silently quadratic)."""
+    import pandas as pd
+    import pytest
+
+    from dask_snowflake_spark import ext_queries
+
+    monkeypatch.setattr(ext_queries, "_DBSCAN_MAX_CELL", 4)
+    pdf = pd.DataFrame(
+        {"vec_id": range(5), "label": [0] * 5, "vq": [[0, 0]] * 5}
+    )
+    with pytest.raises(ValueError, match="finer blocking key"):
+        ext_queries._dbscan_cell_pairs(pdf)
+    # under the bound the kernel runs and finds the coincident pairs
+    monkeypatch.setattr(ext_queries, "_DBSCAN_MAX_CELL", 100)
+    out = ext_queries._dbscan_cell_pairs(pdf)
+    assert len(out) == 10  # all 5-choose-2 zero-distance pairs

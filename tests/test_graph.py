@@ -615,7 +615,7 @@ def test_link_prediction_matches_naive_python(spark) -> None:
 
 
 def test_hits_bipartite_matches_python_replica(spark, sf_oracle):
-    """xeb's 4-round alternating HITS == a from-scratch python-int
+    """hits_bipartite (ex-xeb): 4-round alternating HITS == a from-scratch python-int
     replica (dict adjacency, per-round max-renormalization with the
     G-shrink integer guard). All-integer pipeline -> exact equality
     on the top-10 rows per side, order included."""
@@ -664,7 +664,7 @@ def test_hits_bipartite_matches_python_replica(spark, sf_oracle):
     ] + [("hub", int(k), q / 1e6) for k, q in top10(h)]
     want.sort(key=lambda r: (r[0], -r[2], r[1]))
 
-    got = registry()["xeb_hits_bipartite"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["hits_bipartite"].spark_fn(spark, sf_oracle).collect()
     assert [(r.side, r.node_key, r.score) for r in got] == want
     # mutual reinforcement is live: scores are spread, not all at max
     assert len({q for _, q in top10(a)}) > 1

@@ -84,12 +84,31 @@ def test_priority_window_covers_every_surface():
     # prediction; driver-green r1-r10) to make room for sprt_ab
     # (ex-xet, Wald sequential early stopping — the experimentation
     # family's sequential member).
+    # r12 rotation (the r11 VERDICT's #1 item): promote the six
+    # highest-value never-driver-checked continuation flagships —
+    # cluster_silhouette (ex-xe1), graph_lpa_communities (ex-xdw),
+    # hits_bipartite (ex-xeb), ks_drift (ex-xec), rfm_segments
+    # (ex-xef), vocab_good_turing (ex-xeh) — plus this round's depth
+    # flagship quality_classifier. Demoted (all driver-green in prior
+    # rounds; their CORRECTNESS history survives): q09_count_distinct
+    # -> xey_ (distinct/approx-distinct shapes ride driver-green
+    # profile_columns), q12_window_rank -> xez_ / q13_window_analytic
+    # -> xf0_ / q14_window_running -> xf1_ (ranking windows ride
+    # graph_kcore_onion + dedup_span_regions' gaps-and-islands,
+    # lag/lead ride content_defined_chunks, running frames ride
+    # sprt_ab's cumsum walk — three window rows where the surface is
+    # already driver-exercised daily), q17_string_funcs -> xf2_ (the
+    # string-function surface rides doc_stats' fused regex/split
+    # pass), flow_windows -> xf3_ / flow_sessions -> xf4_ (two of four
+    # flow_ rows; tumbling/sliding/session windowing mechanisms stay
+    # driver-proven via flow_stateful_counters + flow_stream_join).
     prefixes = (
-        "acf_", "ann_", "attribution_", "bpe_", "cms_", "conformal_",
-        "connector_", "content_", "dbscan_", "dedup_", "doc_", "dsir_",
-        "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
-        "mm_", "pca_", "pipeline_", "profile_", "q0", "q1", "q2",
-        "sprt_",
+        "acf_", "ann_", "attribution_", "bpe_", "cluster_", "cms_",
+        "conformal_", "connector_", "content_", "dbscan_", "dedup_",
+        "doc_", "dsir_", "eb_", "file_", "flow_", "fn_udf_",
+        "governance_", "graph_", "hits_", "ks_", "mm_", "pca_",
+        "pipeline_", "profile_", "q0", "q1", "q2", "quality_", "rfm_",
+        "sprt_", "vocab_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

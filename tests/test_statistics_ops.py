@@ -779,7 +779,7 @@ def test_cdc_chunking_matches_python_replica(spark, sf_oracle):
 
 
 def test_cluster_silhouette_matches_python_replica(spark, sf_oracle):
-    """xe1's integer silhouette == a from-scratch python-int replica
+    """cluster_silhouette (ex-xe1): integer silhouette == a from-scratch python-int replica
     (milli-unit quantization, integer-div centroids, exact squared
     distances, magnitude+sign quantization) — the oracle mirrors the
     engine expressions. Exact equality."""
@@ -818,7 +818,7 @@ def test_cluster_silhouette_matches_python_replica(spark, sf_oracle):
         n, npos, ssum = per_label.get(lab, (0, 0, 0))
         per_label[lab] = (n + 1, npos + (1 if s_q > 0 else 0), ssum + s_q)
 
-    got = registry()["xe1_cluster_silhouette"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["cluster_silhouette"].spark_fn(spark, sf_oracle).collect()
     assert [r.label for r in got] == labels
     for r in got:
         n, npos, ssum = per_label[r.label]
@@ -1199,7 +1199,7 @@ def test_calibration_ece_matches_python_replica(spark, sf_oracle):
 
 
 def test_ks_drift_matches_python_replica(spark, sf_oracle):
-    """xec's window-cumsum KS == a from-scratch python-int replica
+    """ks_drift (ex-xec): window-cumsum KS == a from-scratch python-int replica
     (global min day, per-type sorted distinct-cents ECDF walk, exact
     BIGINT supremum, one quantized division; float only in the fixed
     critical-value expression over identical integers)."""
@@ -1242,7 +1242,7 @@ def test_ks_drift_matches_python_replica(spark, sf_oracle):
             ks, crit, drift = ks_q / 1e6, crit_q / 1e6, ks_q > crit_q
         want[et] = (n1, n2, d_num, ks, crit, drift)
 
-    got = registry()["xec_ks_drift"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["ks_drift"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.event_type: (r.n1, r.n2, r.d_num, r.ks_stat, r.crit_05, r.drifted)
         for r in got
@@ -1359,7 +1359,7 @@ def test_acf_ljung_box_matches_python_replica(spark, sf_oracle):
 
 
 def test_rfm_segments_matches_python_replica(spark, sf_oracle):
-    """xef's histogram-boundary RFM == a from-scratch python replica
+    """rfm_segments (ex-xef): histogram-boundary RFM == a from-scratch python replica
     (sorted-values order statistics with the 5*cum >= n*k tie-to-lower
     rule, CASE-order class mapping, integer-division averages)."""
     import duckdb
@@ -1421,7 +1421,7 @@ def test_rfm_segments_matches_python_replica(spark, sf_oracle):
         for cls, (n, srs, sf, sm, sr) in agg.items()
     }
 
-    got = registry()["xef_rfm_segments"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["rfm_segments"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.segment_class: (
             r.n_customers,
@@ -1500,7 +1500,7 @@ def test_shapley_attribution_matches_python_replica(spark, sf_oracle):
 
 
 def test_good_turing_matches_python_replica(spark, sf_oracle):
-    """xeh's frequency-of-frequencies chain == a from-scratch python
+    """vocab_good_turing (ex-xeh): frequency-of-frequencies chain == a from-scratch python
     replica (regex \\s+ lowercase tokenization, word TRIGRAMS,
     Counter-of-Counters, integer Chao1). Exact equality."""
     import duckdb
@@ -1528,7 +1528,7 @@ def test_good_turing_matches_python_replica(spark, sf_oracle):
         (r, fof[r], v, n, p0, chao1) for r in sorted(fof) if r <= 10
     ]
 
-    got = registry()["xeh_vocab_good_turing"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["vocab_good_turing"].spark_fn(spark, sf_oracle).collect()
     assert [
         (x.r, x.n_r, x.v_total, x.n_tokens, x.p0_unseen, x.chao1_richness)
         for x in got
@@ -2086,3 +2086,128 @@ def test_ltv_cohort_matches_python_replica(spark, sf_oracle):
     for coh, age, _, _, ltv in want:
         assert ltv >= by_cohort.get(coh, 0)
         by_cohort[coh] = ltv
+
+
+def test_qc_sigmoid_table_formula():
+    """The 257-edge literal sigmoid table == floor(1e6 * sigmoid(edge))
+    recomputed from the closed form (the literal-table pin rule: the
+    table is the spec, so a drifted regeneration must fail loudly)."""
+    import math
+
+    from dask_snowflake_spark.ext_queries import _qc_sigmoid_edges
+
+    edges = _qc_sigmoid_edges()
+    assert len(edges) == 257
+    for k, v in enumerate(edges):
+        x = (-16000 + 125 * k) / 1000
+        assert v == math.floor(1_000_000 / (1 + math.exp(-x))), k
+    # monotone, symmetric-ish, saturating
+    assert all(a <= b for a, b in zip(edges, edges[1:]))
+    assert edges[0] < 200 and edges[-1] > 999_800
+    assert edges[128] == 500_000
+
+
+def test_quality_classifier_matches_python_replica(spark, sf_oracle):
+    """quality_classifier's integer-GD trajectory == a from-scratch
+    python replay that re-derives the FEATURES AND LABEL from raw text
+    with python re (independent of both engines' SQL — the oracle
+    mirrors the engine chain, so only an out-of-band replica can catch
+    a mirrored bug; the lang_id-confusion independence rule), then
+    replays standardization + 10 GD rounds in pure python ints."""
+    import duckdb
+    import math
+    import re
+
+    from dask_snowflake_spark.ext_queries import (
+        _QC_ETA_NUM,
+        _QC_ROUNDS,
+        _qc_sigmoid_edges,
+    )
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM '{sf_oracle}/documents.parquet'"
+        ).fetchall()
+    ]
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    stop = {"the", "a", "of", "and", "in", "to", "is"}
+    raw, ys = [], []
+    for t in texts:
+        words = [w for w in re.split(r"\s+", t.strip()) if w]
+        nw, nd = len(words), len(set(words))
+        ns = sum(1 for w in words if w.lower() in stop)
+        nc = len(t)
+        npunct = sum(1 for ch in t if re.fullmatch(r"[^\w\s]", ch))
+        ndig = sum(1 for ch in t if ch.isdigit())
+        nns = len(re.sub(r"\s", "", t))
+        nw1, nc1 = max(nw, 1), max(nc, 1)
+        raw.append(
+            (
+                ns * 1000 // nw1,
+                npunct * 1000 // nc1,
+                ndig * 1000 // nc1,
+                nd * 1000 // nw1,
+                min(nw, 1000),
+            )
+        )
+        ys.append(
+            int(
+                5 <= nw <= 5000
+                and nw * 2 <= nns <= nw * 12
+                and ns >= 2
+                and npunct * 10 <= nc * 3
+                and ndig * 5 <= nc
+                and nd * 10 >= nw * 3
+            )
+        )
+    n = len(ys)
+    means = [tdiv(sum(f[j] for f in raw), n) for j in range(5)]
+    sds = []
+    for j in range(5):
+        s1 = sum(f[j] for f in raw)
+        q1 = sum(f[j] * f[j] for f in raw)
+        var = tdiv(q1, n) - tdiv(s1, n) ** 2
+        sds.append(max(math.floor(math.sqrt(max(var, 0))), 1))
+    feats = [
+        tuple(
+            min(max(tdiv((f[j] - means[j]) * 1000, sds[j]), -4000), 4000)
+            for j in range(5)
+        )
+        for f in raw
+    ]
+    edge = _qc_sigmoid_edges()
+    w = [0] * 6
+    want = []
+    for r in range(_QC_ROUNDS + 1):
+        G = [0] * 6
+        correct = 0
+        for f, y in zip(feats, ys):
+            s = w[0] * 1000 + sum(w[j + 1] * f[j] for j in range(5))
+            sm = min(max(tdiv(s, 1000), -16000), 15999)
+            k = tdiv(sm + 16000, 125)
+            p = edge[k] + tdiv((edge[k + 1] - edge[k]) * (sm + 16000 - 125 * k), 125)
+            em = tdiv(p, 1000) - 1000 * y
+            G[0] += em * 1000
+            for j in range(5):
+                G[j + 1] += em * f[j]
+            correct += (1 if s >= 0 else 0) == y
+        want.append((r, *w, (correct * 1_000_000 // n) / 1e6))
+        if r < _QC_ROUNDS:
+            for j in range(6):
+                w[j] -= tdiv(_QC_ETA_NUM * tdiv(G[j], n), 1000)
+
+    got = [
+        tuple(r)
+        for r in registry()["quality_classifier"].spark_fn(spark, sf_oracle).collect()
+    ]
+    assert got == want
+    # liveness: training actually learns — round 0 is the predict-all-
+    # positive base rate, the final round beats it by a wide margin
+    accs = [r[-1] for r in got]
+    assert accs[0] < 0.85 and accs[-1] > 0.93 and accs[-1] - accs[0] > 0.1
