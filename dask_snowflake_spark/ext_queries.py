@@ -16517,3 +16517,82 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", acc double"
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "xf5_cluster_prune_policy",
+    """
+    WITH q AS (
+        SELECT vec_id AS id, label AS cell, i - 1 AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT cell, pos, CAST(sum(xq) AS BIGINT) AS sx,
+               CAST(count(*) AS BIGINT) AS n_
+        FROM q GROUP BY cell, pos
+    ),
+    c2 AS (SELECT cell, pos, sx // n_ AS cq FROM cent),
+    d AS (
+        SELECT q.id, q.cell,
+               CAST(sum((q.xq - c2.cq) * (q.xq - c2.cq)) AS BIGINT) AS sqd
+        FROM q JOIN c2 ON c2.cell = q.cell AND c2.pos = q.pos
+        GROUP BY q.id, q.cell
+    ),
+    cl AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sqd) // count(*) AS BIGINT) AS mean_sqd
+        FROM d GROUP BY cell
+    ),
+    cl2 AS (
+        SELECT cell, n, mean_sqd,
+               CASE WHEN mean_sqd < 500000 THEN 'collapse'
+                    WHEN n > 50 THEN 'cap' ELSE 'keep' END AS verdict
+        FROM cl
+    ),
+    ranked AS (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY cell
+                   ORDER BY ('0x' || substr(md5('cp:' || CAST(id AS VARCHAR)),
+                             1, 15))::BIGINT, id) AS hrk,
+               row_number() OVER (PARTITION BY cell ORDER BY id) AS irk
+        FROM d
+    ),
+    kept AS (
+        SELECT r.cell, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(bit_xor(r.id) AS BIGINT) AS kept_xor
+        FROM ranked r JOIN cl2 c ON c.cell = r.cell
+        WHERE (c.verdict = 'collapse' AND r.irk = 1)
+           OR (c.verdict = 'cap' AND r.hrk <= 50)
+           OR c.verdict = 'keep'
+        GROUP BY r.cell
+    )
+    SELECT CAST(c.cell AS BIGINT) AS cluster, c.n, c.mean_sqd, c.verdict,
+           k.n_kept, k.kept_xor
+    FROM cl2 c JOIN kept k ON k.cell = c.cell
+    ORDER BY cluster
+    """,
+    "CLUSTER-LEVEL PRUNE POLICY (SSL-Prune / DataComp-style curation "
+    "— score whole clusters and act on cluster STATISTICS: the "
+    "curation layer above x51's vector-pair semantic dedup and xaf's "
+    "per-cluster representative choice, both of which need a pair "
+    "scan; this one needs none, so it is the first line of defense "
+    "at 100 TB): milli-quantized components (the silhouette/DBSCAN "
+    "integer space), per-cell exact integer centroid (trunc-div "
+    "sums), per-vector exact squared distance, mean_sqd = one "
+    "integer division per cluster; policy with declared literals — "
+    "collapse near-dup farms (mean_sqd < 5e5) to their min-id "
+    "representative, cap oversized clusters (n > 50) to a "
+    "deterministic portable-hash downsample (x19 idiom), keep the "
+    "rest; kept_xor = bit_xor of surviving ids (scale-safe "
+    "membership checksum — id sums overflow on huge keep clusters, "
+    "XOR never does; bit ops engine-pair pinned r11). Uniform-noise "
+    "fixtures correctly fire NO collapse (honest null, replica- "
+    "asserted); the collapse branch is pinned by a constructed- "
+    "cluster unit test. Corpus-sized work: one posexplode + two "
+    "keyed aggs, all row-linear",
+    ("embeddings", "similarity", "dedup"),
+)
+def xf5_cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return sim_ops.cluster_prune(t["embeddings"], cap=50, dense_sqd=500_000)

@@ -717,3 +717,127 @@ def ivf_pq_topk(
         .filter(F.col("rnk") <= k)
         .select(q_id, id_col, "rnk")
     )
+
+
+def cluster_prune(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    cap: int = 50,
+    dense_sqd: int = 500_000,
+) -> DataFrame:
+    """Cluster-LEVEL pruning policy (SSL-Prune / DataComp-style corpus
+    curation: score whole clusters, then collapse near-duplicate farms
+    and cap oversized clusters — the curation step ABOVE x51's
+    vector-pair semantic dedup and xaf's per-cluster representative
+    choice, which both act on reachability pairs; this one acts on
+    cluster STATISTICS, so it scales as one assignment pass + bounded
+    per-cluster aggregates with no pair scan at all).
+
+    Mechanism, exact integers end-to-end: components milli-quantized
+    (the silhouette/DBSCAN space), per-cell integer centroid
+    (trunc-div sums — engine-pair pinned semantics), per-vector exact
+    squared distance to the centroid, per-cluster mean dispersion
+    ``mean_sqd = sum(sqd) div n``. Policy (declared literals):
+
+    - ``collapse`` when ``mean_sqd < dense_sqd``: a near-duplicate
+      farm — keep ONE representative (min id).
+    - ``cap`` when ``n > cap``: keep the ``cap`` members with the
+      smallest (portable_hash, id) — a deterministic uniform
+      downsample (the x19 split idiom), so a 10x cluster contributes
+      the same budget as a 1x cluster.
+    - ``keep`` otherwise.
+
+    Returns one row per cluster: ``(cluster, n, mean_sqd, verdict,
+    n_kept, kept_xor)`` where ``kept_xor = bit_xor(id)`` over the kept
+    members — a scale-safe membership checksum (id sums overflow on
+    huge 'keep' clusters; XOR never does) that forces both engines to
+    agree on WHICH members survive, not just how many.
+
+    100 TB shape: the corpus-sized work is one posexplode + one
+    (cell, pos)-keyed aggregate + one (id, cell)-keyed aggregate — all
+    row-linear, shuffles keyed by the cell partitioning; the policy
+    and checksums ride cluster-bounded frames. Uniform-noise fixtures
+    correctly produce NO collapse verdicts (honest null — asserted in
+    the replica); the collapse branch is pinned by a constructed-
+    cluster unit test."""
+    q = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(cell_col).alias("__cell"),
+        F.posexplode(vec_col).alias("__pos", "__x"),
+    ).select(
+        "__id",
+        "__cell",
+        "__pos",
+        F.floor(F.col("__x").cast("double") * 1_000).cast("long").alias("__xq"),
+    )
+    cent = q.groupBy("__cell", "__pos").agg(
+        F.sum("__xq").cast("long").alias("__sx"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    c2 = cent.select(
+        "__cell", "__pos", F.expr("__sx div __n").alias("__cq")
+    )
+    d = (
+        q.join(c2, ["__cell", "__pos"])
+        .groupBy("__id", "__cell")
+        .agg(
+            F.sum((F.col("__xq") - F.col("__cq")) * (F.col("__xq") - F.col("__cq")))
+            .cast("long")
+            .alias("__sqd")
+        )
+    )
+    cl = d.groupBy("__cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(__sqd) div count(1) AS BIGINT)").alias("mean_sqd"),
+    )
+    verdict = F.when(F.col("mean_sqd") < dense_sqd, "collapse").when(
+        F.col("n") > cap, "cap"
+    ).otherwise("keep")
+    cl2 = cl.select("__cell", "n", "mean_sqd", verdict.alias("verdict"))
+    ranked = d.select(
+        "__id",
+        "__cell",
+        F.row_number()
+        .over(
+            W.partitionBy("__cell").orderBy(
+                portable_hash(F.col("__id").cast("string"), seed=F.lit("cp")),
+                "__id",
+            )
+        )
+        .cast("long")
+        .alias("__hrk"),
+        F.row_number()
+        .over(W.partitionBy("__cell").orderBy("__id"))
+        .cast("long")
+        .alias("__irk"),
+    )
+    kept = (
+        ranked.join(F.broadcast(cl2), "__cell")
+        .filter(
+            (
+                (F.col("verdict") == "collapse") & (F.col("__irk") == 1)
+            )
+            | ((F.col("verdict") == "cap") & (F.col("__hrk") <= cap))
+            | (F.col("verdict") == "keep")
+        )
+        .groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.expr("bit_xor(__id)").cast("long").alias("kept_xor"),
+        )
+    )
+    return (
+        cl2.join(kept, "__cell")
+        .select(
+            F.col("__cell").cast("long").alias("cluster"),
+            "n",
+            "mean_sqd",
+            "verdict",
+            "n_kept",
+            "kept_xor",
+        )
+        .orderBy("cluster")
+    )

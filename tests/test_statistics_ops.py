@@ -2211,3 +2211,107 @@ def test_quality_classifier_matches_python_replica(spark, sf_oracle):
     # positive base rate, the final round beats it by a wide margin
     accs = [r[-1] for r in got]
     assert accs[0] < 0.85 and accs[-1] > 0.93 and accs[-1] - accs[0] > 0.1
+
+
+def test_cluster_prune_matches_python_replica(spark, sf_oracle):
+    """xf5's cluster-level prune policy == a from-scratch python
+    replica from raw floats (milli quantize, trunc-div centroid,
+    exact sqdists, md5 hash ranks, xor checksums). Also asserts the
+    HONEST NULL: uniform-noise fixture clusters are never 'collapse'
+    (mean dispersion ~1e6 >> the 5e5 farm threshold), while the 'cap'
+    and 'keep' branches are both live at this SF."""
+    import duckdb
+    import hashlib
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{sf_oracle}/embeddings.parquet'"
+    ).fetchall()
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    import math
+
+    by_cell: dict[int, list[tuple[int, list[int]]]] = {}
+    for vid, cell, emb in rows:
+        xq = [math.floor(float(x) * 1000) for x in emb]
+        by_cell.setdefault(cell, []).append((vid, xq))
+    want = []
+    for cell in sorted(by_cell):
+        members = by_cell[cell]
+        n = len(members)
+        dim = len(members[0][1])
+        cq = [
+            tdiv(sum(m[1][p] for m in members), n) for p in range(dim)
+        ]
+        sqd = {
+            vid: sum((x - c) ** 2 for x, c in zip(xq, cq))
+            for vid, xq in members
+        }
+        mean_sqd = sum(sqd.values()) // n
+        verdict = (
+            "collapse" if mean_sqd < 500_000 else ("cap" if n > 50 else "keep")
+        )
+        ids = sorted(sqd)
+        if verdict == "collapse":
+            kept = [ids[0]]
+        elif verdict == "cap":
+            hr = sorted(
+                ids,
+                key=lambda i: (
+                    int(hashlib.md5(f"cp:{i}".encode()).hexdigest()[:15], 16),
+                    i,
+                ),
+            )
+            kept = hr[:50]
+        else:
+            kept = ids
+        xor = 0
+        for i in kept:
+            xor ^= i
+        want.append((cell, n, mean_sqd, verdict, len(kept), xor))
+
+    got = [
+        tuple(r)
+        for r in registry()["xf5_cluster_prune_policy"]
+        .spark_fn(spark, sf_oracle)
+        .collect()
+    ]
+    assert got == want
+    verdicts = {w[3] for w in want}
+    assert "collapse" not in verdicts  # uniform-noise honest null
+    assert {"cap", "keep"} <= verdicts  # policy branches live
+
+
+def test_cluster_prune_collapse_branch(spark):
+    """The collapse branch (near-dup farm -> min-id representative) on
+    a CONSTRUCTED dense cluster — the branch the uniform fixtures
+    correctly never fire (honest null needs its own pin)."""
+    from pyspark.sql import functions as F
+
+    from dask_snowflake_spark.operators.similarity import cluster_prune
+
+    # cell 0: four nearly-identical vectors (farm); cell 1: four spread
+    rows = [
+        (1, 0, [0.5, 0.5]),
+        (2, 0, [0.5001, 0.4999]),
+        (3, 0, [0.4999, 0.5001]),
+        (4, 0, [0.5, 0.4999]),
+        (10, 1, [0.9, -0.9]),
+        (11, 1, [-0.9, 0.9]),
+        (12, 1, [0.9, 0.9]),
+        (13, 1, [-0.9, -0.9]),
+    ]
+    df = spark.createDataFrame(
+        [(i, c, [float(x) for x in v]) for i, c, v in rows],
+        "vec_id long, label long, embedding array<float>",
+    )
+    out = {
+        r.cluster: (r.n, r.verdict, r.n_kept, r.kept_xor)
+        for r in cluster_prune(df, cap=50, dense_sqd=500_000).collect()
+    }
+    assert out[0] == (4, "collapse", 1, 1)  # min-id representative
+    assert out[1][1] == "keep" and out[1][2] == 4
