@@ -16596,3 +16596,45 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xf5_cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return sim_ops.cluster_prune(t["embeddings"], cap=50, dense_sqd=500_000)
+
+
+@query(
+    "xf6_hard_negative_mining",
+    f"""
+    WITH {_COSINE_SQL},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role,
+               {_pair_sim_sql('q', 'c')} AS sim
+        FROM normed q JOIN normed c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id, role
+                      ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, role, rank, neighbor_id, sim
+    FROM ranked
+    WHERE (role = 'pos' AND rank <= 3) OR (role = 'neg' AND rank <= 3)
+    ORDER BY query_id, role, rank
+    """,
+    "CONTRASTIVE HARD-NEGATIVE MINING (the embedding-model "
+    "training-data op — per anchor emit top same-cell POSITIVES and "
+    "the most-similar other-cell HARD NEGATIVES, the confusables "
+    "a contrastive loss actually learns from; completes the "
+    "similarity family's TRAINING-DATA story next to x47 brute / "
+    "ann_topk_ivf serving / x51-xf5 dedup curation): anchors = "
+    "vec_id < 20 (a bounded mining batch — batches are how mining "
+    "runs at 100 TB), ONE corpus scan against the broadcast anchor "
+    "set, roles by cell equality, one (anchor, role)-partitioned "
+    "top-k window, cosines round(6) (the pinned cross-engine "
+    "compare); for unbounded anchors the docstring swaps the "
+    "broadcast for the SRP-bucket blocker",
+    ("embeddings", "similarity"),
+)
+def xf6_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return sim_ops.mine_contrastive_pairs(
+        emb, emb.filter(F.col("vec_id") < 20), k_pos=3, k_neg=3
+    )

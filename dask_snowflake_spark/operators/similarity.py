@@ -841,3 +841,68 @@ def cluster_prune(
         )
         .orderBy("cluster")
     )
+
+
+def mine_contrastive_pairs(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive training-pair mining (the embedding-model data op:
+    per anchor, the top same-cell neighbors become POSITIVES and the
+    most-similar OTHER-cell neighbors become HARD NEGATIVES — the
+    confusables that make a contrastive loss learn anything; random
+    negatives are trivially separable).
+
+    Shape: ONE corpus scan joined against the broadcast anchor set —
+    the scalable form for a bounded anchor batch (mining runs in
+    batches at 100 TB; for unbounded anchor sets swap the broadcast
+    for the SRP-bucket blocker, srp_signature). Roles split by cell
+    equality, one (anchor, role)-partitioned top-k window. Cosines
+    round(6) (the pinned cross-engine compare idiom)."""
+    q = with_normalized(
+        queries.select(
+            F.col(id_col).alias("query_id"), vec_col, F.col(cell_col).alias("q_cell")
+        ),
+        vec_col,
+        "query_vec",
+        ["query_id", "q_cell"],
+    )
+    c = with_normalized(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), vec_col, F.col(cell_col).alias("c_cell")
+        ),
+        vec_col,
+        "vec",
+        ["neighbor_id", "c_cell"],
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("c_cell") == F.col("q_cell"), "pos")
+            .otherwise("neg")
+            .alias("role"),
+            F.round(dot(F.col("query_vec"), F.col("vec")), round_digits).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "role").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(
+            ((F.col("role") == "pos") & (F.col("rank") <= k_pos))
+            | ((F.col("role") == "neg") & (F.col("rank") <= k_neg))
+        )
+        .select("query_id", "role", "rank", "neighbor_id", "sim")
+        .orderBy("query_id", "role", "rank")
+    )

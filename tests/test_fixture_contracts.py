@@ -492,3 +492,25 @@ def test_dbscan_kernel_guard_raises_on_oversized_cell(monkeypatch) -> None:
     monkeypatch.setattr(ext_queries, "_DBSCAN_MAX_CELL", 100)
     out = ext_queries._dbscan_cell_pairs(pdf)
     assert len(out) == 10  # all 5-choose-2 zero-distance pairs
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_row_keys_are_unique(sf_dir: str) -> None:
+    """documents.doc_id / embeddings.vec_id / events.event_id must be
+    unique (r12 input contract): every doc-keyed join in the package
+    assumes one row per key — quality_classifier's chars-wp join (and
+    its oracle's per-row wp CTE vs Spark's GROUPED word_profile) would
+    fan out DIFFERENTLY per engine on a duplicated key, the xb6
+    fixture-luck class. Also (ts, event_id) lag orders (xes) need
+    event_id unique to be total orders."""
+    for table, key in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ):
+        col = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=[key])[
+            key
+        ]
+        n = len(col)
+        n_unique = pc.count_distinct(col.combine_chunks()).as_py()
+        assert n == n_unique, (sf_dir, table, key, n, n_unique)
