@@ -16638,3 +16638,110 @@ def xf6_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.mine_contrastive_pairs(
         emb, emb.filter(F.col("vec_id") < 20), k_pos=3, k_neg=3
     )
+
+
+_BLOOM_PRESENT_PROBES = ("join", "hash", "row", "batch", "scan", "customer")
+_BLOOM_ABSENT_PROBES = ("blorptok", "qwxjkl", "snarfle", "vrumpt", "xqzzy", "zyzzyva")
+
+
+@query(
+    "xf7_bloom_membership_index",
+    f"""
+    WITH words AS (
+        SELECT DISTINCT unnest(list_filter(
+            regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents
+    ),
+    cells AS (
+        SELECT (('0x' || substr(md5('bl:' || w), r.r * 6 + 1, 6))::BIGINT
+                % 15872) AS pos
+        FROM words, (SELECT unnest([0, 1, 2, 3]) AS r) r
+    ),
+    bloom AS (
+        SELECT pos // 62 AS word_idx,
+               CAST(bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS BIGINT) AS bits
+        FROM cells GROUP BY pos // 62
+    ),
+    probes AS (
+        SELECT unnest([{", ".join(repr(p) for p in _BLOOM_PRESENT_PROBES + _BLOOM_ABSENT_PROBES)}]) AS probe_key
+    ),
+    pcells AS (
+        SELECT probe_key,
+               (('0x' || substr(md5('bl:' || probe_key), r.r * 6 + 1, 6))::BIGINT
+                % 15872) AS pos
+        FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) r
+    ),
+    hits AS (
+        SELECT p.probe_key,
+               CASE WHEN (COALESCE(b.bits, 0) & (1::BIGINT << CAST(p.pos % 62 AS INT)))
+                         != 0 THEN 1 ELSE 0 END AS hit
+        FROM pcells p LEFT JOIN bloom b ON b.word_idx = p.pos // 62
+    ),
+    verdicts AS (
+        SELECT probe_key, CAST(sum(hit) AS BIGINT) AS n_bits_set,
+               sum(hit) = 4 AS bloom_says
+        FROM hits GROUP BY probe_key
+    )
+    SELECT v.probe_key, v.n_bits_set, v.bloom_says,
+           (w.w IS NOT NULL) AS actually_present,
+           (v.bloom_says AND w.w IS NULL) AS is_false_positive
+    FROM verdicts v LEFT JOIN words w ON w.w = v.probe_key
+    ORDER BY v.probe_key
+    """,
+    "MERGEABLE BLOOM MEMBERSHIP INDEX (Bloom 1970 — completes the "
+    "sketch family's MEMBERSHIP axis next to cms counts, x44 HLL "
+    "cardinality and x45 heavy hitters; Spark's own bloom_filter_agg "
+    "is internal-only in 4.1, so the engine-portable form is 256 "
+    "BIGINT words of 62 usable bits built by ONE bit_or aggregation "
+    "— bits 62/63 stay clear so every stored word is a plain "
+    "positive BIGINT on both engines; two shard indexes merge by "
+    "word-wise bit_or, the property that makes a Bloom the "
+    "corpus-side seen-before structure for incremental dedup / URL "
+    "dedup / cross-shard decontamination where the eval-set "
+    "broadcast of decontaminate_evals does not apply): K=4 hashes as "
+    "independent 6-hex slices of ONE md5 per key (the "
+    "cms_sketch_probe single-digest idiom), 12 declared probes (6 "
+    "corpus words + 6 absent nonsense words) each report bits set, "
+    "the maybe-present verdict (all 4 set; any clear bit PROVES "
+    "absence) and exact membership for the false-positive readout. "
+    "The 31-word saturated fixture vocabulary fills 124/15872 bits "
+    "-> zero false positives is the honest null (replica-asserted); "
+    "the FP path is pinned by a constructed tiny-index unit test. "
+    "Shifts/bit_or/& engine-pair pinned on adversarial literals",
+    ("documents", "dedup", "text"),
+)
+def xf7_bloom_membership_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import decontam as decontam_ops
+
+    t = _t(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), "")
+            ).alias("w")
+        )
+        .distinct()
+    )
+    bloom = decontam_ops.bloom_build(words, key_col="w", n_words=256, seed="bl")
+    probes = spark.createDataFrame(
+        [(p,) for p in _BLOOM_PRESENT_PROBES + _BLOOM_ABSENT_PROBES], "probe_key string"
+    )
+    probed = decontam_ops.bloom_probe(
+        bloom, probes, key_col="probe_key", n_words=256, seed="bl"
+    )
+    return (
+        probed.join(
+            words.select(F.col("w").alias("probe_key"), F.lit(1).alias("__m")),
+            "probe_key",
+            "left",
+        )
+        .select(
+            "probe_key",
+            "n_bits_set",
+            "bloom_says",
+            F.col("__m").isNotNull().alias("actually_present"),
+            (F.col("bloom_says") & F.col("__m").isNull()).alias("is_false_positive"),
+        )
+        .orderBy("probe_key")
+    )

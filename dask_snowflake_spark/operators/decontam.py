@@ -69,3 +69,96 @@ def ngram_overlap(
             ),
         )
     )
+
+
+# Bloom membership index constants: words of 62 usable bits (bits 0..61
+# — the sign bit and bit 62 stay clear so every stored word is a plain
+# positive BIGINT on both engines), K=4 hash functions as independent
+# 6-hex-char slices of ONE md5 per key (the cms_sketch_probe idiom —
+# hashing is the corpus-linear cost, one digest beats four).
+BLOOM_BITS_PER_WORD = 62
+BLOOM_K = 4
+
+
+def bloom_build(
+    keys: DataFrame,
+    *,
+    key_col: str = "key",
+    n_words: int = 256,
+    seed: str = "bl",
+) -> DataFrame:
+    """Build a MERGEABLE Bloom membership index over distinct keys:
+    ``(word_idx, bits)`` rows where ``bits`` is the bit_or of
+    ``shiftleft(1, bit)`` for every (key, hash) landing in that word.
+
+    Two indexes over different shards merge by ``groupBy(word_idx).
+    agg(bit_or(bits))`` — the property that makes a Bloom the
+    decontamination membership structure at 100 TB: the eval-set
+    n-gram index above broadcasts fine at benchmark sizes, but a
+    corpus-side seen-before index (incremental dedup, URL dedup,
+    cross-shard membership) needs constant size per shard and
+    lossless merge, which counts (cms) and bit arrays (this) give.
+    One map-side-combinable aggregation, <= n_words output rows."""
+    m_bits = n_words * BLOOM_BITS_PER_WORD
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("r")
+    pos = F.expr(
+        f"cast(conv(substring(__h, r * 6 + 1, 6), 16, 10) as bigint) % {m_bits}"
+    )
+    cells = (
+        keys.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .select(F.md5(F.concat(F.lit(f"{seed}:"), F.col("__k"))).alias("__h"))
+        .select("__h", rows_)
+        .select(pos.alias("__pos"))
+        .select(
+            F.expr(f"__pos div {BLOOM_BITS_PER_WORD}").alias("word_idx"),
+            F.expr(f"__pos % {BLOOM_BITS_PER_WORD}").alias("bit"),
+        )
+    )
+    return cells.groupBy("word_idx").agg(
+        F.expr("bit_or(shiftleft(1L, cast(bit as int)))").cast("long").alias("bits")
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    *,
+    key_col: str = "key",
+    n_words: int = 256,
+    seed: str = "bl",
+) -> DataFrame:
+    """Probe keys against a ``bloom_build`` index: per probe key,
+    ``n_bits_set`` (0..K) and ``bloom_says`` (all K bits set — the
+    maybe-present verdict; any clear bit proves absence). A missing
+    word_idx row counts as all-zero bits (left join + coalesce)."""
+    m_bits = n_words * BLOOM_BITS_PER_WORD
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("r")
+    pos = F.expr(
+        f"cast(conv(substring(__h, r * 6 + 1, 6), 16, 10) as bigint) % {m_bits}"
+    )
+    cells = (
+        probes.select(F.col(key_col).alias("probe_key"))
+        .distinct()
+        .select(
+            "probe_key",
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("probe_key"))).alias("__h"),
+        )
+        .select("probe_key", "__h", rows_)
+        .select("probe_key", pos.alias("__pos"))
+        .select(
+            "probe_key",
+            F.expr(f"__pos div {BLOOM_BITS_PER_WORD}").alias("word_idx"),
+            F.expr(f"__pos % {BLOOM_BITS_PER_WORD}").alias("bit"),
+        )
+    )
+    hit = F.expr("(coalesce(bits, 0L) & shiftleft(1L, cast(bit as int))) != 0")
+    return (
+        cells.join(F.broadcast(bloom), "word_idx", "left")
+        .select("probe_key", hit.cast("int").alias("__hit"))
+        .groupBy("probe_key")
+        .agg(
+            F.sum("__hit").cast("long").alias("n_bits_set"),
+            (F.sum("__hit") == BLOOM_K).alias("bloom_says"),
+        )
+    )

@@ -561,3 +561,40 @@ def test_bitops_and_distinct_sum_engine_identical(spark):
     finally:
         con.close()
     assert tuple(spark_rows) == tuple(duck_rows) == (9, 15, 1, 4, 11)
+
+
+def test_bloom_shift_bitor_engine_identical(spark):
+    """xf7's Bloom bit math relies on shiftleft/<<, bit_or over shifted
+    words, & probes and the 62-bit layout being engine-identical.
+    Pinned on adversarial literals: bit 0, bit 61 (the top USED bit),
+    a merged word, and a cleared-bit probe — fixture-independent."""
+    import duckdb
+
+    spark_rows = tuple(
+        spark.sql(
+            """
+            SELECT CAST(shiftleft(1L, 0) AS BIGINT),
+                   CAST(shiftleft(1L, 61) AS BIGINT),
+                   (SELECT CAST(bit_or(shiftleft(1L, CAST(b AS INT))) AS BIGINT)
+                    FROM VALUES (0), (61), (0), (17) AS t(b)),
+                   CAST(shiftleft(1L, 61) & shiftleft(1L, 61) AS BIGINT),
+                   CAST(shiftleft(1L, 61) & shiftleft(1L, 17) AS BIGINT)
+            """
+        ).collect()[0]
+    )
+    con = duckdb.connect()
+    try:
+        duck_rows = con.execute(
+            """
+            SELECT CAST(1::BIGINT << 0 AS BIGINT),
+                   CAST(1::BIGINT << 61 AS BIGINT),
+                   (SELECT CAST(bit_or(1::BIGINT << CAST(b AS INT)) AS BIGINT)
+                    FROM (VALUES (0), (61), (0), (17)) t(b)),
+                   CAST((1::BIGINT << 61) & (1::BIGINT << 61) AS BIGINT),
+                   CAST((1::BIGINT << 61) & (1::BIGINT << 17) AS BIGINT)
+            """
+        ).fetchone()
+    finally:
+        con.close()
+    want = (1, 1 << 61, (1 << 61) | (1 << 17) | 1, 1 << 61, 0)
+    assert spark_rows == tuple(duck_rows) == want

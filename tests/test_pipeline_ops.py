@@ -347,3 +347,69 @@ def test_bpe_encode_matches_min_rank_loop_replica(spark):
     assert char_rows[12].n_bpe_tokens == 1
     assert char_rows[10].n_bpe_tokens == len("aaaaa") + len("aaaa") + len("zzz")
     assert all(r.n_merged_tokens == 0 for r in char_rows.values())
+
+
+def test_bloom_false_positive_path_and_merge(spark):
+    """xf7's honest null (zero FPs at 0.8% fill) needs its own pin: a
+    TINY 1-word (62-bit) index over 20 keys (~72% fill) must produce a
+    false positive for some absent probe — found by replaying the
+    identical md5 bit math in python — and the bloom must MERGE: two
+    shard indexes bit_or'd word-wise equal the union index (the
+    property that makes it the cross-shard membership structure)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dask_snowflake_spark.operators.decontam import (
+        BLOOM_BITS_PER_WORD,
+        BLOOM_K,
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = [f"key{i}" for i in range(20)]
+    m_bits = 1 * BLOOM_BITS_PER_WORD
+
+    def positions(k):
+        h = hashlib.md5(f"bl:{k}".encode()).hexdigest()
+        return {int(h[r * 6 : r * 6 + 6], 16) % m_bits for r in range(BLOOM_K)}
+
+    covered = set()
+    for k in members:
+        covered |= positions(k)
+    fp = next(
+        c
+        for c in (f"absent{i}" for i in range(100_000))
+        if positions(c) <= covered
+    )
+    tn = next(
+        c
+        for c in (f"clean{i}" for i in range(100_000))
+        if not (positions(c) <= covered)
+    )
+
+    mdf = spark.createDataFrame([(k,) for k in members], "key string")
+    bloom = bloom_build(mdf, n_words=1)
+    probes = spark.createDataFrame([(fp,), (tn,)], "key string")
+    got = {
+        r.probe_key: (r.n_bits_set, r.bloom_says)
+        for r in bloom_probe(bloom, probes, key_col="key", n_words=1).collect()
+    }
+    assert got[fp][1] is True  # false positive fires
+    assert got[tn][1] is False  # a clear bit proves absence
+
+    # mergeability: shard blooms bit_or'd == union bloom
+    a = bloom_build(
+        spark.createDataFrame([(k,) for k in members[:10]], "key string"), n_words=1
+    )
+    b = bloom_build(
+        spark.createDataFrame([(k,) for k in members[10:]], "key string"), n_words=1
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in bloom.collect()
+    ]
