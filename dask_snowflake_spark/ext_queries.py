@@ -16745,3 +16745,170 @@ def xf7_bloom_membership_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+@query(
+    "xf8_temperature_mixture",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    totals AS (
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM toks GROUP BY lang
+    ),
+    weights AS (
+        SELECT lang, lang_tokens, n_docs,
+               CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS w_q
+        FROM totals
+    ),
+    seats AS (
+        SELECT w.lang, w.lang_tokens, w.n_docs, w.w_q,
+               (200 * w.w_q) // s.w_all AS base,
+               (200 * w.w_q) % s.w_all AS rem
+        FROM weights w LEFT JOIN (SELECT CAST(sum(w_q) AS BIGINT) AS w_all
+                                  FROM weights) s ON true
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rrk,
+               CAST(200 - sum(base) OVER () AS BIGINT) AS leftover
+        FROM seats
+    ),
+    quota AS (
+        SELECT lang, lang_tokens, n_docs, w_q,
+               base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END AS quota
+        FROM ranked
+    ),
+    srk AS (
+        SELECT t.doc_id, t.lang,
+               row_number() OVER (PARTITION BY t.lang
+                   ORDER BY ('0x' || substr(md5('tmx:' || CAST(t.doc_id AS VARCHAR)),
+                             1, 15))::BIGINT, t.doc_id) AS hrk
+        FROM toks t
+    ),
+    sel AS (
+        SELECT s.lang, CAST(count(*) AS BIGINT) AS n_selected,
+               CAST(bit_xor(s.doc_id) AS BIGINT) AS selected_xor
+        FROM srk s JOIN quota q ON q.lang = s.lang
+        WHERE s.hrk <= q.quota
+        GROUP BY s.lang
+    )
+    SELECT q.lang, q.lang_tokens, q.n_docs, q.w_q, CAST(q.quota AS BIGINT) AS quota,
+           COALESCE(l.n_selected, 0) AS n_selected,
+           COALESCE(l.selected_xor, 0) AS selected_xor
+    FROM quota q LEFT JOIN sel l ON l.lang = q.lang
+    ORDER BY q.lang
+    """,
+    "TEMPERATURE-SCALED MIXTURE SAMPLING (the mT5 / XLM-R alpha-"
+    "sampling data-mixture op: quotas proportional to corpus-token "
+    "counts raised to alpha = 1/2, boosting low-resource languages "
+    "against head domination — the DERIVED-weight counterpart to "
+    "xdt's declared-literal target proportions, exactly as xej's "
+    "Neyman allocation derives where xd1's Hamilton declares): "
+    "per-language exact token totals, temperature weight w = "
+    "floor(sqrt(tokens)) (sqrt of an exact BIGINT is engine-"
+    "identical IEEE — the xej milli-sqrt seam family), a declared "
+    "200-doc budget apportioned by Hamilton largest remainder over "
+    "the w's (exact integers, (remainder DESC, lang) deterministic "
+    "tie-break — allocations sum to exactly 200), then per-language "
+    "deterministic portable-hash sampling to the quota; selected_xor "
+    "= bit_xor of chosen doc_ids pins WHICH docs were sampled, not "
+    "just how many. Scale shape: one corpus scan for token counts, "
+    "language-bounded lattice work, one hash-rank window per "
+    "language partition; all integer end-to-end",
+    ("documents", "text", "analytics"),
+)
+def xf8_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    weights = totals.select(
+        "lang",
+        "lang_tokens",
+        "n_docs",
+        F.expr("CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT)").alias(
+            "w_q"
+        ),
+    )
+    wsum = weights.agg(F.sum("w_q").cast("long").alias("w_all"))
+    seats = weights.join(F.broadcast(wsum), how="left").select(
+        "lang",
+        "lang_tokens",
+        "n_docs",
+        "w_q",
+        F.expr("(200 * w_q) div w_all").alias("base"),
+        F.expr("(200 * w_q) % w_all").alias("rem"),
+    )
+    ranked = seats.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("rem").desc(), "lang"))
+        .alias("rrk"),
+        (F.lit(200) - F.sum("base").over(W.partitionBy())).cast("long").alias(
+            "leftover"
+        ),
+    )
+    quota = ranked.select(
+        "lang",
+        "lang_tokens",
+        "n_docs",
+        "w_q",
+        (
+            F.col("base")
+            + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    srk = toks.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                dedup_ops.portable_hash(F.col("doc_id").cast("string"), F.lit("tmx")),
+                "doc_id",
+            )
+        )
+        .alias("hrk"),
+    )
+    sel = (
+        srk.join(F.broadcast(quota.select("lang", "quota")), "lang")
+        .filter(F.col("hrk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.expr("bit_xor(doc_id)").cast("long").alias("selected_xor"),
+        )
+    )
+    return (
+        quota.join(sel, "lang", "left")
+        .select(
+            "lang",
+            "lang_tokens",
+            "n_docs",
+            "w_q",
+            "quota",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("selected_xor", F.lit(0)).cast("long").alias("selected_xor"),
+        )
+        .orderBy("lang")
+    )

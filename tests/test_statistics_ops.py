@@ -2315,3 +2315,62 @@ def test_cluster_prune_collapse_branch(spark):
     }
     assert out[0] == (4, "collapse", 1, 1)  # min-id representative
     assert out[1][1] == "keep" and out[1][2] == 4
+
+
+def test_temperature_mixture_matches_python_replica(spark, sf_oracle):
+    """xf8's sqrt-temperature mixture == a from-scratch python replica
+    (re.split token counts, floor-sqrt weights, Hamilton largest
+    remainder, md5 hash-rank sampling, xor membership). Liveness: the
+    temperature actually flattens — the head language's quota share
+    must sit strictly below its token share, every language gets a
+    positive quota, and quotas sum to exactly the 200 budget."""
+    import duckdb
+    import hashlib
+    import math
+    import re
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    toks = [
+        (d, lang, len([w for w in re.split(r"\s+", t.strip()) if w]))
+        for d, lang, t in rows
+    ]
+    langs = sorted({lang for _, lang, _ in toks})
+    lt = {g: sum(n for _, lang, n in toks if lang == g) for g in langs}
+    nd = {g: sum(1 for _, lang, _ in toks if lang == g) for g in langs}
+    wq = {g: math.floor(math.sqrt(lt[g])) for g in langs}
+    w_all = sum(wq.values())
+    base = {g: 200 * wq[g] // w_all for g in langs}
+    rem = {g: 200 * wq[g] % w_all for g in langs}
+    leftover = 200 - sum(base.values())
+    order = sorted(langs, key=lambda g: (-rem[g], g))
+    quota = {
+        g: base[g] + (1 if order.index(g) < leftover else 0) for g in langs
+    }
+    want = []
+    for g in langs:
+        ids = [d for d, lang, _ in toks if lang == g]
+        ids.sort(
+            key=lambda d: (
+                int(hashlib.md5(f"tmx:{d}".encode()).hexdigest()[:15], 16),
+                d,
+            )
+        )
+        kept = ids[: quota[g]]
+        x = 0
+        for d in kept:
+            x ^= d
+        want.append((g, lt[g], nd[g], wq[g], quota[g], len(kept), x))
+
+    got = [
+        tuple(r)
+        for r in registry()["xf8_temperature_mixture"].spark_fn(spark, sf_oracle).collect()
+    ]
+    assert got == want
+    assert sum(quota.values()) == 200 and all(q > 0 for q in quota.values())
+    head = max(langs, key=lambda g: lt[g])
+    assert quota[head] / 200 < lt[head] / sum(lt.values())
