@@ -10220,7 +10220,7 @@ def xda_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "conformal_interval",
+    "xfb_conformal_interval",
     """
     WITH rows_ AS (
         SELECT c.c_mktsegment AS segment,
@@ -10293,7 +10293,7 @@ def xda_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AQE",
     ("quality", "pipeline"),
 )
-def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfb_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -16520,7 +16520,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xf5_cluster_prune_policy",
+    "cluster_prune_policy",
     """
     WITH q AS (
         SELECT vec_id AS id, label AS cell, i - 1 AS pos,
@@ -16593,7 +16593,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed aggs, all row-linear",
     ("embeddings", "similarity", "dedup"),
 )
-def xf5_cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return sim_ops.cluster_prune(t["embeddings"], cap=50, dense_sqd=500_000)
 
@@ -16645,7 +16645,7 @@ _BLOOM_ABSENT_PROBES = ("blorptok", "qwxjkl", "snarfle", "vrumpt", "xqzzy", "zyz
 
 
 @query(
-    "xf7_bloom_membership_index",
+    "bloom_membership_index",
     f"""
     WITH words AS (
         SELECT DISTINCT unnest(list_filter(
@@ -16710,7 +16710,7 @@ _BLOOM_ABSENT_PROBES = ("blorptok", "qwxjkl", "snarfle", "vrumpt", "xqzzy", "zyz
     "Shifts/bit_or/& engine-pair pinned on adversarial literals",
     ("documents", "dedup", "text"),
 )
-def xf7_bloom_membership_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_membership_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import decontam as decontam_ops
 
     t = _t(spark, sf_dir)
@@ -16748,7 +16748,7 @@ def xf7_bloom_membership_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xf8_temperature_mixture",
+    "temperature_mixture",
     """
     WITH toks AS (
         SELECT doc_id, lang,
@@ -16823,7 +16823,7 @@ def xf7_bloom_membership_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "language partition; all integer end-to-end",
     ("documents", "text", "analytics"),
 )
-def xf8_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)

@@ -515,7 +515,7 @@ def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_semi_anti_join",
+    "xf9_semi_anti_join",
     """
     SELECT 'semi' AS side, o_orderkey AS key, o_orderstatus AS label
     FROM orders
@@ -533,7 +533,7 @@ def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left-semi join (EXISTS, no row multiplication) and left-anti join (NOT EXISTS) as a tagged union",
     ("join",),
 )
-def q05_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xf9_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     big_items = t["lineitem"].filter(F.col("l_quantity") > 45)
     semi = (
@@ -619,7 +619,7 @@ def xcz_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q08_range_join",
+    "xfa_range_join",
     """
     SELECT o_orderkey, buckets.name AS price_bucket
     FROM orders
@@ -632,7 +632,7 @@ def xcz_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theta (non-equi range) join against a broadcast bucket table",
     ("join",),
 )
-def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfa_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     buckets = spark.createDataFrame(
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],

@@ -59,7 +59,7 @@ def test_aggregation_is_partial(spark, sf_oracle):
 def test_semi_join_stays_semi(spark, sf_oracle):
     """q05's EXISTS / NOT EXISTS must compile to LeftSemi + LeftAnti
     joins (no row multiplication on either branch)."""
-    df = registry()["q05_semi_anti_join"].spark_fn(spark, sf_oracle)
+    df = registry()["xf9_semi_anti_join"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "LeftSemi" in p, p
     assert "LeftAnti" in p, p

@@ -102,13 +102,25 @@ def test_priority_window_covers_every_surface():
     # pass), flow_windows -> xf3_ / flow_sessions -> xf4_ (two of four
     # flow_ rows; tumbling/sliding/session windowing mechanisms stay
     # driver-proven via flow_stateful_counters + flow_stream_join).
+    # Second r12 rotation (same round — this round's continuation
+    # flagships take driver rows immediately, the r11 precedent):
+    # promote cluster_prune_policy (ex-xf5, cluster-statistics
+    # curation), bloom_membership_index (ex-xf7, the sketch family's
+    # membership axis) and temperature_mixture (ex-xf8, derived-weight
+    # alpha-sampling); demote q05_semi_anti_join -> xf9_ (semi/anti
+    # shapes run inside driver-green pipeline_llm_corpus's decontam
+    # broadcast-semi-join; driver-green r1-r11), q08_range_join ->
+    # xfa_ (the range/interval-join mechanism is driver-exercised by
+    # flow_stream_join's stream-stream interval join; driver-green
+    # r1-r11) and conformal_interval -> xfb_ (driver-green r10-r11;
+    # its split/rank mechanisms also ride the eval family).
     prefixes = (
-        "acf_", "ann_", "attribution_", "bpe_", "cluster_", "cms_",
-        "conformal_", "connector_", "content_", "dbscan_", "dedup_",
+        "acf_", "ann_", "attribution_", "bloom_", "bpe_", "cluster_",
+        "cms_", "connector_", "content_", "dbscan_", "dedup_",
         "doc_", "dsir_", "eb_", "file_", "flow_", "fn_udf_",
         "governance_", "graph_", "hits_", "ks_", "mm_", "pca_",
         "pipeline_", "profile_", "q0", "q1", "q2", "quality_", "rfm_",
-        "sprt_", "vocab_",
+        "sprt_", "temperature_", "vocab_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

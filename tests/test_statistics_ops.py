@@ -344,7 +344,7 @@ def test_geometric_dp_thresholds_match_formula():
     assert 1_000_000 - _GEOM_DP_CDF[-1][1] == 67
 
 
-def test_conformal_interval_matches_python_replica(spark, sf_oracle):
+def test_xfb_conformal_interval_matches_python_replica(spark, sf_oracle):
     """xdb's split-conformal machinery == a literal python replica on
     the fixture: hash splits, train means (floor division), the exact
     ceil(0.9*(n_cal+1))-th order statistic with (resid, orderkey)
@@ -385,7 +385,7 @@ def test_conformal_interval_matches_python_replica(spark, sf_oracle):
     got = {
         r.segment: (r.n_train, r.n_cal, r.n_test, r.mu_cents, r.q_cents,
                     r.n_covered, r.coverage, r.coverage_ok)
-        for r in registry()["conformal_interval"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["xfb_conformal_interval"].spark_fn(spark, sf_oracle).collect()
     }
     assert got == want
 
@@ -2276,7 +2276,7 @@ def test_cluster_prune_matches_python_replica(spark, sf_oracle):
 
     got = [
         tuple(r)
-        for r in registry()["xf5_cluster_prune_policy"]
+        for r in registry()["cluster_prune_policy"]
         .spark_fn(spark, sf_oracle)
         .collect()
     ]
@@ -2368,7 +2368,7 @@ def test_temperature_mixture_matches_python_replica(spark, sf_oracle):
 
     got = [
         tuple(r)
-        for r in registry()["xf8_temperature_mixture"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["temperature_mixture"].spark_fn(spark, sf_oracle).collect()
     ]
     assert got == want
     assert sum(quota.values()) == 200 and all(q > 0 for q in quota.values())
