@@ -16912,3 +16912,180 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _bh_pvalue_table() -> list[int]:
+    """641 two-sided normal p-value samples at z^2 = 0.0, 0.1, ... 64.0
+    in nano-units: floor(erfc(sqrt(z2/2)) * 1e9). The literal-table
+    idiom on its third transcendental (sprt ln steps, quality_classifier
+    sigmoid, now the normal tail): both engines interpolate the same
+    list in integer arithmetic, nobody calls erfc. Monotone decreasing;
+    formula-pinned."""
+    import math
+
+    return [
+        math.floor(math.erfc(math.sqrt(k / 10 / 2)) * 1_000_000_000)
+        for k in range(641)
+    ]
+
+
+@query(
+    "xfc_bh_fdr_control",
+    f"""
+    WITH cell AS (
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (
+        SELECT *, CAST(sum(n_i) OVER () AS BIGINT) AS n_all,
+               CAST(sum(x_i) OVER () AS BIGINT) AS x_all,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM cell
+    ),
+    z AS (
+        SELECT nation, n_i, x_i, m,
+               CAST(floor(
+                   (CAST(x_i * n_all - n_i * x_all AS DOUBLE)
+                    * (x_i * n_all - n_i * x_all))
+                   / (CAST(n_i AS DOUBLE) * x_all * (n_all - x_all))
+                   * 1000000) AS BIGINT) AS z2_q
+        FROM tot
+    ),
+    tab AS (SELECT {_bh_pvalue_table()} AS t),
+    p AS (
+        SELECT nation, n_i, x_i, m,
+               z2_q,
+               t[b + 1] - ((t[b + 1] - t[b + 2]) * (z2c - b * 100000)) // 100000
+                   AS p_q
+        FROM (
+            SELECT *, least(z2_q, 63999999) AS z2c,
+                   CAST(least(z2_q, 63999999) // 100000 AS INT) AS b
+            FROM z LEFT JOIN tab ON true
+        )
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY p_q, nation) AS bh_rank
+        FROM p
+    ),
+    kstar AS (
+        SELECT *,
+               COALESCE(max(CASE WHEN p_q * m * 10 <= bh_rank * 1000000000
+                            THEN bh_rank END) OVER (), 0) AS bh_kstar
+        FROM ranked
+    )
+    SELECT nation, n_i, x_i, z2_q, CAST(p_q AS BIGINT) / 1e9 AS p_value,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           (p_q <= 50000000) AS naive_rejected,
+           (bh_rank <= bh_kstar) AS bh_rejected
+    FROM kstar
+    ORDER BY nation
+    """,
+    "BENJAMINI-HOCHBERG FDR CONTROL (Benjamini & Hochberg 1995 — the "
+    "MULTIPLE-TESTING member completing the experimentation family: "
+    "x73 tests one readout, sprt_ab stops one test early, xed/xek "
+    "test one association; a metrics platform fires DOZENS of "
+    "hypotheses per day and must control the false-discovery rate "
+    "across them): per-nation one-sample binomial z-test of the "
+    "URGENT-order rate against the global rate — z^2 = (x*N - n*X)^2 "
+    "/ (n*X*(N-X)) as ONE fixed-order double expression over exact "
+    "BIGINTs floor-quantized at 1e-6 (the xed idiom: identical "
+    "integer inputs -> identical IEEE doubles -> identical floor on "
+    "both engines), two-sided p-value via a 641-entry literal "
+    "erfc table over z^2 in [0, 64] with integer linear "
+    "interpolation (the quality_classifier idiom — no engine calls "
+    "erfc), then the BH step-up: rank p ascending under a unique "
+    "order, k* = max rank with p_(k) <= k*q/m as a pure integer "
+    "cross-multiplication at q = 0.10, reject ranks <= k*. The "
+    "fixture's uniform priorities are the HONEST NULL: naive p<0.05 "
+    "flags ~2 nations, BH correctly rejects ZERO (replica-asserted "
+    "— the correction visibly working); the rejection path is "
+    "pinned by a constructed-p unit test on analytics.bh_select. "
+    "Scale shape: one orders scan -> nation-bounded lattice; the "
+    "unpartitioned windows ride the 25-row hypothesis frame",
+    ("orders", "customer", "nation", "analytics"),
+)
+def xfc_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators import analytics as an_ops
+
+    t = _t(spark, sf_dir)
+    cell = (
+        t["orders"]
+        .select("o_custkey", "o_orderpriority")
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["nation"].select("n_nationkey", "n_name"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x_i"),
+        )
+    )
+    tot = cell.select(
+        "*",
+        F.sum("n_i").over(W.partitionBy()).cast("long").alias("n_all"),
+        F.sum("x_i").over(W.partitionBy()).cast("long").alias("x_all"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("m"),
+    )
+    z = tot.select(
+        "nation",
+        "n_i",
+        "x_i",
+        "m",
+        F.expr(
+            "CAST(floor("
+            " (CAST(x_i * n_all - n_i * x_all AS DOUBLE)"
+            "  * (x_i * n_all - n_i * x_all))"
+            " / (CAST(n_i AS DOUBLE) * x_all * (n_all - x_all))"
+            " * 1000000) AS BIGINT)"
+        ).alias("z2_q"),
+    )
+    tab = _bh_pvalue_table()
+    p = z.select(
+        "nation",
+        "n_i",
+        "x_i",
+        "m",
+        "z2_q",
+        F.expr("least(z2_q, 63999999)").alias("z2c"),
+        F.lit(tab).alias("__t"),
+    ).select(
+        "nation",
+        "n_i",
+        "x_i",
+        "m",
+        "z2_q",
+        F.expr(
+            "element_at(__t, CAST(z2c div 100000 AS INT) + 1)"
+            " - ((element_at(__t, CAST(z2c div 100000 AS INT) + 1)"
+            "     - element_at(__t, CAST(z2c div 100000 AS INT) + 2))"
+            "    * (z2c - (z2c div 100000) * 100000)) div 100000"
+        ).alias("p_q"),
+    )
+    out = an_ops.bh_select(p, p_col="p_q", key_cols=("nation",), q_num=1, q_den=10)
+    return out.select(
+        "nation",
+        "n_i",
+        "x_i",
+        "z2_q",
+        (F.col("p_q").cast("long") / 1e9).alias("p_value"),
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        (F.col("p_q") <= 50_000_000).alias("naive_rejected"),
+        "bh_rejected",
+    ).orderBy("nation")

@@ -287,3 +287,50 @@ def basket_affinity(
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def bh_select(
+    scored: DataFrame,
+    *,
+    p_col: str = "p_q",
+    key_cols: Sequence[str] = ("key",),
+    q_num: int = 1,
+    q_den: int = 10,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR selection over integer-quantized
+    p-values (nano-units, 0..1e9): rank ascending under the unique
+    (p, keys) order, find the LARGEST rank k with
+    ``p_(k) <= k * q / m`` (pure integer cross-multiplication —
+    ``p_q * m * q_den <= rank * q_num * 1e9``), reject ranks 1..k.
+
+    Adds ``bh_rank``, ``bh_kstar`` and ``bh_rejected`` to the frame.
+    The hypothesis count m is the frame's own row count (one window —
+    the frame is hypothesis-bounded, never corpus-bounded, so the
+    unpartitioned windows are fine at any corpus scale). The step-up
+    scan is the window max of satisfying ranks: ranks past the largest
+    satisfier are rejected only if <= k*, exactly Benjamini-Hochberg
+    1995."""
+    keys = [F.col(c) for c in key_cols]
+    w = Window.orderBy(F.col(p_col).asc(), *keys)
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("__m"),
+    )
+    sat = F.when(
+        F.col(p_col) * F.col("__m") * q_den
+        <= F.col("bh_rank") * q_num * F.lit(1_000_000_000),
+        F.col("bh_rank"),
+    )
+    return (
+        ranked.select(
+            "*",
+            F.coalesce(
+                F.max(sat).over(Window.partitionBy()), F.lit(0)
+            )
+            .cast("long")
+            .alias("bh_kstar"),
+        )
+        .withColumn("bh_rejected", F.col("bh_rank") <= F.col("bh_kstar"))
+        .drop("__m")
+    )

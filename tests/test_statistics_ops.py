@@ -2374,3 +2374,95 @@ def test_temperature_mixture_matches_python_replica(spark, sf_oracle):
     assert sum(quota.values()) == 200 and all(q > 0 for q in quota.values())
     head = max(langs, key=lambda g: lt[g])
     assert quota[head] / 200 < lt[head] / sum(lt.values())
+
+
+def test_bh_pvalue_table_formula():
+    """The 641-entry literal erfc table == the closed form recomputed
+    (literal-table pin rule); monotone decreasing, correct endpoints."""
+    import math
+
+    from dask_snowflake_spark.ext_queries import _bh_pvalue_table
+
+    t = _bh_pvalue_table()
+    assert len(t) == 641
+    for k, v in enumerate(t):
+        assert v == math.floor(math.erfc(math.sqrt(k / 10 / 2)) * 1e9), k
+    assert all(a >= b for a, b in zip(t, t[1:]))
+    assert t[0] == 1_000_000_000 - 1 or t[0] == 1_000_000_000
+    # z^2 = 3.84 -> p ~ 0.05 (the 1.96 sigma landmark sits in-range)
+    assert 0.04e9 < t[38] < 0.06e9
+
+
+def test_bh_select_rejection_path(spark):
+    """analytics.bh_select on CONSTRUCTED p-values — the rejection path
+    the uniform fixture correctly never exercises (honest null needs
+    its own pin). Textbook BH step-up: m=10, q=0.1; p = (.001,.004,
+    .019,.095,.201,...) -> k*=3 (p3=.019 <= 3*.01, p4=.095 > .04 and
+    nothing later satisfies), so exactly the first three reject —
+    including the step-up subtlety that p3 rejects even though
+    p3 > 3*q/m would fail a step-DOWN test at earlier ranks."""
+    from dask_snowflake_spark.operators.analytics import bh_select
+
+    ps = [1, 4, 19, 95, 201, 300, 400, 500, 600, 700]  # milli*1e6 = nano/1e3
+    rows = [(f"h{i:02d}", p * 1_000_000) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "key string, p_q long")
+    out = {r.key: (r.bh_rank, r.bh_kstar, r.bh_rejected)
+           for r in bh_select(df, p_col="p_q", key_cols=("key",)).collect()}
+    assert out["h00"] == (1, 3, True)
+    assert out["h01"] == (2, 3, True)
+    assert out["h02"] == (3, 3, True)
+    assert all(not out[f"h{i:02d}"][2] for i in range(3, 10))
+
+
+def test_bh_fdr_matches_python_replica(spark, sf_oracle):
+    """xfc's z-test + table-interpolated p + BH step-up == a
+    from-scratch python replica; liveness = the correction WORKING on
+    uniform fixtures: naive p<0.05 flags >= 1 nation, BH rejects 0."""
+    import duckdb
+
+    from dask_snowflake_spark.ext_queries import _bh_pvalue_table
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT n.n_name, count(*), sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                       THEN 1 ELSE 0 END)
+        FROM '{sf_oracle}/orders.parquet' o
+        JOIN '{sf_oracle}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{sf_oracle}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+        """
+    ).fetchall()
+    N = sum(r[1] for r in rows)
+    X = sum(r[2] for r in rows)
+    m = len(rows)
+    t = _bh_pvalue_table()
+    scored = []
+    for name, n_i, x_i in rows:
+        num = x_i * N - n_i * X
+        z2_q = int((float(num) * num) / (float(n_i) * X * (N - X)) * 1e6 // 1)
+        z2c = min(z2_q, 63_999_999)
+        b = z2c // 100_000
+        p_q = t[b] - ((t[b] - t[b + 1]) * (z2c - b * 100_000)) // 100_000
+        scored.append((name, n_i, x_i, z2_q, p_q))
+    ranked = sorted(scored, key=lambda s: (s[4], s[0]))
+    kstar = 0
+    for k, s in enumerate(ranked, 1):
+        if s[4] * m * 10 <= k * 1_000_000_000:
+            kstar = k
+    rank_of = {s[0]: k for k, s in enumerate(ranked, 1)}
+    want = sorted(
+        (
+            name, n_i, x_i, z2_q, p_q / 1e9, rank_of[name],
+            p_q <= 50_000_000, rank_of[name] <= kstar,
+        )
+        for name, n_i, x_i, z2_q, p_q in scored
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry()["xfc_bh_fdr_control"].spark_fn(spark, sf_oracle).collect()
+    )
+    assert got == want
+    assert sum(1 for w in want if w[6]) >= 1  # naive flags something
+    assert sum(1 for w in want if w[7]) == 0  # BH correctly rejects none
