@@ -2466,3 +2466,80 @@ def test_bh_fdr_matches_python_replica(spark, sf_oracle):
     assert got == want
     assert sum(1 for w in want if w[6]) >= 1  # naive flags something
     assert sum(1 for w in want if w[7]) == 0  # BH correctly rejects none
+
+
+def test_did_readout_matches_python_replica(spark, sf_oracle):
+    """xfd's 2x2 diff-in-differences == a from-scratch python replica
+    (panel construction from raw events, exact cell moments, fixed-
+    order double estimate/z^2, erfc-table p). Liveness = the honest
+    null: random hash arms on organic data must NOT be significant."""
+    import duckdb
+    import hashlib
+
+    from dask_snowflake_spark.ext_queries import _bh_pvalue_table
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT),
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        FROM '{sf_oracle}/events.parquet'
+        """
+    ).fetchall()
+    dmin = min(r[3] for r in rows)
+    dmax = max(r[3] for r in rows)
+    mid = (dmin + dmax) // 2
+    panel: dict[tuple, int] = {}
+    for uid, et, cents, d in rows:
+        arm = (
+            "treat"
+            if int(hashlib.md5(f"did:{uid}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else "control"
+        )
+        per = "post" if d > mid else "pre"
+        panel[(uid, arm, per)] = panel.get((uid, arm, per), 0) + (
+            cents if et == "purchase" else 0
+        )
+    cell: dict[tuple, list] = {}
+    for (uid, arm, per), c in panel.items():
+        n, s, q = cell.get((arm, per), (0, 0, 0))
+        cell[(arm, per)] = (n + 1, s + c, q + c * c)
+
+    def m(k):
+        n, s, q = cell[k]
+        return float(s) / n
+
+    def v(k):
+        n, s, q = cell[k]
+        return float(q) / n - (float(s) / n) * (float(s) / n)
+
+    did = m(("treat", "post")) - m(("treat", "pre")) - m(("control", "post")) + m(
+        ("control", "pre")
+    )
+    sevar = sum(v(k) / cell[k][0] for k in cell)
+    import math
+
+    did_mc = math.floor(did * 1000)
+    z2_q = math.floor(did * did / sevar * 1_000_000)
+    t = _bh_pvalue_table()
+    z2c = min(z2_q, 63_999_999)
+    b = z2c // 100_000
+    p_q = t[b] - ((t[b] - t[b + 1]) * (z2c - b * 100_000)) // 100_000
+    want = (
+        cell[("treat", "post")][0],
+        cell[("treat", "pre")][0],
+        cell[("control", "post")][0],
+        cell[("control", "pre")][0],
+        did_mc / 100000.0,
+        z2_q,
+        (-1 if did_mc < 0 else 1) * p_q / 1e9,
+        p_q <= 50_000_000,
+    )
+    got = [
+        tuple(r)
+        for r in registry()["xfd_did_readout"].spark_fn(spark, sf_oracle).collect()
+    ]
+    assert got == [want]
+    assert want[7] is False  # honest null: hash arms carry no effect
