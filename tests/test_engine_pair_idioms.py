@@ -598,3 +598,74 @@ def test_bloom_shift_bitor_engine_identical(spark):
         con.close()
     want = (1, 1 << 61, (1 << 61) | (1 << 17) | 1, 1 << 61, 0)
     assert spark_rows == tuple(duck_rows) == want
+
+
+def test_literal_table_interpolation_engine_identical(spark):
+    """The r12 interpolated-literal-table idiom (quality_classifier
+    sigmoid, xfc/xfd erfc) relies on `element_at(lit_array, k)` vs
+    DuckDB list indexing plus the integer interpolation
+    `t[b] + (t[b+1] - t[b]) * off // W` being engine-identical.
+    Pinned on adversarial inputs: exact bucket edges (off = 0), the
+    last representable input (off = W-1), negative table deltas
+    (decreasing tables — erfc), a negative interpolation product, and
+    the clamp boundary — fixture-independent.
+
+    CONTRACT the pin itself discovered: the OFF operand must be
+    BIGINT-typed. DuckDB types a fitting literal list as INT32, and
+    INT32 table-delta x INT32 off overflows loudly at erfc-table
+    magnitudes (delta ~1.7e8 x off ~1e5 — the r10 INT32-literal
+    class); every production user (quality_classifier, xfc, xfd)
+    derives off from a BIGINT input, which promotes the multiply to
+    BIGINT on both engines. The probe spine below casts to BIGINT for
+    exactly that reason — remove the cast and DuckDB throws."""
+    import duckdb
+
+    table = [0, 7, 5, -3, 1_000_000_000]  # non-monotone on purpose
+    w = 125
+    probes = [0, 1, 124, 125, 249, 374, 499]  # edges + interior + last
+    lit = "[" + ",".join(str(v) for v in table) + "]"
+    spark_rows = [
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            SELECT s,
+                   element_at(array({",".join(str(v) for v in table)}),
+                              CAST(s div {w} AS INT) + 1)
+                   + ((element_at(array({",".join(str(v) for v in table)}),
+                                  CAST(s div {w} AS INT) + 2)
+                       - element_at(array({",".join(str(v) for v in table)}),
+                                    CAST(s div {w} AS INT) + 1))
+                      * (s - (s div {w}) * {w})) div {w} AS p
+            FROM (SELECT CAST(s0 AS BIGINT) AS s
+                  FROM VALUES {",".join(f"({p})" for p in probes)} AS t(s0))
+            ORDER BY s
+            """
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        duck_rows = con.execute(
+            f"""
+            SELECT s,
+                   {lit}[CAST((s // {w}) + 1 AS INT)]
+                   + (({lit}[CAST((s // {w}) + 2 AS INT)]
+                       - {lit}[CAST((s // {w}) + 1 AS INT)])
+                      * (s - (s // {w}) * {w})) // {w} AS p
+            FROM (SELECT CAST(s0 AS BIGINT) AS s
+                  FROM (VALUES {",".join(f"({p})" for p in probes)}) t(s0))
+            ORDER BY s
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+    # python // floors; engines truncate toward zero — compute the
+    # trunc-div reference explicitly
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    want = [
+        (s, table[s // w] + tdiv((table[s // w + 1] - table[s // w]) * (s - (s // w) * w), w))
+        for s in probes
+    ]
+    assert spark_rows == [tuple(r) for r in duck_rows] == want
