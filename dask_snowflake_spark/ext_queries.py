@@ -17280,3 +17280,112 @@ def xfd_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("signed_p"),
         (F.col("p_q") <= 50_000_000).alias("significant"),
     )
+
+
+@query(
+    "xfe_jackknife_se",
+    """
+    WITH d AS (
+        SELECT len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS nw,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> list_contains(['the','a','of','and','in','to','is'],
+                                      lower(x)))) AS ns
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(sum(nw) AS BIGINT) AS n_all,
+               CAST(sum(ns) AS BIGINT) AS s_all,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM d
+    ),
+    tq AS (
+        SELECT CAST(floor(CAST(t.s_all - d.ns AS DOUBLE)
+                          / greatest(t.n_all - d.nw, 1) * 1000000000)
+                    AS BIGINT) AS tq
+        FROM d LEFT JOIN tot t ON true
+    ),
+    m AS (
+        SELECT CAST(sum(tq) AS BIGINT) // CAST(count(*) AS BIGINT) AS mq
+        FROM tq
+    ),
+    ssd AS (
+        SELECT CAST(sum((tq - mq) * (tq - mq)) AS BIGINT) AS ssd
+        FROM tq LEFT JOIN m ON true
+    )
+    SELECT t.n_docs,
+           CAST(t.s_all * 1000000 // t.n_all AS BIGINT) / 1e6 AS theta,
+           sqrt(CAST((t.n_docs - 1) * s.ssd AS DOUBLE) / t.n_docs)
+               / 1000000000 AS jk_se,
+           CAST(s.ssd AS BIGINT) AS ssd_q
+    FROM tot t LEFT JOIN ssd s ON true
+    """,
+    "DELETE-ONE JACKKNIFE STANDARD ERROR (Quenouille/Tukey — the "
+    "closed-form resampling member next to xds's Poisson bootstrap: "
+    "the bootstrap resamples with RNG-derived weights, the jackknife "
+    "needs NO randomness because every leave-one-out replicate of a "
+    "RATIO statistic is computable from the totals by algebra — "
+    "theta_(-i) = (S - s_i)/(N - n_i) — so the all-replicates pass "
+    "is ONE corpus scan at any scale, the property that makes "
+    "jackknife THE production SE for ratio metrics): statistic = "
+    "corpus stopword rate S/N over documents; per-doc replicate "
+    "floor-quantized at 1e-9 from ONE double division of exact "
+    "BIGINTs (identical inputs -> identical IEEE doubles both "
+    "engines, x37 reasoning — no libm in sight, no boundary "
+    "contract needed), centered by the integer mean (trunc-div), "
+    "SSD as exact integer sum of squared nano-deviations (two-pass "
+    "centered form — the one-pass moment form sum(tq^2) would "
+    "overflow BIGINT at fixture scale; deviations are self-limiting "
+    "~s_i/N so the centered sum SHRINKS as the corpus grows), "
+    "SE = sqrt((n-1) ssd / n)/1e9 — sqrt of identical doubles. "
+    "theta via the pinned count-ratio quantization. Scale shape: "
+    "one text scan + a broadcast one-row totals fold + one centered "
+    "aggregate; python replica re-derives everything",
+    ("documents", "text", "analytics"),
+)
+def xfe_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in text_ops.STOPWORDS])
+    d = t["documents"].select(
+        F.size(words).cast("long").alias("nw"),
+        F.size(
+            F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+        )
+        .cast("long")
+        .alias("ns"),
+    )
+    tot = d.agg(
+        F.sum("nw").cast("long").alias("n_all"),
+        F.sum("ns").cast("long").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tq = d.join(F.broadcast(tot), how="left").select(
+        F.expr(
+            "CAST(floor(CAST(s_all - ns AS DOUBLE)"
+            " / greatest(n_all - nw, 1) * 1000000000) AS BIGINT)"
+        ).alias("tq")
+    )
+    m = tq.agg(
+        F.expr(
+            "CAST(sum(tq) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("mq")
+    )
+    ssd = (
+        tq.join(F.broadcast(m), how="left")
+        .agg(
+            F.sum((F.col("tq") - F.col("mq")) * (F.col("tq") - F.col("mq")))
+            .cast("long")
+            .alias("ssd")
+        )
+    )
+    return tot.join(F.broadcast(ssd), how="left").select(
+        "n_docs",
+        F.expr("CAST(s_all * 1000000 div n_all AS BIGINT) / 1e6").alias("theta"),
+        F.expr(
+            "sqrt(CAST((n_docs - 1) * ssd AS DOUBLE) / n_docs) / 1000000000"
+        ).alias("jk_se"),
+        F.col("ssd").cast("long").alias("ssd_q"),
+    )

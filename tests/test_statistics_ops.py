@@ -2543,3 +2543,53 @@ def test_did_readout_matches_python_replica(spark, sf_oracle):
     ]
     assert got == [want]
     assert want[7] is False  # honest null: hash arms carry no effect
+
+
+def test_jackknife_se_matches_python_replica(spark, sf_oracle):
+    """xfe's closed-form delete-one jackknife == a from-scratch python
+    replica (re.split counts, per-doc LOO ratio replicates,
+    nano-quantization, trunc-div centering, exact SSD). Liveness: the
+    SE is positive and small relative to theta (a ratio over ~1e5
+    words is tightly estimated), and theta matches the pooled rate."""
+    import duckdb
+    import math
+    import re
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM '{sf_oracle}/documents.parquet'"
+        ).fetchall()
+    ]
+    stop = {"the", "a", "of", "and", "in", "to", "is"}
+    docs = []
+    for t in texts:
+        ws = [w for w in re.split(r"\s+", t.strip()) if w]
+        docs.append((len(ws), sum(1 for w in ws if w.lower() in stop)))
+    N = sum(d[0] for d in docs)
+    S = sum(d[1] for d in docs)
+    n = len(docs)
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    tq = [
+        math.floor((S - ns) / max(N - nw, 1) * 1_000_000_000) for nw, ns in docs
+    ]
+    mq = tdiv(sum(tq), n)
+    ssd = sum((t - mq) * (t - mq) for t in tq)
+    want = (
+        n,
+        (S * 1_000_000 // N) / 1e6,
+        math.sqrt((n - 1) * ssd / n) / 1e9,
+        ssd,
+    )
+    got = [
+        tuple(r)
+        for r in registry()["xfe_jackknife_se"].spark_fn(spark, sf_oracle).collect()
+    ]
+    assert got == [want]
+    assert 0 < want[2] < want[1] / 10
