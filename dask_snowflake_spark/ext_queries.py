@@ -17389,3 +17389,127 @@ def xfe_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jk_se"),
         F.col("ssd").cast("long").alias("ssd_q"),
     )
+
+
+@query(
+    "xff_capture_recapture",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_cand_sql()},
+    {_JACCARD_CTES},
+    pop AS (
+        -- mirrors minhash_near_dup's own verify form EXACTLY
+        -- (round(ratio, 6) >= 0.8, the engine-pair-safe count-ratio
+        -- round — NOT the cross-mult form other queries use: a
+        -- different-but-equivalent formulation here would be the xb6
+        -- fixture-luck class)
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.8
+    ),
+    caught AS (
+        SELECT doc_a, doc_b,
+               ('0x' || substr(md5('cra:' || doc_a || ':' || doc_b), 1, 15))::BIGINT
+                   % 2 = 0 AS in_a,
+               ('0x' || substr(md5('crb:' || doc_a || ':' || doc_b), 1, 15))::BIGINT
+                   % 2 = 0 AS in_b
+        FROM pop
+    ),
+    counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both
+        FROM caught
+    )
+    SELECT n_a, n_b, n_both, n_true,
+           ((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 AS n_hat_chapman,
+           CAST(CASE WHEN ((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 = 0 THEN 0
+                ELSE n_a * 1000000
+                     // (((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1) END
+                AS BIGINT) / 1e6 AS coverage_a,
+           CAST(floor(sqrt(
+               CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+               * (n_a - n_both) * (n_b - n_both)
+               / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1) * (n_both + 2))
+           )) AS BIGINT) AS se_chapman,
+           abs(((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 - n_true)
+               <= 2 * CAST(floor(sqrt(
+                   CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+                   * (n_a - n_both) * (n_b - n_both)
+                   / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1) * (n_both + 2))
+               )) AS BIGINT) + 1 AS estimate_within_2se
+    FROM counts
+    """,
+    "CAPTURE-RECAPTURE POPULATION ESTIMATE (Lincoln-Petersen via the "
+    "Chapman 1951 bias-corrected form — the mark-recapture estimator "
+    "as corpus QA: when near-dup VERIFICATION is budgeted, two "
+    "independently-sampled verification passes over the same "
+    "candidate population estimate the FULL verified-dup count "
+    "without ever verifying everything — 'how many dup pairs exist' "
+    "from two cheap half-passes, the wildlife-census trick applied "
+    "to data curation): population = LSH candidates passing the "
+    "exact-Jaccard 0.8 verify (round-6 count-ratio form, mirroring "
+    "minhash_near_dup's own filter EXACTLY — a different-but-"
+    "equivalent cross-mult here would be the xb6 fixture-luck class), "
+    "capture A/B = two INDEPENDENT deterministic hash samples of the "
+    "verification budget (portable md5, 50% each — the capture "
+    "process is the sampling, stated plainly; classic LP instead "
+    "assumes two independent DETECTORS, whose catchability varies "
+    "with pair similarity — heterogeneous-catchability bias the "
+    "sampled-verification framing avoids), Chapman N-hat = "
+    "(n_a+1)(n_b+1) div (n_both+1) - 1 in exact integers, coverage "
+    "as the pinned count-ratio quantization. Fixture luxury: n_true "
+    "is computable exactly (25 pairs at sf0.01), so the output "
+    "carries the Chapman SE (one fixed double expression over the "
+    "exact counters, Seber 1982 form) and a within-2-SE sanity flag "
+    "that stays honest at every scale (an absolute band would fail "
+    "as SE grows ~sqrt(N) — measured: SE 5 at sf0.01, 47 at 10x); "
+    "python replica re-derives capture sets and "
+    "estimator. Scale: rides the existing LSH candidate machinery, "
+    "plus one 4-counter aggregate",
+    ("documents", "dedup", "analytics"),
+)
+def xff_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    pop = dedup_ops.minhash_near_dup(
+        t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
+    ).select("doc_a", "doc_b")
+    key = F.concat(
+        F.col("doc_a").cast("string"), F.lit(":"), F.col("doc_b").cast("string")
+    )
+    caught = pop.select(
+        (F.pmod(dedup_ops.portable_hash(key, F.lit("cra")), F.lit(2)) == 0).alias(
+            "in_a"
+        ),
+        (F.pmod(dedup_ops.portable_hash(key, F.lit("crb")), F.lit(2)) == 0).alias(
+            "in_b"
+        ),
+    )
+    counts = caught.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+    )
+    chapman = "((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1"
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_true",
+        F.expr(chapman).cast("long").alias("n_hat_chapman"),
+        F.expr(
+            f"CAST(CASE WHEN {chapman} = 0 THEN 0"
+            f" ELSE n_a * 1000000 div ({chapman}) END AS BIGINT) / 1e6"
+        ).alias("coverage_a"),
+        F.expr("CAST(floor(sqrt(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) * (n_a - n_both) * (n_b - n_both) / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1) * (n_both + 2)))) AS BIGINT)").alias("se_chapman"),
+        F.expr(f"abs({chapman} - n_true) <= 2 * CAST(floor(sqrt(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) * (n_a - n_both) * (n_b - n_both) / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1) * (n_both + 2)))) AS BIGINT) + 1").alias(
+            "estimate_within_2se"
+        ),
+    )

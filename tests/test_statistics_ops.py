@@ -2593,3 +2593,72 @@ def test_jackknife_se_matches_python_replica(spark, sf_oracle):
     ]
     assert got == [want]
     assert 0 < want[2] < want[1] / 10
+
+
+def test_capture_recapture_matches_python_replica(spark, sf_oracle):
+    """xff's Chapman estimate == a from-scratch python replica that
+    re-derives the verified-pair population (shingle sets, exact
+    Jaccard at the operator's round-6 form), the two md5 capture
+    samples and the estimator. Liveness: both samples are proper
+    subsets, the overlap is nonempty, and the estimate lands within
+    the sanity band of the exact population."""
+    import duckdb
+    import hashlib
+    import re
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    sh = {}
+    for did, text in rows:
+        w = re.split(r"\s+", text)
+        grams = {
+            " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))
+        }
+        sh[did] = {
+            int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:15], 16) for g in grams
+        }
+    ids = sorted(sh)
+    pop = []
+    # exhaustive truth is fine at replica scale; the engine pair uses
+    # LSH candidates, which at J >= 0.8 with 8 bands of 2 rows have
+    # ~certain capture, so the populations coincide (asserted below
+    # via n_true equality with the engine output)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sh[a] & sh[b])
+            if c and round(c / (len(sh[a]) + len(sh[b]) - c), 6) >= 0.8:
+                pop.append((a, b))
+    def h(seed, a, b):
+        return int(hashlib.md5(f"{seed}:{a}:{b}".encode()).hexdigest()[:15], 16)
+    n_a = sum(1 for a, b in pop if h("cra", a, b) % 2 == 0)
+    n_b = sum(1 for a, b in pop if h("crb", a, b) % 2 == 0)
+    n_both = sum(
+        1 for a, b in pop if h("cra", a, b) % 2 == 0 and h("crb", a, b) % 2 == 0
+    )
+    n_true = len(pop)
+    n_hat = (n_a + 1) * (n_b + 1) // (n_both + 1) - 1
+    import math
+
+    se = math.floor(
+        math.sqrt(
+            (n_a + 1) * (n_b + 1) * (n_a - n_both) * (n_b - n_both)
+            / ((n_both + 1) * (n_both + 1) * (n_both + 2))
+        )
+    )
+    want = (
+        n_a, n_b, n_both, n_true, n_hat,
+        (n_a * 1_000_000 // n_hat) / 1e6 if n_hat else 0.0,
+        se,
+        abs(n_hat - n_true) <= 2 * se + 1,
+    )
+    got = [
+        tuple(r)
+        for r in registry()["xff_capture_recapture"].spark_fn(spark, sf_oracle).collect()
+    ]
+    assert got == [want]
+    assert 0 < n_a < n_true and 0 < n_b < n_true and n_both > 0
+    assert want[7] is True
