@@ -16930,7 +16930,7 @@ def _bh_pvalue_table() -> list[int]:
 
 
 @query(
-    "xfc_bh_fdr_control",
+    "bh_fdr_control",
     f"""
     WITH cell AS (
         SELECT n.n_name AS nation,
@@ -17010,7 +17010,7 @@ def _bh_pvalue_table() -> list[int]:
     "unpartitioned windows ride the 25-row hypothesis frame",
     ("orders", "customer", "nation", "analytics"),
 )
-def xfc_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators import analytics as an_ops
@@ -17092,7 +17092,7 @@ def xfc_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xfd_did_readout",
+    "did_readout",
     f"""
     WITH ev AS (
         SELECT user_id, event_type, value,
@@ -17187,7 +17187,7 @@ def xfc_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus size",
     ("events", "analytics"),
 )
-def xfd_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     ev = t["events"].select(
         "user_id",
@@ -17283,7 +17283,7 @@ def xfd_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xfe_jackknife_se",
+    "jackknife_se",
     """
     WITH d AS (
         SELECT len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -17343,7 +17343,7 @@ def xfd_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate; python replica re-derives everything",
     ("documents", "text", "analytics"),
 )
-def xfe_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -17392,7 +17392,7 @@ def xfe_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xff_capture_recapture",
+    "capture_recapture",
     f"""
     WITH {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -17473,7 +17473,7 @@ def xfe_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus one 4-counter aggregate",
     ("documents", "dedup", "analytics"),
 )
-def xff_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     pop = dedup_ops.minhash_near_dup(
         t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8

@@ -249,7 +249,7 @@ def xey_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q10_rollup_cube",
+    "xfg_rollup_cube",
     """
     SELECT 'rollup' AS grouping_kind, l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
@@ -267,7 +267,7 @@ def xey_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ROLLUP (hierarchical subtotals) and CUBE (all subtotal combinations) grouping sets",
     ("aggregation",),
 )
-def q10_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     aggs = (F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
     rolled = (
@@ -995,7 +995,7 @@ def x48_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q20_null_cast",
+    "xfh_null_cast",
     """
     SELECT o_orderkey,
            coalesce(nullif(o_orderstatus, 'P'), 'PENDING')  AS status_norm,
@@ -1011,7 +1011,7 @@ def x48_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CASE-produced nulls, na.fill over a produced null",
     ("functions",),
 )
-def q20_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfh_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     big = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
     out = (
@@ -1038,7 +1038,7 @@ def q20_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q21_json_semistructured",
+    "xfi_json_semistructured",
     """
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -1052,7 +1052,7 @@ def q20_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from_json with an explicit schema -> typed struct field access",
     ("functions", "json"),
 )
-def q21_json_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfi_json_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     # both access paths: string-path extraction for the filter, schema'd
     # from_json struct for the typed projection
@@ -1390,7 +1390,7 @@ def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "file_parquet_partitioned_sink",
+    "xfj_file_parquet_sink",
     """
     SELECT l_returnflag, count(*) AS n
     FROM lineitem
@@ -1401,7 +1401,7 @@ def xa1_file_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioned parquet sink + partition-pruned scan (only 2 of 3 partitions read back)",
     ("source", "sink"),
 )
-def file_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfj_file_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     path = _scratch_dir("q38_parquet", sf_dir)
     t["lineitem"].select("l_orderkey", "l_returnflag").write.mode("overwrite").partitionBy(

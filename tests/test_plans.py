@@ -203,7 +203,7 @@ def test_tfidf_corpus_size_is_broadcast_scalar(spark, sf_oracle):
 def test_rollup_cube_uses_expand(spark, sf_oracle):
     """Grouping sets must compile to Expand (one pass over the input),
     not a union of separate aggregations per grouping set."""
-    df = registry()["q10_rollup_cube"].spark_fn(spark, sf_oracle)
+    df = registry()["xfg_rollup_cube"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "Expand" in p, p
 

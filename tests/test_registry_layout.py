@@ -114,13 +114,26 @@ def test_priority_window_covers_every_surface():
     # flow_stream_join's stream-stream interval join; driver-green
     # r1-r11) and conformal_interval -> xfb_ (driver-green r10-r11;
     # its split/rank mechanisms also ride the eval family).
+    # Third r12 rotation (same round): promote bh_fdr_control (ex-xfc,
+    # multiple-testing), did_readout (ex-xfd, observational-causal),
+    # jackknife_se (ex-xfe, closed-form resampling) and
+    # capture_recapture (ex-xff, dedup-coverage estimation); demote
+    # q10_rollup_cube -> xfg_ (grouping-sets Expand pass driver-green
+    # r1-r11; also rides x32's multi-resolution rollup), q20_null_cast
+    # -> xfh_ (null/cast semantics run inside every in-window query's
+    # coalesce/cast paths; driver-green r1-r11), q21_json_semistructured
+    # -> xfi_ (driver-green r1-r11; the VARIANT surface rides xaa) and
+    # file_parquet_partitioned_sink -> xfj_ (partitioned-sink mechanics
+    # ride driver-green file_bucketed_join's table sink + xep's ORC
+    # roundtrip; driver-green r1-r11).
     prefixes = (
-        "acf_", "ann_", "attribution_", "bloom_", "bpe_", "cluster_",
-        "cms_", "connector_", "content_", "dbscan_", "dedup_",
-        "doc_", "dsir_", "eb_", "file_", "flow_", "fn_udf_",
-        "governance_", "graph_", "hits_", "ks_", "mm_", "pca_",
-        "pipeline_", "profile_", "q0", "q1", "q2", "quality_", "rfm_",
-        "sprt_", "temperature_", "vocab_",
+        "acf_", "ann_", "attribution_", "bh_", "bloom_", "bpe_",
+        "capture_", "cluster_", "cms_", "connector_", "content_",
+        "dbscan_", "dedup_", "did_", "doc_", "dsir_", "eb_", "file_",
+        "flow_", "fn_udf_", "governance_", "graph_", "hits_",
+        "jackknife_", "ks_", "mm_", "pca_", "pipeline_", "profile_",
+        "q0", "q1", "q2", "quality_", "rfm_", "sprt_", "temperature_",
+        "vocab_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

@@ -2461,7 +2461,7 @@ def test_bh_fdr_matches_python_replica(spark, sf_oracle):
     )
     got = sorted(
         tuple(r)
-        for r in registry()["xfc_bh_fdr_control"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["bh_fdr_control"].spark_fn(spark, sf_oracle).collect()
     )
     assert got == want
     assert sum(1 for w in want if w[6]) >= 1  # naive flags something
@@ -2539,7 +2539,7 @@ def test_did_readout_matches_python_replica(spark, sf_oracle):
     )
     got = [
         tuple(r)
-        for r in registry()["xfd_did_readout"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["did_readout"].spark_fn(spark, sf_oracle).collect()
     ]
     assert got == [want]
     assert want[7] is False  # honest null: hash arms carry no effect
@@ -2589,7 +2589,7 @@ def test_jackknife_se_matches_python_replica(spark, sf_oracle):
     )
     got = [
         tuple(r)
-        for r in registry()["xfe_jackknife_se"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["jackknife_se"].spark_fn(spark, sf_oracle).collect()
     ]
     assert got == [want]
     assert 0 < want[2] < want[1] / 10
@@ -2657,7 +2657,7 @@ def test_capture_recapture_matches_python_replica(spark, sf_oracle):
     )
     got = [
         tuple(r)
-        for r in registry()["xff_capture_recapture"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["capture_recapture"].spark_fn(spark, sf_oracle).collect()
     ]
     assert got == [want]
     assert 0 < n_a < n_true and 0 < n_b < n_true and n_both > 0
