@@ -16950,11 +16950,12 @@ def _bh_pvalue_table() -> list[int]:
     ),
     z AS (
         SELECT nation, n_i, x_i, m,
-               CAST(floor(
-                   (CAST(x_i * n_all - n_i * x_all AS DOUBLE)
-                    * (x_i * n_all - n_i * x_all))
-                   / (CAST(n_i AS DOUBLE) * x_all * (n_all - x_all))
-                   * 1000000) AS BIGINT) AS z2_q
+               CAST(CASE WHEN x_all = 0 OR x_all = n_all THEN 0
+                    ELSE CAST(floor(
+                        (CAST(x_i * n_all - n_i * x_all AS DOUBLE)
+                         * (x_i * n_all - n_i * x_all))
+                        / (CAST(n_i AS DOUBLE) * x_all * (n_all - x_all))
+                        * 1000000) AS BIGINT) END AS BIGINT) AS z2_q
         FROM tot
     ),
     tab AS (SELECT {_bh_pvalue_table()} AS t),
@@ -17006,6 +17007,10 @@ def _bh_pvalue_table() -> list[int]:
     "flags ~2 nations, BH correctly rejects ZERO (replica-asserted "
     "— the correction visibly working); the rejection path is "
     "pinned by a constructed-p unit test on analytics.bh_select. "
+    "Degenerate global rates (x_all = 0 or x_all = n_all — no or all "
+    "URGENT orders) CASE-guard z^2 to 0 identically on both sides "
+    "(the x73 rule: total function on ANY fixture, never an "
+    "engine-divergent Inf/NaN). "
     "Scale shape: one orders scan -> nation-bounded lattice; the "
     "unpartitioned windows ride the 25-row hypothesis frame",
     ("orders", "customer", "nation", "analytics"),
@@ -17049,11 +17054,12 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_i",
         "m",
         F.expr(
-            "CAST(floor("
+            "CAST(CASE WHEN x_all = 0 OR x_all = n_all THEN 0"
+            " ELSE CAST(floor("
             " (CAST(x_i * n_all - n_i * x_all AS DOUBLE)"
             "  * (x_i * n_all - n_i * x_all))"
             " / (CAST(n_i AS DOUBLE) * x_all * (n_all - x_all))"
-            " * 1000000) AS BIGINT)"
+            " * 1000000) AS BIGINT) END AS BIGINT)"
         ).alias("z2_q"),
     )
     tab = _bh_pvalue_table()
@@ -17129,11 +17135,17 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     est AS (
         SELECT *,
-               CAST(floor(
+               CAST(CASE WHEN n_tp = 0 OR n_tq = 0 OR n_cp = 0 OR n_cq = 0 THEN 0
+                    ELSE CAST(floor(
                    (CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tq AS DOUBLE) / n_tq
                     - CAST(s_cp AS DOUBLE) / n_cp + CAST(s_cq AS DOUBLE) / n_cq)
-                   * 1000) AS BIGINT) AS did_mc,
-               CAST(floor(
+                   * 1000) AS BIGINT) END AS BIGINT) AS did_mc,
+               CAST(CASE WHEN n_tp = 0 OR n_tq = 0 OR n_cp = 0 OR n_cq = 0 THEN 0
+                    WHEN ((CAST(q_tp AS DOUBLE) / n_tp - (CAST(s_tp AS DOUBLE) / n_tp) * (CAST(s_tp AS DOUBLE) / n_tp)) / n_tp
+                      + (CAST(q_tq AS DOUBLE) / n_tq - (CAST(s_tq AS DOUBLE) / n_tq) * (CAST(s_tq AS DOUBLE) / n_tq)) / n_tq
+                      + (CAST(q_cp AS DOUBLE) / n_cp - (CAST(s_cp AS DOUBLE) / n_cp) * (CAST(s_cp AS DOUBLE) / n_cp)) / n_cp
+                      + (CAST(q_cq AS DOUBLE) / n_cq - (CAST(s_cq AS DOUBLE) / n_cq) * (CAST(s_cq AS DOUBLE) / n_cq)) / n_cq) <= 0 THEN 0
+                    ELSE CAST(floor(
                    ((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tq AS DOUBLE) / n_tq
                      - CAST(s_cp AS DOUBLE) / n_cp + CAST(s_cq AS DOUBLE) / n_cq)
                     * (CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tq AS DOUBLE) / n_tq
@@ -17142,7 +17154,7 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + (CAST(q_tq AS DOUBLE) / n_tq - (CAST(s_tq AS DOUBLE) / n_tq) * (CAST(s_tq AS DOUBLE) / n_tq)) / n_tq
                       + (CAST(q_cp AS DOUBLE) / n_cp - (CAST(s_cp AS DOUBLE) / n_cp) * (CAST(s_cp AS DOUBLE) / n_cp)) / n_cp
                       + (CAST(q_cq AS DOUBLE) / n_cq - (CAST(s_cq AS DOUBLE) / n_cq) * (CAST(s_cq AS DOUBLE) / n_cq)) / n_cq)
-                   * 1000000) AS BIGINT) AS z2_q
+                   * 1000000) AS BIGINT) END AS BIGINT) AS z2_q
         FROM cells
     ),
     tab AS (SELECT {_bh_pvalue_table()} AS t),
@@ -17181,7 +17193,12 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Honest null: random hash arms on organic data -> |z| ~ 1.1, "
     "not significant (replica-asserted); the mechanism's arithmetic "
     "is pinned by the replica re-deriving everything from raw "
-    "events. Headroom: cents^2 sums hold BIGINT to ~9e8 user-periods "
+    "events. Degenerate panels (any empty 2x2 cell, or zero pooled "
+    "variance incl. tiny-negative float cancellation) CASE-guard "
+    "did_mc/z2_q to 0 identically on both sides (x73 rule — total "
+    "function; an unguarded zero variance could even drive z2_q "
+    "NEGATIVE and index the erfc table out of range). "
+    "Headroom: cents^2 sums hold BIGINT to ~9e8 user-periods "
     "at $1k spends (pre-scale to dollars beyond). One events scan + "
     "one user-keyed agg + a 12-counter combine — scan-speed at any "
     "corpus size",
@@ -17245,11 +17262,18 @@ def did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (CAST(q_cp AS DOUBLE) / n_cp - (CAST(s_cp AS DOUBLE) / n_cp) * (CAST(s_cp AS DOUBLE) / n_cp)) / n_cp"
         " + (CAST(q_cq AS DOUBLE) / n_cq - (CAST(s_cq AS DOUBLE) / n_cq) * (CAST(s_cq AS DOUBLE) / n_cq)) / n_cq)"
     )
+    zero_cell = "(n_tp = 0 OR n_tq = 0 OR n_cp = 0 OR n_cq = 0)"
     est = cells.select(
         "*",
-        F.expr(f"CAST(floor({did_expr} * 1000) AS BIGINT)").alias("did_mc"),
         F.expr(
-            f"CAST(floor(({did_expr} * {did_expr}) / {var_expr} * 1000000) AS BIGINT)"
+            f"CAST(CASE WHEN {zero_cell} THEN 0"
+            f" ELSE CAST(floor({did_expr} * 1000) AS BIGINT) END AS BIGINT)"
+        ).alias("did_mc"),
+        F.expr(
+            f"CAST(CASE WHEN {zero_cell} THEN 0"
+            f" WHEN {var_expr} <= 0 THEN 0"
+            f" ELSE CAST(floor(({did_expr} * {did_expr}) / {var_expr} * 1000000)"
+            " AS BIGINT) END AS BIGINT)"
         ).alias("z2_q"),
     )
     tab = _bh_pvalue_table()

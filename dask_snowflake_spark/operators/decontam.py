@@ -79,6 +79,29 @@ def ngram_overlap(
 BLOOM_BITS_PER_WORD = 62
 BLOOM_K = 4
 
+# Metadata row marker: bloom_build emits one (word_idx = -1, bits =
+# fingerprint(n_words, seed)) row so bloom_probe can verify the probe
+# parameters match the build parameters — a mismatched n_words or seed
+# shifts every position and silently reads as all-clear bits (false
+# negatives) otherwise. The fingerprint is a 60-bit positive constant
+# (sign + bits 60..62 clear), so the metadata row obeys the same
+# plain-positive-BIGINT contract as data words, and it survives the
+# merge law: bit_or of two IDENTICAL fingerprints is the fingerprint,
+# while merging indexes built with different parameters ORs two
+# different fingerprints into a value matching neither — the probe
+# then fails loudly instead of returning silent false negatives.
+BLOOM_META_WORD_IDX = -1
+
+
+def _bloom_fingerprint(n_words: int, seed: str) -> int:
+    """Deterministic 60-bit parameter fingerprint for the metadata row."""
+    import hashlib
+
+    digest = hashlib.md5(
+        f"bloommeta:{n_words}:{seed}:{BLOOM_K}:{BLOOM_BITS_PER_WORD}".encode()
+    ).hexdigest()
+    return int(digest[:15], 16)
+
 
 def bloom_build(
     keys: DataFrame,
@@ -98,7 +121,11 @@ def bloom_build(
     corpus-side seen-before index (incremental dedup, URL dedup,
     cross-shard membership) needs constant size per shard and
     lossless merge, which counts (cms) and bit arrays (this) give.
-    One map-side-combinable aggregation, <= n_words output rows."""
+    One map-side-combinable aggregation, <= n_words + 1 output rows
+    (the extra row is the ``word_idx = -1`` parameter-fingerprint
+    metadata row that ``bloom_probe`` validates against — see
+    ``BLOOM_META_WORD_IDX``; it rides the merge law unchanged for
+    same-parameter shards)."""
     m_bits = n_words * BLOOM_BITS_PER_WORD
     rows_ = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("r")
     pos = F.expr(
@@ -115,9 +142,17 @@ def bloom_build(
             F.expr(f"__pos % {BLOOM_BITS_PER_WORD}").alias("bit"),
         )
     )
-    return cells.groupBy("word_idx").agg(
+    data_words = cells.groupBy("word_idx").agg(
         F.expr("bit_or(shiftleft(1L, cast(bit as int)))").cast("long").alias("bits")
     )
+    meta_row = (
+        keys.sparkSession.range(1)
+        .select(
+            F.lit(BLOOM_META_WORD_IDX).cast("long").alias("word_idx"),
+            F.lit(_bloom_fingerprint(n_words, seed)).cast("long").alias("bits"),
+        )
+    )
+    return data_words.unionByName(meta_row)
 
 
 def bloom_probe(
@@ -131,8 +166,40 @@ def bloom_probe(
     """Probe keys against a ``bloom_build`` index: per probe key,
     ``n_bits_set`` (0..K) and ``bloom_says`` (all K bits set — the
     maybe-present verdict; any clear bit proves absence). A missing
-    word_idx row counts as all-zero bits (left join + coalesce)."""
+    word_idx row counts as all-zero bits (left join + coalesce).
+
+    The index's ``word_idx = -1`` metadata row is validated against
+    this call's ``(n_words, seed)`` fingerprint in-plan (consumed
+    expression, so Catalyst cannot prune it): a mismatch — different
+    build parameters, a hand-built frame, or a merge of
+    differently-parameterized shards — raises loudly instead of
+    shifting every position and returning silent false negatives."""
     m_bits = n_words * BLOOM_BITS_PER_WORD
+    expected_fp = _bloom_fingerprint(n_words, seed)
+    meta = bloom.filter(F.col("word_idx") == BLOOM_META_WORD_IDX).agg(
+        F.count(F.lit(1)).cast("long").alias("__meta_n"),
+        F.max("bits").cast("long").alias("__meta_bits"),
+    )
+    param_guard = (
+        F.when(
+            (F.col("__meta_n") == 1)
+            & (F.col("__meta_bits") == F.lit(expected_fp)),
+            F.lit(0),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bloom_probe: index metadata row missing or mismatched — "
+                    f"this index was not built by bloom_build(n_words={n_words}, "
+                    f"seed={seed!r}) (or shards with different parameters were "
+                    "merged); rebuild the index or probe with the build's own "
+                    "n_words/seed, otherwise every position shifts and the "
+                    "probe returns silent false negatives"
+                )
+            )
+        )
+        .cast("long")
+    )
     rows_ = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("r")
     pos = F.expr(
         f"cast(conv(substring(__h, r * 6 + 1, 6), 16, 10) as bigint) % {m_bits}"
@@ -157,8 +224,11 @@ def bloom_probe(
         cells.join(F.broadcast(bloom), "word_idx", "left")
         .select("probe_key", hit.cast("int").alias("__hit"))
         .groupBy("probe_key")
-        .agg(
-            F.sum("__hit").cast("long").alias("n_bits_set"),
-            (F.sum("__hit") == BLOOM_K).alias("bloom_says"),
+        .agg(F.sum("__hit").cast("long").alias("__nb"))
+        .join(F.broadcast(meta), how="cross")
+        .select(
+            "probe_key",
+            (F.col("__nb") + param_guard).cast("long").alias("n_bits_set"),
+            ((F.col("__nb") + param_guard) == BLOOM_K).alias("bloom_says"),
         )
     )

@@ -410,6 +410,49 @@ def test_bloom_false_positive_path_and_merge(spark):
         .groupBy("word_idx")
         .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
     )
-    assert [tuple(r) for r in merged.collect()] == [
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in bloom.collect()
-    ]
+    )
+    # the merge law preserves the parameter-fingerprint metadata row
+    # (same-parameter shards OR identical fingerprints), so the merged
+    # index stays probeable
+    got_merged = {
+        r.probe_key: r.bloom_says
+        for r in bloom_probe(merged, probes, key_col="key", n_words=1).collect()
+    }
+    assert got_merged[tn] is False
+
+
+def test_bloom_probe_rejects_mismatched_build_params(spark):
+    """bloom_probe must raise loudly (not silently return false
+    negatives) when probed with a different n_words or seed than the
+    index was built with — positions shift and missing word_idx rows
+    would read as all-zero bits otherwise (ADVICE r12). The guard is
+    the word_idx=-1 fingerprint metadata row, validated in a consumed
+    expression so Catalyst cannot prune it."""
+    import pytest
+
+    from dask_snowflake_spark.operators.decontam import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(f"key{i}",) for i in range(20)], "key string")
+    probes = spark.createDataFrame([("key0",), ("nope",)], "key string")
+
+    bloom2 = bloom_build(mdf, n_words=2, seed="bl")
+    # wrong n_words
+    with pytest.raises(Exception, match="bloom_probe: index metadata"):
+        bloom_probe(bloom2, probes, key_col="key", n_words=1, seed="bl").collect()
+    # wrong seed
+    with pytest.raises(Exception, match="bloom_probe: index metadata"):
+        bloom_probe(bloom2, probes, key_col="key", n_words=2, seed="other").collect()
+    # matching parameters pass and probe a present key as maybe-present
+    ok = {
+        r.probe_key: r.bloom_says
+        for r in bloom_probe(
+            bloom2, probes, key_col="key", n_words=2, seed="bl"
+        ).collect()
+    }
+    assert ok["key0"] is True
+    # a metadata-free (hand-built) frame is rejected too
+    data_only = bloom2.filter("word_idx >= 0")
+    with pytest.raises(Exception, match="bloom_probe: index metadata"):
+        bloom_probe(data_only, probes, key_col="key", n_words=2, seed="bl").collect()
