@@ -11781,11 +11781,16 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "support-2 co-purchase graph, top-20 non-adjacent part pairs by "
     "common-neighbor count with neighborhood-Jaccard cn/(du+dv-cn) "
     "integer-quantized at 1e-6. Spark side reuses the x94 IN-ARRAY "
-    "wedge kernel: per-center sorted neighbor arrays, map-side "
-    "explode of in-array (i<j) pairs — one wedge row per common "
-    "neighbor, so ONE groupBy counts the score — then a left-anti "
-    "join against the canonical edge set and two degree joins "
-    "(differently-named keys; the xdb same-lineage rule). Centers "
+    "wedge kernel: per-center sorted neighbor arrays of (v, deg_v) "
+    "STRUCTS — each neighbor's degree is a window count over the "
+    "symmetric edge list attached BEFORE collection, so the wedge "
+    "explode carries both endpoint degrees and no degree join exists "
+    "in the plan (the former deg_u/deg_v joins re-joined an aggregate "
+    "onto its own lineage and straddled an AQE broadcast threshold — "
+    "the r12 jobs_spread 10<->11 flip, fixed by the x87 window "
+    "recipe) — map-side explode of in-array (i<j) pairs, one wedge "
+    "row per common neighbor, ONE groupBy counts the score, then a "
+    "left-anti join against the canonical edge set. Centers "
     "with degree > 64 are excluded ON BOTH SIDES (explicit semantics: "
     "hub-mediated co-occurrence is uninformative for link prediction "
     "AND the cap bounds wedge fan-out at sum(min(deg,64)^2) — the "
@@ -11808,11 +11813,25 @@ def xdx_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n_ab") >= 2)
         .select("u", "v")
     )
+    from pyspark.sql.window import Window as W
+
     from .operators.graph import _both_directions
 
     und = _both_directions(edges, "u", "v").distinct()
-    adj = und.groupBy("__u").agg(F.sort_array(F.collect_list("__v")).alias("nb"))
-    deg = adj.select(F.col("__u").alias("p"), F.size("nb").cast("long").alias("d"))
+    # Attach each NEIGHBOR's degree before collecting adjacency: on the
+    # symmetric distinct edge list, count() over partition __v IS
+    # deg(v), so the wedge explode below carries both endpoint degrees
+    # and the former deg_u/deg_v joins (an aggregate joined back onto
+    # its own lineage — the x87 class; they sat on an AQE broadcast
+    # threshold and flipped the job count 10<->11 WITHIN one session,
+    # the only r12 jobs_spread entry) disappear from the plan entirely.
+    und_d = und.select(
+        "__u",
+        F.struct(
+            F.col("__v"), F.count(F.lit(1)).over(W.partitionBy("__v")).cast("long").alias("dv")
+        ).alias("nbr"),
+    )
+    adj = und_d.groupBy("__u").agg(F.sort_array(F.collect_list("nbr")).alias("nb"))
     centers = adj.filter(F.size("nb") <= 64)
     pair_arr = F.flatten(
         F.transform(
@@ -11824,17 +11843,17 @@ def xdx_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wedges = centers.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p")[0].alias("u"), F.col("p")[1].alias("v")
+        F.col("p")[0]["__v"].alias("u"),
+        F.col("p")[0]["dv"].alias("deg_u"),
+        F.col("p")[1]["__v"].alias("v"),
+        F.col("p")[1]["dv"].alias("deg_v"),
     )
-    cn = wedges.groupBy("u", "v").agg(
+    cn = wedges.groupBy("u", "deg_u", "v", "deg_v").agg(
         F.count(F.lit(1)).cast("long").alias("common_neighbors")
     )
     cand = cn.join(edges, ["u", "v"], "left_anti")
-    deg_u = deg.select(F.col("p").alias("u"), F.col("d").alias("deg_u"))
-    deg_v = deg.select(F.col("p").alias("v"), F.col("d").alias("deg_v"))
     return (
-        cand.join(deg_u, "u")
-        .join(deg_v, "v")
+        cand
         .select(
             "u",
             "v",
