@@ -3957,7 +3957,7 @@ def _pagerank_iter_sql(iters: int) -> str:
 
 
 @query(
-    "graph_pagerank_centrality",
+    "xfo_graph_pagerank",
     f"""
     WITH {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -3991,7 +3991,7 @@ def _pagerank_iter_sql(iters: int) -> str:
     "oracle replays the unrolled rounds as chained CTEs",
     ("dedup", "graph", "analytics"),
 )
-def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfo_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators.graph import pagerank_integer
@@ -11079,7 +11079,7 @@ def _rbo_sw_case_sql(m: str) -> str:
 
 
 @query(
-    "xdn_rbo_rank_agreement",
+    "rbo_rank_agreement",
     f"""
     WITH per AS (
         SELECT n.n_name, s.s_suppkey,
@@ -11125,7 +11125,7 @@ def _rbo_sw_case_sql(m: str) -> str:
     "one groupBy on the (nation x supplier) aggregate",
     ("quality", "analytics"),
 )
-def xdn_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -11174,7 +11174,7 @@ def xdn_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xdo_spearman_rank_corr",
+    "spearman_rank_corr",
     """
     WITH per_user AS (
         SELECT user_id,
@@ -11220,7 +11220,7 @@ def xdn_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(xab histogram swap at user scales where that matters)",
     ("events", "analytics"),
 )
-def xdo_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -11423,7 +11423,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cms_sketch_probe",
+    "xfp_cms_sketch_probe",
     r"""
     WITH words AS (
         SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
@@ -11477,7 +11477,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate",
     ("sketch", "text", "aggregation"),
 )
-def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfp_cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     words = t["documents"].select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("w")
@@ -11521,7 +11521,7 @@ def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xdv_roc_auc_mann_whitney",
+    "roc_auc_eval",
     """
     WITH scored AS (
         SELECT c.c_mktsegment AS segment,
@@ -11582,7 +11582,7 @@ def cms_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exchanges",
     ("orders", "customer", "analytics"),
 )
-def xdv_roc_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -13357,7 +13357,7 @@ def _ece_bin_sql() -> str:
 
 
 @query(
-    "xe7_calibration_ece",
+    "calibration_ece",
     f"""
     WITH scored AS (
         SELECT o_orderkey,
@@ -13433,7 +13433,7 @@ def _ece_bin_sql() -> str:
     "rides the 10-row bin aggregate",
     ("orders", "analytics"),
 )
-def xe7_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators.dedup import portable_hash
@@ -13684,7 +13684,7 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xed_chi2_cramers_v",
+    "chi2_cramers_v",
     """
     WITH joined AS (
         SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
@@ -13738,7 +13738,7 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 25-cell aggregate",
     ("orders", "customer", "analytics"),
 )
-def xed_chi2_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chi2_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     joined = (
         t["orders"]
@@ -16618,7 +16618,7 @@ def cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xf6_hard_negative_mining",
+    "hard_negative_mining",
     f"""
     WITH {_COSINE_SQL},
     scored AS (
@@ -16651,7 +16651,7 @@ def cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast for the SRP-bucket blocker",
     ("embeddings", "similarity"),
 )
-def xf6_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return sim_ops.mine_contrastive_pairs(
@@ -16719,7 +16719,7 @@ _BLOOM_ABSENT_PROBES = ("blorptok", "qwxjkl", "snarfle", "vrumpt", "xqzzy", "zyz
     "dedup / cross-shard decontamination where the eval-set "
     "broadcast of decontaminate_evals does not apply): K=4 hashes as "
     "independent 6-hex slices of ONE md5 per key (the "
-    "cms_sketch_probe single-digest idiom), 12 declared probes (6 "
+    "xfp_cms_sketch_probe single-digest idiom), 12 declared probes (6 "
     "corpus words + 6 absent nonsense words) each report bits set, "
     "the maybe-present verdict (all 4 set; any clear bit PROVES "
     "absence) and exact membership for the false-positive readout. "

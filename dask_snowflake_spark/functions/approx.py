@@ -14,7 +14,7 @@ group, mergeable partials, map-side combine):
 
 Both are demonstrated side-by-side with their exact counterparts in the
 ``x04_approx_sketches`` query (rows-only check — approximate by
-design); ``q11_percentile_collect`` keeps the exact forms for the
+design); ``xfl_percentile_collect`` keeps the exact forms for the
 oracle. Measured at sf0.1 (local[32]): exact grouped percentiles ~3.9 s
 vs ~0.6 s for the same quantiles via ``approx_quantiles`` — see
 SCALE.md "Percentiles".

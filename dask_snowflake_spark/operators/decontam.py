@@ -74,7 +74,7 @@ def ngram_overlap(
 # Bloom membership index constants: words of 62 usable bits (bits 0..61
 # — the sign bit and bit 62 stay clear so every stored word is a plain
 # positive BIGINT on both engines), K=4 hash functions as independent
-# 6-hex-char slices of ONE md5 per key (the cms_sketch_probe idiom —
+# 6-hex-char slices of ONE md5 per key (the xfp_cms_sketch_probe idiom —
 # hashing is the corpus-linear cost, one digest beats four).
 BLOOM_BITS_PER_WORD = 62
 BLOOM_K = 4

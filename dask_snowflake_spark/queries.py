@@ -290,7 +290,7 @@ def xfg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_percentile_collect",
+    "xfl_percentile_collect",
     """
     SELECT l_returnflag,
            round(median(l_extendedprice), 4)                       AS median_price,
@@ -312,7 +312,7 @@ def xfg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fewer-pass sketch alternative.",
     ("aggregation",),
 )
-def q11_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfl_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quantiles import exact_group_quantiles
 
     t = _t(spark, sf_dir)
@@ -559,7 +559,7 @@ def xf9_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q06_outer_join_agg",
+    "xfk_outer_join_agg",
     """
     SELECT c_custkey,
            count(o_orderkey)                       AS n_orders,
@@ -572,7 +572,7 @@ def xf9_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left outer join preserving unmatched rows + null-tolerant aggregation",
     ("join", "aggregation"),
 )
-def q06_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfk_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["customer"]
@@ -900,7 +900,7 @@ def xf2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_datetime_funcs",
+    "xfm_datetime_funcs",
     """
     SELECT o_orderkey,
            CAST(date_trunc('month', o_orderdate) AS DATE)  AS order_month,
@@ -924,7 +924,7 @@ def xf2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last_day/week boundaries/day offsets/dow/iso week",
     ("functions",),
 )
-def q18_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfm_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     d = F.col("o_orderdate").cast("date")
     return (
@@ -1071,7 +1071,7 @@ def xfi_json_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q22_array_map_hof",
+    "xfn_array_map_hof",
     """
     SELECT vec_id,
            len(embedding)                                              AS dim,
@@ -1089,7 +1089,7 @@ def xfi_json_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ map construction, map_keys/map_values aggregation, element_at",
     ("functions", "array", "map"),
 )
-def q22_array_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfn_array_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = F.col("embedding")
     n_positive = F.size(F.filter(emb, lambda x: x > 0))

@@ -211,7 +211,7 @@ def test_rollup_cube_uses_expand(spark, sf_oracle):
 def test_array_map_hof_stays_jvm_side(spark, sf_oracle):
     """The array/map HOF query must contain no Python evaluation node —
     lambdas run as JVM higher-order functions."""
-    df = registry()["q22_array_map_hof"].spark_fn(spark, sf_oracle)
+    df = registry()["xfn_array_map_hof"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 

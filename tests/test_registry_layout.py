@@ -126,14 +126,33 @@ def test_priority_window_covers_every_surface():
     # file_parquet_partitioned_sink -> xfj_ (partitioned-sink mechanics
     # ride driver-green file_bucketed_join's table sink + xep's ORC
     # roundtrip; driver-green r1-r11).
+    # r13 rotation: promote hard_negative_mining (ex-xf6 — the one r12
+    # flagship mechanism never driver-checked under any name),
+    # roc_auc_eval (ex-xdv, tie-corrected Mann-Whitney), chi2_cramers_v
+    # (ex-xed), calibration_ece (ex-xe7), rbo_rank_agreement (ex-xdn)
+    # and spearman_rank_corr (ex-xdo) — the never-driver-checked
+    # statistics flagships the r12 verdict named. Demote
+    # q06_outer_join_agg -> xfk_ (outer-join agg rides driver-green
+    # xcz full-outer history + q04's star join; driver-green r1-r12),
+    # q11_percentile_collect -> xfl_ (exact-quantile mechanism rides
+    # xa4/x67/xb7 consumers; driver-green r1-r12), q18_datetime_funcs
+    # -> xfm_ (datetime surface runs inside every time-keyed green row:
+    # xdy seasonal, x81/x82 latency, did_readout; driver-green r1-r12),
+    # q22_array_map_hof -> xfn_ (the HOF/array surface is the wedge
+    # kernel inside driver-green kcore/LPA/link-prediction rows;
+    # driver-green r1-r12), graph_pagerank_centrality -> xfo_
+    # (iterative-centrality mechanism rides driver-green hits_bipartite;
+    # driver-green multiple rounds) and cms_sketch_probe -> xfp_
+    # (sketch family stays driver-proven via bloom_membership_index;
+    # driver-green r11-r12).
     prefixes = (
         "acf_", "ann_", "attribution_", "bh_", "bloom_", "bpe_",
-        "capture_", "cluster_", "cms_", "connector_", "content_",
-        "dbscan_", "dedup_", "did_", "doc_", "dsir_", "eb_", "file_",
-        "flow_", "fn_udf_", "governance_", "graph_", "hits_",
-        "jackknife_", "ks_", "mm_", "pca_", "pipeline_", "profile_",
-        "q0", "q1", "q2", "quality_", "rfm_", "sprt_", "temperature_",
-        "vocab_",
+        "calibration_", "capture_", "chi2_", "cluster_", "connector_",
+        "content_", "dbscan_", "dedup_", "did_", "doc_", "dsir_",
+        "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
+        "hard_", "hits_", "jackknife_", "ks_", "mm_", "pca_",
+        "pipeline_", "profile_", "q0", "quality_", "rbo_", "rfm_",
+        "roc_", "spearman_", "sprt_", "temperature_", "vocab_",
     )
     for p in prefixes:
         assert any(n.startswith(p) for n in window), f"no {p} query in the checked window"

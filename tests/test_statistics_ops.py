@@ -509,7 +509,7 @@ def test_spearman_matches_python_replica(spark, sf_oracle):
     )
     want = math.floor(num / den * 1_000_000) / 1e6
 
-    got = registry()["xdo_spearman_rank_corr"].spark_fn(spark, sf_oracle).collect()[0]
+    got = registry()["spearman_rank_corr"].spark_fn(spark, sf_oracle).collect()[0]
     assert got.n == n
     # the replica runs in floats, so its quantized value may sit one
     # 1e-6 step away from the exact-integer engine value at a floor
@@ -608,7 +608,7 @@ def test_roc_auc_matches_python_replica(spark, sf_oracle):
         )
         want[seg] = (n_pos, n_neg, u2, auc)
 
-    got = registry()["xdv_roc_auc_mann_whitney"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["roc_auc_eval"].spark_fn(spark, sf_oracle).collect()
     assert {r.segment: (r.n_pos, r.n_neg, r.u2, r.auc) for r in got} == want
     # and the metric is informative on this fixture: some segment's AUC
     # must differ from coin-flip 0.5 by a visible margin or the query
@@ -1191,7 +1191,7 @@ def test_calibration_ece_matches_python_replica(spark, sf_oracle):
         rows_want[b] = (n_tr, n_te, conf_q / 1e6, acc_q / 1e6)
     ece = (num // den) / 1e6
 
-    got = registry()["xe7_calibration_ece"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["calibration_ece"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.bin: (r.n_train, r.n_test, r.confidence, r.accuracy) for r in got
     } == rows_want
@@ -1287,7 +1287,7 @@ def test_chi2_cramers_v_matches_python_replica(spark, sf_oracle):
         math.sqrt((chi2_q / 1e6) / (float(n) * min(k1 - 1, k2 - 1))) * 1_000_000
     )
 
-    got = registry()["xed_chi2_cramers_v"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["chi2_cramers_v"].spark_fn(spark, sf_oracle).collect()
     assert len(got) == 1
     r0 = got[0]
     assert (
