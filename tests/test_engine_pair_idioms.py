@@ -669,3 +669,81 @@ def test_literal_table_interpolation_engine_identical(spark):
         for s in probes
     ]
     assert spark_rows == [tuple(r) for r in duck_rows] == want
+
+
+def test_degenerate_denominator_case_guards_engine_identical(spark):
+    """r13 ADVICE fix pin: the bh_fdr/did_readout z^2 expressions
+    CASE-guard degenerate denominators (x_all = 0 / x_all = n_all /
+    empty 2x2 cell / zero pooled variance) to 0 with IDENTICAL text on
+    both engines — unguarded they produce Inf/NaN, which ANSI Spark
+    turns into a CAST error and DuckDB into a different failure, and a
+    zero variance could even drive z2 negative into an out-of-range
+    erfc-table index. CASE must short-circuit on BOTH engines (the
+    second WHEN's division never evaluates when the first WHEN fires)."""
+    import duckdb
+
+    # (x_i, n_i, x_all, n_all) tuples: healthy, all-zero rate, saturated
+    vals = [(3, 10, 40, 100), (0, 10, 0, 100), (10, 10, 100, 100)]
+    z2 = (
+        "CAST(CASE WHEN x_all = 0 OR x_all = n_all THEN 0"
+        " ELSE CAST(floor((CAST(x_i * n_all - n_i * x_all AS DOUBLE)"
+        " * (x_i * n_all - n_i * x_all))"
+        " / (CAST(n_i AS DOUBLE) * x_all * (n_all - x_all))"
+        " * 1000000) AS BIGINT) END AS BIGINT)"
+    )
+    spine = ",".join(f"({x},{n},{xa},{na})" for x, n, xa, na in vals)
+    srows = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT x_i, " + z2 + " AS z2_q FROM VALUES "
+            + spine
+            + " AS t(x_i, n_i, x_all, n_all) ORDER BY x_i"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        drows = con.execute(
+            "SELECT x_i, " + z2 + " AS z2_q FROM (SELECT"
+            " CAST(c0 AS BIGINT) x_i, CAST(c1 AS BIGINT) n_i,"
+            " CAST(c2 AS BIGINT) x_all, CAST(c3 AS BIGINT) n_all"
+            f" FROM (VALUES {spine}) t(c0, c1, c2, c3)) ORDER BY x_i"
+        ).fetchall()
+    finally:
+        con.close()
+    assert srows == [tuple(r) for r in drows]
+    by_x = dict(srows)
+    assert by_x[0] == 0 and by_x[10] == 0  # both degenerate branches fire
+    assert by_x[3] > 0  # healthy branch computes
+
+    # zero-pooled-variance guard (the DiD shape): variance term <= 0
+    # must yield 0, not Inf/NaN/negative
+    var_guard = (
+        "CAST(CASE WHEN n = 0 THEN 0"
+        " WHEN (CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n)"
+        " * (CAST(s AS DOUBLE) / n)) <= 0 THEN 0"
+        " ELSE CAST(floor(100.0 / ((CAST(q AS DOUBLE) / n"
+        " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))"
+        " * 1000000) AS BIGINT) END AS BIGINT)"
+    )
+    cases = [(0, 0, 0), (4, 8, 16), (3, 6, 14)]  # empty, zero-var, healthy
+    sp = ",".join(f"({n},{s},{q})" for n, s, q in cases)
+    s2 = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT n, " + var_guard + " AS g FROM VALUES "
+            + sp
+            + " AS t(n, s, q) ORDER BY n"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        d2 = con.execute(
+            "SELECT n, " + var_guard + " AS g FROM (SELECT"
+            " CAST(c0 AS BIGINT) n, CAST(c1 AS BIGINT) s, CAST(c2 AS BIGINT) q"
+            f" FROM (VALUES {sp}) t(c0, c1, c2)) ORDER BY n"
+        ).fetchall()
+    finally:
+        con.close()
+    assert s2 == [tuple(r) for r in d2]
+    gm = dict(s2)
+    assert gm[0] == 0 and gm[4] == 0 and gm[3] > 0
