@@ -14188,7 +14188,7 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rfm_segments",
+    "xfq_rfm_segments",
     """
     WITH cust AS (
         SELECT o_custkey AS ck,
@@ -14283,7 +14283,7 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer agg + one tiny histogram chain + one rollup",
     ("orders", "analytics", "customer"),
 )
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfq_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -17556,3 +17556,165 @@ def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimate_within_2se"
         ),
     )
+
+
+@query(
+    "pack_sequences_atomic",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS nt
+        FROM documents
+    ),
+    hist AS (
+        SELECT CAST(nt AS BIGINT) AS L, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY nt
+    ),
+    branch AS (
+        SELECT CAST(COALESCE(sum(CASE WHEN L <= 0 THEN n END), 0) AS BIGINT)
+                   AS n_empty,
+               CAST(COALESCE(sum(CASE WHEN L > 512 THEN n END), 0) AS BIGINT)
+                   AS n_oversize
+        FROM hist
+    ),
+    ord AS (
+        SELECT L, n, row_number() OVER (ORDER BY L DESC) AS i
+        FROM hist WHERE L BETWEEN 1 AND 512
+    ),
+    fold AS (
+        SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS L,
+               CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS fill,
+               CAST(0 AS BIGINT) AS first_bin, CAST(0 AS BIGINT) AS new_start,
+               CAST(1 AS BIGINT) AS per_bin, CAST(0 AS BIGINT) AS bins,
+               CAST(0 AS BIGINT) AS rem
+        UNION ALL
+        SELECT o.i, o.L, o.n,
+               least(o.n, f.rem // o.L),
+               CASE WHEN least(o.n, f.rem // o.L) > 0 THEN f.bins ELSE 0 END,
+               CASE WHEN o.n - least(o.n, f.rem // o.L) > 0
+                    THEN f.bins + 1 ELSE 0 END,
+               512 // o.L,
+               f.bins + CASE WHEN o.n - least(o.n, f.rem // o.L) > 0
+                    THEN (o.n - least(o.n, f.rem // o.L) + (512 // o.L) - 1)
+                         // (512 // o.L) ELSE 0 END,
+               CASE WHEN o.n - least(o.n, f.rem // o.L) > 0
+                    THEN 512 - ((o.n - least(o.n, f.rem // o.L) - 1)
+                                % (512 // o.L) + 1) * o.L
+                    ELSE f.rem - least(o.n, f.rem // o.L) * o.L END
+        FROM fold f JOIN ord o ON o.i = f.i + 1
+    ),
+    plan AS (
+        SELECT L, fill, first_bin, new_start, per_bin FROM fold WHERE i >= 1
+    ),
+    ranked AS (
+        SELECT doc_id, CAST(nt AS BIGINT) AS L,
+               row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS r
+        FROM toks WHERE nt BETWEEN 1 AND 512
+    ),
+    assign AS (
+        SELECT t.doc_id, t.L,
+               CASE WHEN t.r <= p.fill THEN p.first_bin
+                    ELSE p.new_start + (t.r - p.fill - 1) // p.per_bin
+               END AS bin_id
+        FROM ranked t JOIN plan p ON p.L = t.L
+    ),
+    bins AS (
+        SELECT bin_id, CAST(count(*) AS BIGINT) AS depth,
+               CAST(sum(L) AS BIGINT) AS tokens,
+               CAST(bit_xor(doc_id) AS BIGINT) AS dx
+        FROM assign GROUP BY bin_id
+    ),
+    by_depth AS (
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(tokens) AS BIGINT) AS tokens_at_depth,
+               CAST(bit_xor(dx) AS BIGINT) AS docs_xor
+        FROM bins GROUP BY depth
+    )
+    SELECT d.depth, d.n_bins, d.tokens_at_depth, d.docs_xor,
+           CAST(sum(d.n_bins) OVER () AS BIGINT) AS n_bins_total,
+           CAST(sum(d.depth * d.n_bins) OVER () AS BIGINT) AS n_docs_packed,
+           CAST(CASE WHEN sum(d.n_bins) OVER () = 0 THEN 0
+                ELSE sum(d.tokens_at_depth) OVER () * 1000000
+                     // (sum(d.n_bins) OVER () * 512) END AS BIGINT) / 1e6
+               AS efficiency,
+           b.n_empty, b.n_oversize
+    FROM by_depth d LEFT JOIN branch b ON true
+    ORDER BY d.depth
+    """,
+    "DOCUMENT-ATOMIC SEQUENCE PACKING (the r13 depth flagship — the "
+    "production packing shape for instruction-tuning/T5/GPT corpora: "
+    "whole documents into fixed 512-token training bins, never split "
+    "across sequences, so no cross-sequence attention contamination; "
+    "completes the packing family where x25 is concat-and-chunk with "
+    "straddling and xa2 bin-packs file METADATA in layout order): "
+    "Next-Fit-Decreasing over the (length, count) HISTOGRAM — the "
+    "histogram-packing insight (Krell et al. 2021): same-length "
+    "documents are interchangeable, so the entire packing DECISION "
+    "folds over <= 512 histogram classes with scalar integer state "
+    "(open-bin id, remainder), O(cap) work at ANY corpus size. Spark "
+    "side collects the bounded histogram and folds driver-side "
+    "(operators/packing.nfd_plan — the kmeans collect pattern), then "
+    "broadcast-joins the per-class plan so each doc derives its bin "
+    "id in closed form from its within-class rank: r <= fill -> the "
+    "inherited open bin, else new_start + (r-fill-1) div per_bin. "
+    "Oracle mirrors the fold as a LINEAR recursive CTE (one row per "
+    "class — scalar state, so no AS MATERIALIZED fan-out of the xcw "
+    "class). Closed form == true sequential NFD: pinned by a "
+    "hypothesis property test vs a brute per-item simulator AND a "
+    "python replica over the real fixture; zero-token and >cap "
+    "documents are declared counted branches (honest null on "
+    "fixtures: both 0 — lengths 10..100; branch raise pinned by unit "
+    "test). Output: per-depth bin census + exact packing efficiency "
+    "(count-ratio quantization), docs_xor = xor-of-xors membership "
+    "checksum (overflow-free at any scale). All integers end-to-end",
+    ("documents", "text", "analytics"),
+)
+def pack_sequences_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators import packing as pack_ops
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    assign, n_empty, n_oversize, _n_bins = pack_ops.pack_documents_atomic(
+        toks, token_col="n_tokens", id_col="doc_id", cap=512
+    )
+    bins = assign.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.sum("length").cast("long").alias("tokens"),
+        F.expr("bit_xor(doc_id)").cast("long").alias("dx"),
+    )
+    by_depth = bins.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("tokens").cast("long").alias("tokens_at_depth"),
+        F.expr("bit_xor(dx)").cast("long").alias("docs_xor"),
+    )
+    return by_depth.select(
+        "depth",
+        "n_bins",
+        "tokens_at_depth",
+        "docs_xor",
+        F.sum("n_bins").over(W.partitionBy()).cast("long").alias("n_bins_total"),
+        F.sum(F.col("depth") * F.col("n_bins"))
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("n_docs_packed"),
+        (
+            F.expr(
+                "CAST(CASE WHEN sum(n_bins) OVER () = 0 THEN 0"
+                " ELSE sum(tokens_at_depth) OVER () * 1000000"
+                " div (sum(n_bins) OVER () * 512) END AS BIGINT)"
+            )
+            / 1e6
+        ).alias("efficiency"),
+        F.lit(n_empty).cast("long").alias("n_empty"),
+        F.lit(n_oversize).cast("long").alias("n_oversize"),
+    ).orderBy("depth")

@@ -71,3 +71,157 @@ def chunk_summary(packed: DataFrame, *, shard_col: str, order_col: str) -> DataF
         F.min(order_col).alias("first_doc"),
         F.max(order_col).alias("last_doc"),
     )
+
+
+def nfd_plan(
+    hist: list[tuple[int, int]], cap: int
+) -> tuple[list[dict[str, int]], int]:
+    """Exact Next-Fit-Decreasing packing plan over a (length, count)
+    histogram — the bounded-state member of the histogram-packing
+    family (Krell et al. 2021 frame the production problem this way:
+    sequence packing decisions depend only on the LENGTH HISTOGRAM,
+    never on individual documents, because same-length documents are
+    interchangeable).
+
+    NFD keeps ONE open bin: items arrive in decreasing length order;
+    an item that fits the open bin's remainder joins it, otherwise the
+    bin is closed forever and a fresh one opens. Same-length items
+    therefore process in bulk: ``fill = min(n, rem div L)`` join the
+    open bin, the rest open ``ceil((n - fill) / (cap div L))`` new
+    bins holding ``cap div L`` each, and the last new bin stays open.
+    The whole fold is |distinct lengths| <= cap rounds of integer
+    scalar state (open-bin id, remainder) — O(cap) work for ANY corpus
+    size, which is what makes the plan computable driver-side at
+    100 TB (the kmeans collect pattern: bounded decision state, one
+    corpus scan to build the histogram, one to apply).
+
+    Returns (per-class plan rows sorted by length desc, total bins).
+    Each row: length, n, fill (items joining the inherited open bin),
+    first_bin (its id, 0 when fill = 0), new_start (first freshly
+    opened bin id, 0 when none), per_bin (= cap div length). An item
+    of length L with within-class rank r (1-based, deterministic
+    order) lands in ``first_bin`` when ``r <= fill`` else
+    ``new_start + (r - fill - 1) div per_bin`` — pure integer closed
+    form, identical on any engine.
+
+    Raises on lengths outside [1, cap] (empty and oversize documents
+    are the CALLER's declared branches, not silent drops here) and on
+    non-positive counts.
+    """
+    plan: list[dict[str, int]] = []
+    bins = 0
+    rem = 0
+    for length, n in sorted(hist, key=lambda t: -t[0]):
+        if not 1 <= length <= cap:
+            raise ValueError(
+                f"nfd_plan: length {length} outside [1, {cap}] — empty and "
+                "oversize documents must be separated by the caller before "
+                "planning (they are counted branches, not packable items)"
+            )
+        if n <= 0:
+            raise ValueError(f"nfd_plan: non-positive count {n} for length {length}")
+        fill = min(n, rem // length)
+        rem -= fill * length
+        new_items = n - fill
+        per_bin = cap // length
+        first_bin = bins if fill else 0
+        if new_items:
+            new_start = bins + 1
+            bins += (new_items + per_bin - 1) // per_bin
+            rem = cap - ((new_items - 1) % per_bin + 1) * length
+        else:
+            new_start = 0
+        plan.append(
+            {
+                "length": length,
+                "n": n,
+                "fill": fill,
+                "first_bin": first_bin,
+                "new_start": new_start,
+                "per_bin": per_bin,
+            }
+        )
+    return plan, bins
+
+
+def pack_documents_atomic(
+    docs: DataFrame,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    cap: int = 512,
+) -> tuple[DataFrame, int, int, int]:
+    """Document-ATOMIC sequence packing: whole documents into
+    fixed-``cap`` training bins, never split across sequences — the
+    production complement to ``sequence_pack`` (concat-and-chunk),
+    which lets documents straddle chunk boundaries and so
+    cross-contaminates attention unless masked (Krell et al. 2022,
+    'Efficient Sequence Packing without Cross-contamination'; GPT-3 /
+    T5 pipelines pack atomically for instruction-tuning corpora).
+
+    Mechanism: ONE corpus scan aggregates the (length, count)
+    histogram (<= cap + 2 classes — bounded driver state, the kmeans
+    collect pattern), ``nfd_plan`` folds it into a per-class integer
+    plan, and the plan broadcast-joins back so each document computes
+    its bin id in closed form from its within-class rank (row_number
+    partitioned by length, ordered by ``id_col`` — requires unique
+    ids, the fixture contract). No shuffle beyond the rank window's
+    length-keyed exchange; assignment is scan-speed at any corpus.
+
+    Empty (0-token) and oversize (> cap) documents are EXCLUDED from
+    packing and returned as counts — declared branches the caller
+    reports (oversize documents need their own truncation/streaming
+    policy; silently binning them would overfill bins).
+
+    Returns (assignment DataFrame ``(id_col, length, bin_id)``,
+    n_empty, n_oversize, n_bins).
+    """
+    hist_rows = (
+        docs.select(F.col(token_col).cast("long").alias("L"))
+        .groupBy("L")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    n_empty = sum(r.n for r in hist_rows if r.L <= 0)
+    n_oversize = sum(r.n for r in hist_rows if r.L > cap)
+    packable = [(r.L, r.n) for r in hist_rows if 1 <= r.L <= cap]
+    plan, n_bins = nfd_plan(packable, cap)
+    if not plan:
+        empty = docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, length long, bin_id long"
+        )
+        return empty, n_empty, n_oversize, 0
+    plan_df = docs.sparkSession.createDataFrame(
+        [
+            (p["length"], p["fill"], p["first_bin"], p["new_start"], p["per_bin"])
+            for p in plan
+        ],
+        "length long, fill long, first_bin long, new_start long, per_bin long",
+    )
+    ranked = (
+        docs.filter(
+            (F.col(token_col) >= 1) & (F.col(token_col) <= cap)
+        )
+        .select(
+            F.col(id_col),
+            F.col(token_col).cast("long").alias("length"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                W.partitionBy("length").orderBy(F.col(id_col))
+            ),
+        )
+    )
+    assign = ranked.join(F.broadcast(plan_df), "length").select(
+        F.col(id_col),
+        "length",
+        F.when(F.col("__r") <= F.col("fill"), F.col("first_bin"))
+        .otherwise(
+            F.col("new_start")
+            + F.expr("(__r - fill - 1) div per_bin")
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return assign, n_empty, n_oversize, n_bins

@@ -145,13 +145,19 @@ def test_priority_window_covers_every_surface():
     # driver-green multiple rounds) and cms_sketch_probe -> xfp_
     # (sketch family stays driver-proven via bloom_membership_index;
     # driver-green r11-r12).
+    # r13 depth-flagship promotion (same-round, the r11 precedent):
+    # pack_sequences_atomic (document-atomic NFD histogram packing —
+    # this round's depth flagship) enters immediately; demote
+    # rfm_segments -> xfq_ (driver-green r11-r12; quantile-bucketed
+    # segmentation mechanism rides xab equi-depth + the demoted
+    # exact-quantile family's history).
     prefixes = (
         "acf_", "ann_", "attribution_", "bh_", "bloom_", "bpe_",
         "calibration_", "capture_", "chi2_", "cluster_", "connector_",
         "content_", "dbscan_", "dedup_", "did_", "doc_", "dsir_",
         "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
         "hard_", "hits_", "jackknife_", "ks_", "mm_", "pca_",
-        "pipeline_", "profile_", "q0", "quality_", "rbo_", "rfm_",
+        "pack_", "pipeline_", "profile_", "q0", "quality_", "rbo_",
         "roc_", "spearman_", "sprt_", "temperature_", "vocab_",
     )
     for p in prefixes:

@@ -1359,7 +1359,7 @@ def test_acf_ljung_box_matches_python_replica(spark, sf_oracle):
 
 
 def test_rfm_segments_matches_python_replica(spark, sf_oracle):
-    """rfm_segments (ex-xef): histogram-boundary RFM == a from-scratch python replica
+    """xfq_rfm_segments (ex-xef): histogram-boundary RFM == a from-scratch python replica
     (sorted-values order statistics with the 5*cum >= n*k tie-to-lower
     rule, CASE-order class mapping, integer-division averages)."""
     import duckdb
@@ -1421,7 +1421,7 @@ def test_rfm_segments_matches_python_replica(spark, sf_oracle):
         for cls, (n, srs, sf, sm, sr) in agg.items()
     }
 
-    got = registry()["rfm_segments"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["xfq_rfm_segments"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.segment_class: (
             r.n_customers,
