@@ -13530,7 +13530,7 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ks_drift",
+    "xfr_ks_drift",
     """
     WITH ev AS (
         SELECT event_type,
@@ -13602,7 +13602,7 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the (type x distinct-cents) aggregate",
     ("events", "analytics", "quality"),
 )
-def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfr_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -15034,7 +15034,7 @@ def xej_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ONE-WAY ANOVA + ETA-SQUARED: does document length differ by "
     "language (Fisher 1925 — completes the bivariate-association "
     "matrix: xed chi-square is categorical x categorical, x84/xdo "
-    "Pearson/Spearman numeric x numeric, ks_drift KS two-sample; this is "
+    "Pearson/Spearman numeric x numeric, xfr_ks_drift KS two-sample; this is "
     "the categorical x numeric member): per-language char-length "
     "moments, between/within sum-of-squares via the quantized "
     "group-term T = sum(S_j^2 div n_j) (error < 1 char^2 per group, "
@@ -15046,7 +15046,7 @@ def xej_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "significance verdict is emitted: the F critical value depends "
     "on data-driven degrees of freedom (k-1, N-k), which cannot be "
     "a pinned literal — the statistic and effect size are the "
-    "deliverable (the xe4/ks_drift verdict pattern applies only when "
+    "deliverable (the xe4/xfr_ks_drift verdict pattern applies only when "
     "dof is fixed). One scan + one lang agg + broadcast scalar fold",
     ("documents", "analytics", "text"),
 )
@@ -17718,3 +17718,233 @@ def pack_sequences_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_empty).cast("long").alias("n_empty"),
         F.lit(n_oversize).cast("long").alias("n_oversize"),
     ).orderBy("depth")
+
+
+_KNN_D2_SQL = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (ea.v[i]-eb.v[i])*(ea.v[i]-eb.v[i])))"
+)
+
+
+def _knn_round_sql(prev: str, rnd: int, k: int) -> str:
+    """One NN-descent round as oracle CTEs (the _bpe_chain_sql idiom:
+    ONE generator emits the bounded unrolled chain; each per-round CTE
+    is referenced more than once downstream, so AS MATERIALIZED — the
+    xcw rule — keeps DuckDB from compiling 2^rounds subtree copies)."""
+    return f"""
+    und{rnd} AS MATERIALIZED (
+        SELECT c, x, min(d2) AS d2 FROM (
+            SELECT u AS c, w AS x, d2 FROM {prev}
+            UNION ALL SELECT w AS c, u AS x, d2 FROM {prev}
+        ) GROUP BY c, x
+    ),
+    nbhd{rnd} AS MATERIALIZED (
+        SELECT c, x FROM (
+            SELECT c, x, row_number() OVER (PARTITION BY c ORDER BY d2, x) AS rk
+            FROM und{rnd}
+        ) WHERE rk <= {2 * k}
+    ),
+    cand{rnd} AS MATERIALIZED (
+        SELECT DISTINCT l.x AS u, r.x AS w
+        FROM nbhd{rnd} l JOIN nbhd{rnd} r ON l.c = r.c AND l.x < r.x
+    ),
+    sc{rnd} AS MATERIALIZED (
+        SELECT c.u, c.w, {_KNN_D2_SQL} AS d2
+        FROM cand{rnd} c JOIN ev ea ON ea.id = c.u JOIN ev eb ON eb.id = c.w
+    ),
+    nbr{rnd} AS MATERIALIZED (
+        SELECT u, w, d2 FROM (
+            SELECT u, w, d2,
+                   row_number() OVER (PARTITION BY u ORDER BY d2, w) AS rk
+            FROM (
+                SELECT u, w, min(d2) AS d2 FROM (
+                    SELECT u, w, d2 FROM {prev}
+                    UNION ALL SELECT u, w, d2 FROM sc{rnd}
+                    UNION ALL SELECT w AS u, u AS w, d2 FROM sc{rnd}
+                ) GROUP BY u, w
+            )
+        ) WHERE rk <= {k}
+    )"""
+
+
+@query(
+    "graph_knn_descent",
+    f"""
+    WITH ev AS MATERIALIZED (
+        SELECT vec_id AS id, label AS cell,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    sp AS MATERIALIZED (
+        SELECT ea.id AS u, eb.id AS w, {_KNN_D2_SQL} AS d2
+        FROM ev ea JOIN ev eb ON ea.cell = eb.cell AND ea.id <> eb.id
+    ),
+    ring AS MATERIALIZED (
+        SELECT id, ('0x' || substr(md5('knn:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM ev
+    ),
+    rp AS MATERIALIZED (
+        SELECT u, w FROM (
+            SELECT lag(id) OVER (PARTITION BY h % 64 ORDER BY h, id) AS u,
+                   id AS w
+            FROM ring
+        ) WHERE u IS NOT NULL
+    ),
+    bsc AS MATERIALIZED (
+        SELECT r.u, r.w, {_KNN_D2_SQL} AS d2
+        FROM rp r JOIN ev ea ON ea.id = r.u JOIN ev eb ON eb.id = r.w
+    ),
+    sp0 AS MATERIALIZED (
+        SELECT u, w, min(d2) AS d2 FROM (
+            SELECT u, w, d2 FROM sp
+            UNION ALL SELECT u, w, d2 FROM bsc
+            UNION ALL SELECT w AS u, u AS w, d2 FROM bsc
+        ) GROUP BY u, w
+    ),
+    seed AS MATERIALIZED (
+        SELECT u, w, d2 FROM (
+            SELECT u, w, d2,
+                   row_number() OVER (PARTITION BY u ORDER BY d2, w) AS rk
+            FROM sp0
+        ) WHERE rk <= 6
+    ),
+    {_knn_round_sql("seed", 1, 6)},
+    {_knn_round_sql("nbr1", 2, 6)},
+    ex AS MATERIALIZED (
+        SELECT u, w FROM (
+            SELECT u, w, row_number() OVER (PARTITION BY u ORDER BY d2, w) AS rk
+            FROM (
+                SELECT ea.id AS u, eb.id AS w, {_KNN_D2_SQL} AS d2
+                FROM ev ea JOIN ev eb ON ea.id < 32 AND eb.id <> ea.id
+            )
+        ) WHERE rk <= 6
+    ),
+    sh AS (
+        SELECT s.u, CAST(count(*) AS BIGINT) AS h
+        FROM seed s JOIN ex ON ex.u = s.u AND ex.w = s.w GROUP BY s.u
+    ),
+    fh AS (
+        SELECT f.u, CAST(count(*) AS BIGINT) AS h
+        FROM nbr2 f JOIN ex ON ex.u = f.u AND ex.w = f.w GROUP BY f.u
+    ),
+    probes AS (SELECT DISTINCT u FROM ex)
+    SELECT p.u AS probe_id,
+           COALESCE(sh.h, 0) AS seed_hits,
+           COALESCE(fh.h, 0) AS final_hits,
+           CAST(COALESCE(sh.h, 0) * 1000000 // 6 AS BIGINT) / 1e6 AS recall_seed,
+           CAST(COALESCE(fh.h, 0) * 1000000 // 6 AS BIGINT) / 1e6 AS recall_final,
+           CAST(sum(COALESCE(sh.h, 0)) OVER () * 1000000
+                // (count(*) OVER () * 6) AS BIGINT) / 1e6 AS mean_recall_seed,
+           CAST(sum(COALESCE(fh.h, 0)) OVER () * 1000000
+                // (count(*) OVER () * 6) AS BIGINT) / 1e6 AS mean_recall_final
+    FROM probes p
+    LEFT JOIN sh ON sh.u = p.u
+    LEFT JOIN fh ON fh.u = p.u
+    ORDER BY probe_id
+    """,
+    "NN-DESCENT k-NN GRAPH + RECALL AUDIT (Dong et al. 2011 — the "
+    "graph-based ANN member completing the family's RECALL story "
+    "beyond IVF cells, and the first ANN-recall query with a FULL "
+    "value oracle: x21/x41/x90 are rows-only because their sketches "
+    "are nondeterministic, but NN-descent over exact integer "
+    "distances with unique (d2, id) tie-breaks is a deterministic "
+    "function of the data, so the whole graph hash-matches): seed "
+    "each vector's k=6 list from the coarse-cell blocker (label "
+    "cells, the x98 declared semantics), then 2 NN-descent rounds — "
+    "symmetrize to B(v) = out+in neighbors capped at 2k by distance "
+    "rank (the paper's sampling bound), in-array (i<j) wedge "
+    "candidates map-side (the x94 kernel), exact integer milli-unit "
+    "distances via ONE Arrow numpy kernel (the dbscan BLAS lesson; "
+    "int64 end-to-end, kernel emits only integers), union + re-rank "
+    "top-k. Audit: recall@6 of seed AND final lists vs exact "
+    "brute-force for 32 probe anchors — the output shows what the "
+    "descent rounds RECOVER beyond the blocker (cross-cell true "
+    "neighbors the cell join structurally misses). Oracle = the same "
+    "bounded chain as MATERIALIZED CTEs from one generator (the "
+    "_bpe_chain_sql idiom); python replica re-runs the whole descent "
+    "in numpy independently. Count-ratio recalls, window means over "
+    "the 32-row probe frame. Scale: cell-blocked seeds, <= |V|*(2k "
+    "choose 2) wedge rows/round, id-keyed vector-attach joins — no "
+    "all-pairs scan anywhere",
+    ("embeddings", "similarity", "graph"),
+)
+def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    seed, final = sim_ops.knn_graph_descent(
+        emb, k=6, rounds=2, cell_col="label", id_col="vec_id", emb_col="embedding"
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("v"),
+    )
+    ppairs = (
+        F.broadcast(
+            vecs.filter(F.col("id") < 32).select(
+                F.col("id").alias("u"), F.col("v").alias("va")
+            )
+        )
+        .join(
+            vecs.select(F.col("id").alias("w"), F.col("v").alias("vb")),
+            F.col("u") != F.col("w"),
+        )
+        .select("u", "w", "va", "vb")
+    )
+    wex = W.partitionBy("u").orderBy(F.col("d2").asc(), F.col("w").asc())
+    ex = (
+        sim_ops._pairs_exact_d2(ppairs)
+        .withColumn("__rk", F.row_number().over(wex))
+        .filter(F.col("__rk") <= 6)
+        .select("u", "w")
+    )
+    sh = (
+        seed.join(ex, ["u", "w"])
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("sh"))
+    )
+    fh = (
+        final.join(ex, ["u", "w"])
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("fh"))
+    )
+    probes = ex.select("u").distinct()
+    out = (
+        probes.join(sh, "u", "left")
+        .join(fh, "u", "left")
+        .select(
+            F.col("u").alias("probe_id"),
+            F.coalesce(F.col("sh"), F.lit(0)).cast("long").alias("seed_hits"),
+            F.coalesce(F.col("fh"), F.lit(0)).cast("long").alias("final_hits"),
+        )
+    )
+    return out.select(
+        "probe_id",
+        "seed_hits",
+        "final_hits",
+        (F.expr("CAST(seed_hits * 1000000 div 6 AS BIGINT)") / 1e6).alias(
+            "recall_seed"
+        ),
+        (F.expr("CAST(final_hits * 1000000 div 6 AS BIGINT)") / 1e6).alias(
+            "recall_final"
+        ),
+        (
+            F.expr(
+                "CAST(sum(seed_hits) OVER () * 1000000"
+                " div (count(1) OVER () * 6) AS BIGINT)"
+            )
+            / 1e6
+        ).alias("mean_recall_seed"),
+        (
+            F.expr(
+                "CAST(sum(final_hits) OVER () * 1000000"
+                " div (count(1) OVER () * 6) AS BIGINT)"
+            )
+            / 1e6
+        ).alias("mean_recall_final"),
+    ).orderBy("probe_id")

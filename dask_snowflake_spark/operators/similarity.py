@@ -906,3 +906,265 @@ def mine_contrastive_pairs(
         .select("query_id", "role", "rank", "neighbor_id", "sim")
         .orderBy("query_id", "role", "rank")
     )
+
+
+def _pairs_exact_d2(pairs_with_vecs: DataFrame) -> DataFrame:
+    """Exact integer squared L2 over candidate pairs carrying BOTH
+    milli-quantized vectors (columns ``u, w, va, vb``) — ONE
+    Arrow-batched numpy kernel instead of a 64-element interpreted HOF
+    per pair (the r11 dbscan lesson: BLAS-shaped batch math is ~10x the
+    HOF in hot pair loops). Exact despite numpy: components are
+    integers |xq| <= ~1e3, so squared diffs <= ~4e6 and 64-dim sums
+    <= ~2.6e8 — int64 end-to-end, and the kernel emits ONLY integers
+    (the r8 rule: python never touches driver-facing floats)."""
+
+    def kern(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["va"]])
+            b = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["vb"]])
+            yield pd.DataFrame(
+                {
+                    "u": pdf["u"].to_numpy(),
+                    "w": pdf["w"].to_numpy(),
+                    "d2": ((a - b) ** 2).sum(axis=1),
+                }
+            )
+
+    return pairs_with_vecs.mapInPandas(kern, "u long, w long, d2 long")
+
+
+# Loud ceiling on one seed cell (the dbscan _DBSCAN_MAX_CELL contract):
+# the per-cell top-k kernel is O(cell^2 * dim) flops by design — a
+# skewed giant cell must FAIL with the mitigation named (finer blocking
+# cells) rather than silently go quadratic at 100 TB.
+_KNN_MAX_CELL = 100_000
+
+
+def _cell_topk_pairs(vq: DataFrame, *, k: int) -> DataFrame:
+    """Per-cell k-nearest within the blocking cell as ONE grouped BLAS
+    kernel — the r11 dbscan lesson applied to the NN-descent seed: the
+    row-wise pair kernel materialized every (u, w, va, vb) array pair
+    through a shuffle (Sum cell^2 rows — measured ~200 s at the 10x
+    decade), while the blocked matmul computes the same exact integer
+    distances at ~BLAS speed inside each cell group. Exact despite
+    float64: milli-quantized components are integers |xq| <= ~2e3, so
+    d2 <= 64 * 4e6 ~ 2.6e8 << 2^53 and rint() recovers the exact
+    BIGINT. Tie-breaks replicate the (d2, id) unique order via an
+    integer composite key (d2 * 2^14 + id-rank — ids sorted, so column
+    rank IS id order; composite <= ~4e12 << 2^63). Emits only integers."""
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n > _KNN_MAX_CELL:
+            raise ValueError(
+                f"knn seed cell holds {n} rows > _KNN_MAX_CELL={_KNN_MAX_CELL}; "
+                "the per-cell top-k kernel is O(cell^2) by design — use finer "
+                "blocking cells (trained IVF / grid refine) so cells stay "
+                "bounded instead of letting one cell go quadratic"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "u": np.array([], "int64"),
+                    "w": np.array([], "int64"),
+                    "d2": np.array([], "int64"),
+                }
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
+        )
+        n2 = (X * X).sum(axis=1)
+        kk = min(k, n - 1)
+        out_u: list = []
+        out_w: list = []
+        out_d: list = []
+        step = 2048
+        big = np.int64(2**62)
+        for st in range(0, n, step):
+            blk = X[st : st + step]
+            sqd = np.rint(
+                n2[st : st + step, None] + n2[None, :] - 2.0 * (blk @ X.T)
+            ).astype(np.int64)
+            comp = sqd * np.int64(16384) + np.arange(n, dtype=np.int64)[None, :]
+            rows = np.arange(len(blk))
+            comp[rows, rows + st] = big  # exclude self
+            part = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+            # order the kept slice by the composite (exact (d2, id) order)
+            sl = np.take_along_axis(comp, part, axis=1)
+            ord2 = np.argsort(sl, axis=1)
+            part = np.take_along_axis(part, ord2, axis=1)
+            out_u.append(np.repeat(ids[st : st + len(blk)], kk))
+            out_w.append(ids[part].ravel())
+            out_d.append((np.take_along_axis(sl, ord2, axis=1).ravel() // 16384))
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(out_u),
+                "w": np.concatenate(out_w),
+                "d2": np.concatenate(out_d),
+            }
+        )
+
+    return vq.select("cell", "id", "v").groupBy("cell").applyInPandas(
+        per_cell, "u long, w long, d2 long"
+    )
+
+
+def knn_graph_descent(
+    embeddings: DataFrame,
+    *,
+    k: int = 6,
+    rounds: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Approximate k-NN GRAPH by NN-descent (Dong et al. 2011): seed
+    each vector's neighbor list from a cheap blocker (coarse-cell
+    top-k — the x98 declared semantics, label here, IVF/grid cells in
+    production), then refine by the NN-descent local join: my
+    neighbors' neighbors are my candidates. Each round builds the
+    SYMMETRIZED neighborhood B(v) (out- plus in-neighbors, capped at
+    2k by distance rank — the paper's sampling bound), emits in-array
+    (i<j) wedge pairs map-side (the x94 kernel), scores ONLY exact
+    integer distances, and re-ranks top-k. Bounded rounds; every
+    distance is an exact BIGINT in milli-unit space, every tie-break
+    unique (d2, id) — so the whole graph is deterministic and
+    engine-portable, unlike sketch-based ANN (x21/x41/x90 are
+    rows-only for exactly that reason; this one hash-matches).
+
+    Returns ``(seed_topk, final_topk)`` as ``(u, nbr, d2)`` edge
+    frames with <= k rows per u. The seed/final pair is the audit
+    surface: recall-vs-exact of both shows what the descent ROUNDS
+    recover beyond the blocker (cross-cell true neighbors the blocker
+    structurally misses).
+
+    Scale shape: one corpus scan quantizes vectors; seed pairs are
+    cell-blocked (never all-pairs); each round's candidate volume is
+    <= |V| * (2k choose 2) wedge rows; the vector-attach joins are
+    id-keyed shuffles (broadcast at fixture scale, linear at 100 TB);
+    ranking windows partition by u. No collects, no python floats."""
+    vq = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).alias("cell"),
+        F.transform(
+            F.col(emb_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    vecs = vq.select("id", "v")
+
+    def topk(edges: DataFrame) -> DataFrame:
+        w_ = W.partitionBy("u").orderBy(F.col("d2").asc(), F.col("w").asc())
+        return (
+            edges.withColumn("__rk", F.row_number().over(w_))
+            .filter(F.col("__rk") <= k)
+            .select("u", "w", "d2")
+        )
+
+    def attach_and_score(pairs: DataFrame) -> DataFrame:
+        withv = (
+            pairs.join(
+                vecs.select(F.col("id").alias("u"), F.col("v").alias("va")), "u"
+            )
+            .join(vecs.select(F.col("id").alias("w"), F.col("v").alias("vb")), "w")
+            .select("u", "w", "va", "vb")
+        )
+        return _pairs_exact_d2(withv)
+
+    # Seed: per-cell top-k via the grouped BLAS kernel. top-k over
+    # (per-u cell top-k UNION bridges) == top-k over (all cell pairs
+    # UNION bridges) — an element the per-cell top-k drops is dominated
+    # by k better same-cell candidates — so the oracle's all-pairs SQL
+    # is unchanged while the engine never materializes Sum cell^2
+    # array-pair rows.
+    cell_topk = _cell_topk_pairs(vq, k=k)
+    # Hash-ring BRIDGE edges: a cell-blocked seed graph is CELL-CLOSED
+    # (my neighbors' neighbors are my cell-mates), so the local join
+    # could never propose a cross-cell candidate and the descent would
+    # converge to the blocker itself (measured: zero improvement).
+    # NN-descent's random initialization is what supplies cross-cell
+    # bridges; the deterministic engine-portable form is md5-bucketed
+    # adjacent pairing — bucket ids by portable hash (64 literal
+    # buckets; production scales the bucket count with the corpus),
+    # sort each bucket by (hash, id), lag-pair consecutive members.
+    # Each node gets <= 2 pseudo-random partners, cross-cell almost
+    # surely, and both engines derive the identical edge set.
+    from .dedup import portable_hash
+
+    h = portable_hash(F.col("id").cast("string"), F.lit("knn"))
+    ring = vq.select("id", "v", h.alias("__h"))
+    wr = W.partitionBy(F.expr("__h % 64")).orderBy("__h", "id")
+    ring2 = ring.select(
+        F.lag("id").over(wr).alias("u"),
+        F.lag("v").over(wr).alias("va"),
+        F.col("id").alias("w"),
+        F.col("v").alias("vb"),
+    ).filter(F.col("u").isNotNull())
+    bridge = _pairs_exact_d2(ring2)
+    seed_scored = (
+        cell_topk
+        .unionByName(bridge)
+        .unionByName(
+            bridge.select(F.col("w").alias("u"), F.col("u").alias("w"), "d2")
+        )
+        .groupBy("u", "w")
+        .agg(F.min("d2").alias("d2"))
+    )
+    # Eager state truncation per round (the CC/kcore iterative rule):
+    # each round consumes `cur` several times (symmetrize = self-union,
+    # plus the final union), so WITHOUT truncation round r re-evaluates
+    # round r-1's subtree ~4x and the expensive Arrow distance kernel
+    # compounds exponentially across rounds (measured: sf0.1 ran
+    # minutes instead of seconds). The checkpointed frame is k*|V|
+    # rows — orders smaller than the pair subtree that computes it
+    # (the r12 small-derived-aggregate rule).
+    seed = topk(seed_scored).localCheckpoint(eager=True)
+
+    cur = seed
+    for _ in range(rounds):
+        und = (
+            cur.select(F.col("u").alias("c"), F.col("w").alias("x"), "d2")
+            .unionByName(
+                cur.select(F.col("w").alias("c"), F.col("u").alias("x"), "d2")
+            )
+            .groupBy("c", "x")
+            .agg(F.min("d2").alias("d2"))
+        )
+        wb = W.partitionBy("c").orderBy(F.col("d2").asc(), F.col("x").asc())
+        nbhd = (
+            und.withColumn("__rk", F.row_number().over(wb))
+            .filter(F.col("__rk") <= 2 * k)
+            .groupBy("c")
+            .agg(F.sort_array(F.collect_list("x")).alias("nb"))
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("nb"),
+                lambda s, i: F.transform(
+                    F.slice(F.col("nb"), i + F.lit(2), F.size(F.col("nb"))),
+                    lambda v2: F.array(s, v2),
+                ),
+            )
+        )
+        cand = (
+            nbhd.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p")[0].alias("u"), F.col("p")[1].alias("w"))
+            .distinct()
+        )
+        scored = attach_and_score(cand)
+        both = scored.unionByName(
+            scored.select(F.col("w").alias("u"), F.col("u").alias("w"), "d2")
+        )
+        cur = topk(
+            cur.unionByName(both).groupBy("u", "w").agg(F.min("d2").alias("d2"))
+        ).localCheckpoint(eager=True)
+    return seed, cur

@@ -358,3 +358,126 @@ def test_dup_region_apply_matches_python_cut(spark, sf_oracle):
         for r in registry()["dedup_region_apply"].spark_fn(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+def test_knn_descent_matches_numpy_replica(spark, sf_oracle):
+    """graph_knn_descent == a from-scratch numpy replica of the WHOLE
+    pipeline (quantize, cell seed, hash-ring bridges, 2 local-join
+    rounds, exact probes) — independent of both the Spark operator and
+    the oracle SQL. Also pins the monotonicity theorem the audit rests
+    on (final top-k of an evaluated SUPERSET can never drop an exact
+    top-k member already found: fewer than k items are strictly closer
+    than any exact member) and the fixture liveness: the bridges give
+    the descent cross-cell candidates, so mean recall strictly
+    improves over the cell-blocked seed."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    from dask_snowflake_spark.queries import registry
+
+    K = 6
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"'{sf_oracle}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in raw], dtype=np.int64)
+    cells = {r[0]: r[1] for r in raw}
+    V = {
+        r[0]: np.floor(np.array(r[2], dtype=np.float64) * 1000).astype(np.int64)
+        for r in raw
+    }
+
+    def d2(a, b):
+        d = V[a] - V[b]
+        return int((d * d).sum())
+
+    def topk(edges):
+        # edges: dict u -> {w: d2}; returns dict u -> sorted [(d2, w)] top K
+        out = {}
+        for u, m in edges.items():
+            out[u] = sorted((d, w) for w, d in m.items())[:K]
+        return out
+
+    # seed: cell pairs + hash-ring bridges
+    edges = defaultdict(dict)
+    by_cell = defaultdict(list)
+    for i in ids:
+        by_cell[cells[i]].append(i)
+    for members in by_cell.values():
+        for u in members:
+            for w in members:
+                if u != w:
+                    edges[u][w] = d2(u, w)
+    hs = {
+        int(i): int(hashlib.md5(f"knn:{i}".encode()).hexdigest()[:15], 16)
+        for i in ids
+    }
+    buckets = defaultdict(list)
+    for i in ids:
+        buckets[hs[i] % 64].append((hs[i], i))
+    for b in buckets.values():
+        b.sort()
+        for (_, u), (_, w) in zip(b, b[1:]):
+            dd = d2(u, w)
+            edges[u][w] = min(edges[u].get(w, dd), dd)
+            edges[w][u] = min(edges[w].get(u, dd), dd)
+    cur = topk(edges)
+
+    for _ in range(2):
+        nb = defaultdict(dict)  # symmetrized with min d2
+        for u, lst in cur.items():
+            for d, w in lst:
+                nb[u][w] = min(nb[u].get(w, d), d)
+                nb[w][u] = min(nb[w].get(u, d), d)
+        new_edges = defaultdict(dict)
+        for u, lst in cur.items():
+            for d, w in lst:
+                new_edges[u][w] = min(new_edges[u].get(w, d), d)
+        for c, m in nb.items():
+            cap = sorted((d, x) for x, d in m.items())[: 2 * K]
+            xs = sorted(x for _, x in cap)
+            for i in range(len(xs)):
+                for j in range(i + 1, len(xs)):
+                    a, b = xs[i], xs[j]
+                    dd = d2(a, b)
+                    new_edges[a][b] = min(new_edges[a].get(b, dd), dd)
+                    new_edges[b][a] = min(new_edges[b].get(a, dd), dd)
+        cur = topk(new_edges)
+
+    # exact top-K for probes, recall
+    seed_top = topk(edges)
+    probes = [int(i) for i in ids if i < 32]
+    want = []
+    tot_s = tot_f = 0
+    for u in probes:
+        exact = {
+            w
+            for _, w in sorted((d2(u, w), w) for w in map(int, ids) if w != u)[:K]
+        }
+        sh = len(exact & {w for _, w in seed_top[u]})
+        fh = len(exact & {w for _, w in cur[u]})
+        assert fh >= sh  # monotonicity theorem
+        tot_s += sh
+        tot_f += fh
+        want.append((u, sh, fh))
+    n = len(probes)
+    mean_s = (tot_s * 1_000_000 // (n * K)) / 1e6
+    mean_f = (tot_f * 1_000_000 // (n * K)) / 1e6
+    want_rows = sorted(
+        (
+            u, sh, fh,
+            (sh * 1_000_000 // K) / 1e6, (fh * 1_000_000 // K) / 1e6,
+            mean_s, mean_f,
+        )
+        for u, sh, fh in want
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry()["graph_knn_descent"].spark_fn(spark, sf_oracle).collect()
+    )
+    assert got == want_rows
+    assert tot_f > tot_s  # liveness: the descent recovers beyond the blocker

@@ -151,12 +151,17 @@ def test_priority_window_covers_every_surface():
     # rfm_segments -> xfq_ (driver-green r11-r12; quantile-bucketed
     # segmentation mechanism rides xab equi-depth + the demoted
     # exact-quantile family's history).
+    # Second r13 flagship promotion: graph_knn_descent (NN-descent
+    # k-NN graph + recall audit — the first ANN-recall row with a FULL
+    # value oracle; x21/x41/x90 stay rows-only by nature); demote
+    # ks_drift -> xfr_ (driver-green r11-r12; the drift-test mechanism
+    # stays covered by x68 PSI + xed chi2's association family).
     prefixes = (
         "acf_", "ann_", "attribution_", "bh_", "bloom_", "bpe_",
         "calibration_", "capture_", "chi2_", "cluster_", "connector_",
         "content_", "dbscan_", "dedup_", "did_", "doc_", "dsir_",
         "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
-        "hard_", "hits_", "jackknife_", "ks_", "mm_", "pca_",
+        "hard_", "hits_", "jackknife_", "mm_", "pca_",
         "pack_", "pipeline_", "profile_", "q0", "quality_", "rbo_",
         "roc_", "spearman_", "sprt_", "temperature_", "vocab_",
     )

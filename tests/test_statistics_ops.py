@@ -1199,7 +1199,7 @@ def test_calibration_ece_matches_python_replica(spark, sf_oracle):
 
 
 def test_ks_drift_matches_python_replica(spark, sf_oracle):
-    """ks_drift (ex-xec): window-cumsum KS == a from-scratch python-int replica
+    """xfr_ks_drift (ex-xec): window-cumsum KS == a from-scratch python-int replica
     (global min day, per-type sorted distinct-cents ECDF walk, exact
     BIGINT supremum, one quantized division; float only in the fixed
     critical-value expression over identical integers)."""
@@ -1242,7 +1242,7 @@ def test_ks_drift_matches_python_replica(spark, sf_oracle):
             ks, crit, drift = ks_q / 1e6, crit_q / 1e6, ks_q > crit_q
         want[et] = (n1, n2, d_num, ks, crit, drift)
 
-    got = registry()["ks_drift"].spark_fn(spark, sf_oracle).collect()
+    got = registry()["xfr_ks_drift"].spark_fn(spark, sf_oracle).collect()
     assert {
         r.event_type: (r.n1, r.n2, r.d_num, r.ks_stat, r.crit_05, r.drifted)
         for r in got
