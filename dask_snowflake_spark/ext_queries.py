@@ -17948,3 +17948,117 @@ def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_recall_final"),
     ).orderBy("probe_id")
+
+
+def _pass_at_k_expr(k: int) -> str:
+    """The unbiased pass@k estimator (Chen et al. 2021 appendix):
+    pass@k = 1 - C(n-c, k)/C(n, k), with the combinatorial ratio
+    computed as the k-term product of exact-BIGINT quotients in ONE
+    fixed expression order — each factor is a correctly-rounded IEEE
+    division of identical integers, so the k-double product is
+    engine-identical (the x63 fixed-order float idiom; the direct
+    C(n,k) BIGINT product overflows at n ~ 80 for k = 10, the product-
+    of-quotients form never does). Identical text on both sides."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+    return (
+        f"CASE WHEN c = 0 THEN 0 WHEN n - c < {k} THEN 1000000"
+        f" ELSE 1000000 - CAST(floor(({prod}) * 1000000) AS BIGINT) END"
+    )
+
+
+@query(
+    "xfs_pass_at_k",
+    f"""
+    WITH per_task AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, n, c,
+               {_pass_at_k_expr(1)} AS p1_ppm,
+               {_pass_at_k_expr(5)} AS p5_ppm,
+               {_pass_at_k_expr(10)} AS p10_ppm
+        FROM per_task
+    )
+    SELECT user_id, n, c,
+           CAST(p1_ppm AS BIGINT) / 1e6 AS pass_at_1,
+           CAST(p5_ppm AS BIGINT) / 1e6 AS pass_at_5,
+           CAST(p10_ppm AS BIGINT) / 1e6 AS pass_at_10,
+           CAST(sum(p1_ppm) OVER () // count(*) OVER () AS BIGINT) / 1e6
+               AS mean_pass_at_1,
+           CAST(sum(p5_ppm) OVER () // count(*) OVER () AS BIGINT) / 1e6
+               AS mean_pass_at_5,
+           CAST(sum(p10_ppm) OVER () // count(*) OVER () AS BIGINT) / 1e6
+               AS mean_pass_at_10
+    FROM scored
+    ORDER BY user_id
+    """,
+    "UNBIASED PASS@K (Chen et al. 2021, HumanEval appendix — the "
+    "LLM-eval staple completing the eval family next to xe3 AP / "
+    "roc_auc_eval / calibration_ece / xdz kappa: given n sampled "
+    "attempts per task with c successes, the unbiased probability "
+    "that at least one of k random draws succeeds is 1 - C(n-c,k)/"
+    "C(n,k); read here over the events fixture as tasks = users, "
+    "attempts = events, success = purchase — the estimator is "
+    "domain-agnostic): the combinatorial ratio as a k-term product "
+    "of exact-BIGINT quotients in ONE fixed expression order "
+    "(identical integers -> identical IEEE doubles -> identical "
+    "floor both engines, the x63/xed idiom; the naive C(n,k) BIGINT "
+    "product overflows at n ~ 80 for k = 10 — the quotient-product "
+    "form never overflows at ANY n), c = 0 and n - c < k guarded to "
+    "exact 0 / 1e6 BEFORE the product (the ELSE branch then has all "
+    "factors positive — no x/0, total function), ppm quantization, "
+    "corpus means by integer window division. One events scan + one "
+    "user-keyed agg; the unpartitioned windows ride the task frame. "
+    "Python replica re-derives from raw events via "
+    "math.comb exact rationals (a genuinely independent formula)",
+    ("events", "analytics"),
+)
+def xfs_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    per_task = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = per_task.select(
+        "user_id",
+        "n",
+        "c",
+        F.expr(_pass_at_k_expr(1)).alias("p1_ppm"),
+        F.expr(_pass_at_k_expr(5)).alias("p5_ppm"),
+        F.expr(_pass_at_k_expr(10)).alias("p10_ppm"),
+    )
+    return scored.select(
+        "user_id",
+        "n",
+        "c",
+        (F.col("p1_ppm").cast("long") / 1e6).alias("pass_at_1"),
+        (F.col("p5_ppm").cast("long") / 1e6).alias("pass_at_5"),
+        (F.col("p10_ppm").cast("long") / 1e6).alias("pass_at_10"),
+        (
+            F.expr("CAST(sum(p1_ppm) OVER () div count(1) OVER () AS BIGINT)")
+            / 1e6
+        ).alias("mean_pass_at_1"),
+        (
+            F.expr("CAST(sum(p5_ppm) OVER () div count(1) OVER () AS BIGINT)")
+            / 1e6
+        ).alias("mean_pass_at_5"),
+        (
+            F.expr("CAST(sum(p10_ppm) OVER () div count(1) OVER () AS BIGINT)")
+            / 1e6
+        ).alias("mean_pass_at_10"),
+    ).orderBy("user_id")

@@ -2662,3 +2662,62 @@ def test_capture_recapture_matches_python_replica(spark, sf_oracle):
     assert got == [want]
     assert 0 < n_a < n_true and 0 < n_b < n_true and n_both > 0
     assert want[7] is True
+
+
+def test_pass_at_k_matches_python_replica(spark, sf_oracle):
+    """xfs_pass_at_k == a from-scratch python replica: the ppm values
+    replicate the engine's fixed-order double product bit-for-bit
+    (python floats are the same IEEE doubles), and INDEPENDENTLY the
+    exact math.comb rational 1 - C(n-c,k)/C(n,k) must sit within 1e-9
+    of the double product — pinning that the quotient-product form
+    computes the true unbiased estimator, not just a self-consistent
+    number. Liveness: purchases exist, so pass@10 > pass@1 somewhere
+    and no user is degenerate-all-purchase."""
+    import math
+
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, count(*), sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+        FROM '{sf_oracle}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+
+    def ppm(n, c, k):
+        if c == 0:
+            return 0
+        if n - c < k:
+            return 1_000_000
+        prod = 1.0
+        for i in range(k):  # same fixed order as the engine expression
+            prod = prod * (float(n - c - i) / (n - i))
+        return 1_000_000 - math.floor(prod * 1_000_000)
+
+    per = {}
+    for u, n, c in rows:
+        per[u] = (n, c, ppm(n, c, 1), ppm(n, c, 5), ppm(n, c, 10))
+        # independence: double product vs exact rational
+        for k, got_ppm in ((1, per[u][2]), (5, per[u][3]), (10, per[u][4])):
+            if c > 0 and n - c >= k:
+                exact = 1 - math.comb(n - c, k) / math.comb(n, k)
+                assert abs(got_ppm / 1e6 - exact) < 2e-6
+    n_users = len(per)
+    m1 = sum(v[2] for v in per.values()) // n_users
+    m5 = sum(v[3] for v in per.values()) // n_users
+    m10 = sum(v[4] for v in per.values()) // n_users
+    want = sorted(
+        (u, n, c, p1 / 1e6, p5 / 1e6, p10 / 1e6, m1 / 1e6, m5 / 1e6, m10 / 1e6)
+        for u, (n, c, p1, p5, p10) in per.items()
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry()["xfs_pass_at_k"].spark_fn(spark, sf_oracle).collect()
+    )
+    assert got == want
+    assert any(v[4] > v[2] for v in per.values())  # more draws help
+    assert all(v[1] < v[0] for v in per.values())  # no all-purchase user
