@@ -18062,3 +18062,200 @@ def xfs_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_pass_at_10"),
     ).orderBy("user_id")
+
+
+@query(
+    "xft_hdr_quantile_sketch",
+    """
+    WITH cents AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ),
+    b AS (
+        SELECT CASE WHEN c < 32 THEN c
+               ELSE ((length(bin(c)) - 1) - 5) * 32
+                    + ((c >> ((length(bin(c)) - 1) - 5)) & 31) + 32 END AS bucket
+        FROM cents
+    ),
+    sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket),
+    cum AS (
+        SELECT bucket, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM sk
+    ),
+    qs AS (SELECT CAST(q0 AS BIGINT) AS q FROM (VALUES (50), (90), (99)) t(q0)),
+    pick AS (
+        SELECT q, CAST(min(bucket) AS BIGINT) AS bucket, CAST(min(n) AS BIGINT) AS n
+        FROM cum JOIN qs ON cum * 100 >= n * q
+        GROUP BY q
+    ),
+    dec AS (
+        SELECT q, bucket, n,
+               CASE WHEN bucket < 32 THEN bucket
+                    ELSE (32 + (bucket - 32) % 32) << ((bucket - 32) // 32)
+               END AS lo,
+               CASE WHEN bucket < 32 THEN bucket
+                    ELSE ((32 + (bucket - 32) % 32) << ((bucket - 32) // 32))
+                         + (CAST(1 AS BIGINT) << ((bucket - 32) // 32)) - 1
+               END AS hi
+        FROM pick
+    ),
+    exh AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY c
+    ),
+    excum AS (
+        SELECT c, CAST(sum(cnt) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM exh
+    ),
+    expick AS (
+        SELECT q, CAST(min(c) AS BIGINT) AS exact_cents
+        FROM excum JOIN qs ON cum * 100 >= n * q
+        GROUP BY q
+    )
+    SELECT d.q, d.n AS n_rows, d.bucket, d.lo AS est_lo_cents,
+           d.hi AS est_hi_cents, e.exact_cents,
+           (d.lo <= e.exact_cents AND e.exact_cents <= d.hi) AS contained,
+           CAST((d.hi - d.lo) * 1000000 // greatest(d.lo, 1) AS BIGINT) / 1e6
+               AS bucket_rel_width
+    FROM dec d JOIN expick e ON e.q = d.q
+    ORDER BY d.q
+    """,
+    "MERGEABLE HDR QUANTILE SKETCH + EXACT AUDIT (HdrHistogram / "
+    "DDSketch family, Masson et al. 2019 — the QUANTILE axis of the "
+    "mergeable-sketch family: xfp cms = counts, bloom = membership, "
+    "x44 HLL = cardinality, x45 = heavy hitters; production latency/"
+    "size percentiles at 100 TB are served by a merge of per-shard "
+    "constant-size histograms, not an exact selection per probe): "
+    "bucket = pure-INTEGER msb form length(bin(v))-1 with 5 mantissa "
+    "bits (<= 3.125% relative width; values < 32 exact) — no float "
+    "log anywhere, unlike quantiles._log_bucket where the float "
+    "bucket is only an exactness-agnostic PRUNING device; here the "
+    "bucket layout IS the driver-facing contract, so it must be "
+    "integer-exact (variable-amount >>/<< pinned engine-pair). "
+    "Sketch = one map-side-combinable groupBy (<= ~1200 rows at any "
+    "corpus size); merge law = bucket-wise count sum (unit-pinned); "
+    "quantile probe = integer cross-mult rank walk (cum*100 >= n*q) "
+    "over the bounded bucket frame. The audit: the EXACT quantile at "
+    "the same integer rank rule (xcr value-histogram cumsum; fixture-"
+    "scale distinct-cents frame — production audits sample or use "
+    "operators/quantiles' bounded-state selection) must fall inside "
+    "[lo, hi] — structurally guaranteed by bucket monotonicity, "
+    "emitted as the sketch's validity readout with the bucket's "
+    "relative width. All integers end-to-end",
+    ("lineitem", "analytics"),
+)
+def xft_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    cents = t["lineitem"].select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+    )
+    bucket = F.expr(
+        "CASE WHEN c < 32 THEN c"
+        " ELSE ((length(bin(c)) - 1) - 5) * 32"
+        "      + ((c >> ((length(bin(c)) - 1) - 5)) & 31) + 32 END"
+    )
+    sk = (
+        cents.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = sk.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    # carry the cumulative count BELOW the picked bucket so the exact
+    # audit can run two-phase selection (sort only inside the picked
+    # bucket) instead of a corpus-sized single-partition value cumsum
+    pick = (
+        cum.join(F.broadcast(qs), F.col("cum") * 100 >= F.col("n") * F.col("q"))
+        .groupBy("q")
+        .agg(
+            F.min("bucket").cast("long").alias("bucket"),
+            F.min("n").cast("long").alias("n"),
+            F.min(F.struct("bucket", "cum", "cnt")).alias("__pb"),
+        )
+        .select(
+            "q",
+            "bucket",
+            "n",
+            (F.col("__pb.cum") - F.col("__pb.cnt")).cast("long").alias("below"),
+        )
+    )
+    dec = pick.select(
+        "q",
+        "bucket",
+        "n",
+        "below",
+        F.expr(
+            "CASE WHEN bucket < 32 THEN bucket"
+            " ELSE (32 + (bucket - 32) % 32) << ((bucket - 32) div 32) END"
+        ).alias("lo"),
+        F.expr(
+            "CASE WHEN bucket < 32 THEN bucket"
+            " ELSE ((32 + (bucket - 32) % 32) << ((bucket - 32) div 32))"
+            "      + (CAST(1 AS BIGINT) << ((bucket - 32) div 32)) - 1 END"
+        ).alias("hi"),
+    )
+    # Two-phase exact selection (the operators/quantiles shape): the
+    # exact quantile at rank rule cum*100 >= n*q provably lies in the
+    # picked bucket (monotone bucketing, same rank rule), so only the
+    # picked buckets' rows are aggregated and the rank walk runs over
+    # a bucket-width-bounded per-q frame — never a corpus-sized
+    # single-partition value cumsum.
+    inb = cents.join(
+        F.broadcast(dec.select("q", "n", "below", "lo", "hi")),
+        (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
+    )
+    exh = inb.groupBy("q", "n", "below", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wex = (
+        W.partitionBy("q")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    excum = exh.select(
+        "q",
+        "n",
+        "below",
+        "c",
+        F.sum("cnt").over(wex).cast("long").alias("cum_in"),
+    )
+    expick = (
+        excum.filter(
+            (F.col("below") + F.col("cum_in")) * 100 >= F.col("n") * F.col("q")
+        )
+        .groupBy("q")
+        .agg(F.min("c").cast("long").alias("exact_cents"))
+    )
+    return (
+        dec.join(expick, "q")
+        .select(
+            "q",
+            F.col("n").alias("n_rows"),
+            "bucket",
+            F.col("lo").alias("est_lo_cents"),
+            F.col("hi").alias("est_hi_cents"),
+            "exact_cents",
+            (
+                (F.col("lo") <= F.col("exact_cents"))
+                & (F.col("exact_cents") <= F.col("hi"))
+            ).alias("contained"),
+            (
+                F.expr("CAST((hi - lo) * 1000000 div greatest(lo, 1) AS BIGINT)")
+                / 1e6
+            ).alias("bucket_rel_width"),
+        )
+        .orderBy("q")
+    )

@@ -747,3 +747,94 @@ def test_degenerate_denominator_case_guards_engine_identical(spark):
     assert s2 == [tuple(r) for r in d2]
     gm = dict(s2)
     assert gm[0] == 0 and gm[4] == 0 and gm[3] > 0
+
+
+def test_hdr_bucket_encode_decode_engine_identical(spark):
+    """xft's HDR bucket layout is the driver-facing CONTRACT, so the
+    pure-integer msb form (length(bin(v))-1), the variable-amount
+    shifts and the decode must be engine-identical AND self-consistent
+    (lo <= v <= hi for every v) on adversarial literals: bucket-regime
+    boundary (31/32/33), exact powers of two, power+-1, and
+    beyond-float-ulp magnitudes where a log-based form could flip."""
+    import duckdb
+
+    vals = [1, 2, 31, 32, 33, 63, 64, 65, 1023, 1024, 1025,
+            999_999, 1_048_576, 1_048_577, 4_398_046_511_103,
+            4_398_046_511_104, 4_398_046_511_105]
+    enc = (
+        "CASE WHEN c < 32 THEN c"
+        " ELSE ((length(bin(c)) - 1) - 5) * 32"
+        "      + ((c >> ((length(bin(c)) - 1) - 5)) & 31) + 32 END"
+    )
+
+    def dec_sql(div):
+        return (
+            "CASE WHEN bucket < 32 THEN bucket"
+            f" ELSE (32 + (bucket - 32) % 32) << ((bucket - 32) {div} 32) END AS lo,"
+            " CASE WHEN bucket < 32 THEN bucket"
+            f" ELSE ((32 + (bucket - 32) % 32) << ((bucket - 32) {div} 32))"
+            f"      + (CAST(1 AS BIGINT) << ((bucket - 32) {div} 32)) - 1 END AS hi"
+        )
+
+    spine = ",".join(f"({v}L)" for v in vals)
+    srows = [
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT c, bucket, {dec_sql('div')} FROM"
+            f" (SELECT c, {enc} AS bucket FROM VALUES {spine} AS t(c))"
+            " ORDER BY c"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        dspine = ",".join(f"({v})" for v in vals)
+        drows = con.execute(
+            f"SELECT c, bucket, {dec_sql('//')} FROM"
+            f" (SELECT c, {enc} AS bucket FROM"
+            f"  (SELECT CAST(c0 AS BIGINT) AS c FROM (VALUES {dspine}) t(c0)))"
+            " ORDER BY c"
+        ).fetchall()
+    finally:
+        con.close()
+    assert srows == [tuple(r) for r in drows]
+    # python reference: msb via bit_length, and containment
+    for c, bucket, lo, hi in srows:
+        e = c.bit_length() - 1
+        want = c if c < 32 else (e - 5) * 32 + ((c >> (e - 5)) & 31) + 32
+        assert bucket == want, (c, bucket, want)
+        assert lo <= c <= hi, (c, lo, hi)
+        if c >= 32:
+            assert (hi - lo + 1) * 32 == (1 << (e - 5)) * 32  # width = 2^(e-5)
+    # bucket is monotone in v (the property the rank walk relies on)
+    bks = [b for _, b, _, _ in srows]
+    assert bks == sorted(bks)
+
+
+def test_hdr_sketch_merge_law(spark):
+    """Two shard sketches merge by bucket-wise count sum == the union
+    sketch (the property that makes the histogram THE production
+    percentile structure at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    enc = (
+        "CASE WHEN c < 32 THEN c"
+        " ELSE ((length(bin(c)) - 1) - 5) * 32"
+        "      + ((c >> ((length(bin(c)) - 1) - 5)) & 31) + 32 END"
+    )
+    vals = [1, 7, 33, 99, 100, 101, 5000, 123456, 123457, 99999999]
+
+    def sketch(vs):
+        df = spark.createDataFrame([(v,) for v in vs], "c long")
+        return (
+            df.select(F.expr(enc).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    a, b = sketch(vals[:5]), sketch(vals[5:])
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in sketch(vals).collect()
+    )
