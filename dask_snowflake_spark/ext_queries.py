@@ -18259,3 +18259,184 @@ def xft_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@query(
+    "xfu_bloom_join_prune",
+    """
+    WITH dim AS (
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    cells AS (
+        SELECT (('0x' || substr(md5('jp:' || k), r.r * 6 + 1, 6))::BIGINT
+                % 1984) AS pos
+        FROM dim, (SELECT unnest([0, 1, 2, 3]) AS r) r
+    ),
+    bloom AS (
+        SELECT pos // 62 AS word_idx,
+               CAST(bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS BIGINT) AS bits
+        FROM cells GROUP BY pos // 62
+    ),
+    probes AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k, o_custkey,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY o_custkey
+    ),
+    pcells AS (
+        SELECT k, (('0x' || substr(md5('jp:' || k), r.r * 6 + 1, 6))::BIGINT
+                % 1984) AS pos
+        FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) r
+    ),
+    hits AS (
+        SELECT p.k,
+               CASE WHEN (COALESCE(b.bits, 0)
+                          & (1::BIGINT << CAST(p.pos % 62 AS INT))) != 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM pcells p LEFT JOIN bloom b ON b.word_idx = p.pos // 62
+    ),
+    verdicts AS (
+        SELECT k, sum(hit) = 4 AS bloom_says FROM hits GROUP BY k
+    ),
+    classified AS (
+        SELECT p.o_custkey, p.n_rows, v.bloom_says,
+               (d.k IS NOT NULL) AS actually_member
+        FROM probes p
+        JOIN verdicts v ON v.k = p.k
+        LEFT JOIN dim d ON d.k = p.k
+    ),
+    grouped AS (
+        SELECT bloom_says, actually_member,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n_rows) AS BIGINT) AS n_order_rows,
+               CAST(sum(CASE WHEN bloom_says AND NOT actually_member
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT actually_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS neg,
+               CAST(sum(CASE WHEN NOT bloom_says AND actually_member
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN bloom_says THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS pass_rows
+        FROM classified
+        GROUP BY bloom_says, actually_member
+    )
+    SELECT bloom_says, actually_member, n_keys, n_order_rows,
+           CAST(sum(fp) OVER () * 1000000
+                // greatest(sum(neg) OVER (), 1) AS BIGINT) / 1e6
+               AS fp_rate_nonmembers,
+           CAST(sum(fn) OVER () AS BIGINT) AS n_false_negatives,
+           CAST(sum(pass_rows) OVER () * 1000000
+                // greatest(sum(n_order_rows) OVER (), 1) AS BIGINT) / 1e6
+               AS rows_passed_frac
+    FROM grouped
+    ORDER BY bloom_says, actually_member
+    """,
+    "BLOOM-PRUNED JOIN AUDIT (the runtime-row-filtering pattern Spark "
+    "implements internally with its non-public bloom_filter_agg — a "
+    "fact-side scan probes a tiny membership index built from the "
+    "filtered dim side and skips rows that PROVABLY cannot join, "
+    "trading a bounded false-positive pass-through rate for never "
+    "shuffling non-matching rows; this query exercises the hardened "
+    "decontam.bloom_build/probe pair end-to-end in its production "
+    "role): dim = BUILDING customers (302 keys at sf0.01) into a "
+    "DELIBERATELY small 32-word index (1984 bits, ~61% fill) so the "
+    "false-positive path carries REAL traffic — the r12 bloom row's "
+    "honest null was zero FPs at 0.8% fill, leaving the FP path "
+    "pinned only by a constructed unit test; here ~14% of "
+    "non-members pass and the driver hashes the exact count "
+    "(deterministic given md5). Output: the 2x2 (bloom_says x "
+    "actually_member) census over distinct probe keys with order-row "
+    "mass, the FP rate among non-members, the row-pass fraction, and "
+    "n_false_negatives — exactly 0 by the any-clear-bit-proves-"
+    "absence law (replica-asserted; the structurally-empty "
+    "(says=false, member=true) cell never appears). Spark side goes "
+    "through bloom_probe's fingerprint guard (the ADVICE r12 "
+    "hardening) — this is the first registry consumer to exercise it "
+    "driver-shaped. Production sizing note: n_words scales with "
+    "|dim| for a target FP rate (~10 bits/key for 1%); the 32-word "
+    "choice here is the declared adversarial-fill constant",
+    ("customer", "orders", "dedup"),
+)
+def xfu_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .operators import decontam as decontam_ops
+
+    t = _t(spark, sf_dir)
+    dim = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = decontam_ops.bloom_build(dim, key_col="k", n_words=32, seed="jp")
+    probes = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "o_custkey",
+            F.col("o_custkey").cast("string").alias("k"),
+            "n_rows",
+        )
+    )
+    verdicts = decontam_ops.bloom_probe(
+        bloom, probes, key_col="k", n_words=32, seed="jp"
+    ).select(F.col("probe_key").alias("k"), "bloom_says")
+    classified = (
+        probes.join(verdicts, "k")
+        .join(
+            F.broadcast(dim.withColumn("__m", F.lit(1))), "k", "left"
+        )
+        .select(
+            "o_custkey",
+            "n_rows",
+            "bloom_says",
+            F.col("__m").isNotNull().alias("actually_member"),
+        )
+    )
+    grouped = classified.groupBy("bloom_says", "actually_member").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("n_order_rows"),
+        F.sum(
+            F.when(F.col("bloom_says") & ~F.col("actually_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__fp"),
+        F.sum(F.when(~F.col("actually_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("__neg"),
+        F.sum(
+            F.when(~F.col("bloom_says") & F.col("actually_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__fn"),
+        F.sum(F.when(F.col("bloom_says"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("__pass_rows"),
+    )
+    w = W.partitionBy()
+    return (
+        grouped.select(
+            "bloom_says",
+            "actually_member",
+            "n_keys",
+            "n_order_rows",
+            (
+                F.expr(
+                    "CAST(sum(__fp) OVER () * 1000000"
+                    " div greatest(sum(__neg) OVER (), 1) AS BIGINT)"
+                )
+                / 1e6
+            ).alias("fp_rate_nonmembers"),
+            F.sum("__fn").over(w).cast("long").alias("n_false_negatives"),
+            (
+                F.expr(
+                    "CAST(sum(__pass_rows) OVER () * 1000000"
+                    " div greatest(sum(n_order_rows) OVER (), 1) AS BIGINT)"
+                )
+                / 1e6
+            ).alias("rows_passed_frac"),
+        )
+        .orderBy("bloom_says", "actually_member")
+    )

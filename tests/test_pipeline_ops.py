@@ -456,3 +456,70 @@ def test_bloom_probe_rejects_mismatched_build_params(spark):
     data_only = bloom2.filter("word_idx >= 0")
     with pytest.raises(Exception, match="bloom_probe: index metadata"):
         bloom_probe(data_only, probes, key_col="key", n_words=2, seed="bl").collect()
+
+
+def test_bloom_join_prune_census_replica(spark, sf_oracle):
+    """xfu_bloom_join_prune == a python replica replaying the identical
+    md5 bit math over the real fixture; pins the operator laws in the
+    production join-pruning role: zero false negatives (any clear bit
+    proves absence), the structurally-impossible (says=false,
+    member=true) cell never appears, and the FP path carries REAL
+    traffic (the r12 bloom row's zero-FP honest null, closed by the
+    deliberately small 32-word index)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    M = 32 * 62
+    con = duckdb.connect()
+    dim = {
+        str(r[0])
+        for r in con.execute(
+            f"SELECT DISTINCT c_custkey FROM '{sf_oracle}/customer.parquet'"
+            " WHERE c_mktsegment = 'BUILDING'"
+        ).fetchall()
+    }
+    probes = con.execute(
+        f"SELECT o_custkey, count(*) FROM '{sf_oracle}/orders.parquet'"
+        " GROUP BY o_custkey"
+    ).fetchall()
+
+    def positions(k):
+        h = hashlib.md5(f"jp:{k}".encode()).hexdigest()
+        return {int(h[r * 6 : r * 6 + 6], 16) % M for r in range(4)}
+
+    bits = set()
+    for k in dim:
+        bits |= positions(k)
+    cells = defaultdict(lambda: [0, 0, 0, 0, 0])  # keys, rows, fp, neg, pass
+    fp_tot = neg_tot = pass_rows = all_rows = 0
+    for ck, n_rows in probes:
+        k = str(ck)
+        says = positions(k) <= bits
+        member = k in dim
+        assert not (member and not says)  # no false negatives, ever
+        c = cells[(says, member)]
+        c[0] += 1
+        c[1] += n_rows
+        fp_tot += 1 if says and not member else 0
+        neg_tot += 0 if member else 1
+        pass_rows += n_rows if says else 0
+        all_rows += n_rows
+    fp_rate = (fp_tot * 1_000_000 // max(neg_tot, 1)) / 1e6
+    passed = (pass_rows * 1_000_000 // max(all_rows, 1)) / 1e6
+    want = sorted(
+        (says, member, c[0], c[1], fp_rate, 0, passed)
+        for (says, member), c in cells.items()
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry()["xfu_bloom_join_prune"]
+        .spark_fn(spark, sf_oracle)
+        .collect()
+    )
+    assert got == want
+    assert (False, True) not in cells  # impossible cell absent
+    assert fp_tot > 0  # the FP path carries real traffic here
