@@ -182,9 +182,13 @@ def pack_documents_atomic(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .collect()
     )
-    n_empty = sum(r.n for r in hist_rows if r.L <= 0)
-    n_oversize = sum(r.n for r in hist_rows if r.L > cap)
-    packable = [(r.L, r.n) for r in hist_rows if 1 <= r.L <= cap]
+    # NULL token counts are a declared EXCLUDED branch alongside empty:
+    # the fixture contract keeps documents.text (hence n_tokens) non-NULL,
+    # but the public operator surface must not hit a bare `None <= 0`
+    # TypeError on other inputs — count NULLs into n_empty loudly.
+    n_empty = sum(r.n for r in hist_rows if r.L is None or r.L <= 0)
+    n_oversize = sum(r.n for r in hist_rows if r.L is not None and r.L > cap)
+    packable = [(r.L, r.n) for r in hist_rows if r.L is not None and 1 <= r.L <= cap]
     plan, n_bins = nfd_plan(packable, cap)
     if not plan:
         empty = docs.sparkSession.createDataFrame(

@@ -170,3 +170,18 @@ def test_pack_sequences_atomic_matches_python_replica(spark, sf_oracle):
     assert got == want
     assert max(d for d, *_ in want) >= 2  # multi-doc bins exist
     assert eff >= 0.9  # liveness: packing is actually tight
+
+def test_pack_documents_atomic_counts_null_tokens_as_empty(spark):
+    """A NULL token count reaching the public operator surface lands in
+    the declared EXCLUDED n_empty branch instead of a bare TypeError on
+    `None <= 0` in the histogram fold (r13 ADVICE) — the fixture keeps
+    documents.text non-NULL, but the operator must be total anyway."""
+    from dask_snowflake_spark.operators.packing import pack_documents_atomic
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 0), (4, 9000)],
+        "doc_id long, n_tokens long",
+    )
+    assigned, n_empty, n_oversize, n_bins = pack_documents_atomic(docs, cap=512)
+    assert (n_empty, n_oversize, n_bins) == (2, 1, 1)
+    assert [(r.doc_id, r.bin_id) for r in assigned.collect()] == [(1, 1)]
