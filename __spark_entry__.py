@@ -32,7 +32,7 @@ from dask_snowflake_spark import queries as q  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the 5-way star-join
     revenue rollup (TPC-H Q5 shape). Driver checks rows>0."""
-    return q.q04_star_join_revenue(spark, "/root/testdata/sf0.001")
+    return q.xfx_star_join_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -151,7 +151,7 @@ def _minhash_cand_sql() -> str:
 
 
 @query(
-    "dedup_minhash_lsh",
+    "xfy_dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_SQL},
     {_minhash_cand_sql()},
@@ -162,7 +162,7 @@ def _minhash_cand_sql() -> str:
     "MinHash+LSH near-dup: 3-gram shingles -> 16 md5 minhashes -> 8 bands -> bucket join -> exact-Jaccard verify",
     ("dedup",),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfy_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return dedup_ops.minhash_near_dup(
         t["documents"], shingle_n=3, num_hashes=16, rows_per_band=2, threshold=0.8
@@ -17969,7 +17969,7 @@ def _pass_at_k_expr(k: int) -> str:
 
 
 @query(
-    "xfs_pass_at_k",
+    "pass_at_k",
     f"""
     WITH per_task AS (
         SELECT user_id,
@@ -18020,7 +18020,7 @@ def _pass_at_k_expr(k: int) -> str:
     "math.comb exact rationals (a genuinely independent formula)",
     ("events", "analytics"),
 )
-def xfs_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -18065,7 +18065,7 @@ def xfs_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xft_hdr_quantile_sketch",
+    "hdr_quantile_sketch",
     """
     WITH cents AS (
         SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
@@ -18149,7 +18149,7 @@ def xfs_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relative width. All integers end-to-end",
     ("lineitem", "analytics"),
 )
-def xft_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
@@ -18262,7 +18262,7 @@ def xft_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xfu_bloom_join_prune",
+    "bloom_join_prune",
     """
     WITH dim AS (
         SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
@@ -18357,7 +18357,7 @@ def xft_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "choice here is the declared adversarial-fill constant",
     ("customer", "orders", "dedup"),
 )
-def xfu_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .operators import decontam as decontam_ops
@@ -18443,7 +18443,7 @@ def xfu_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "xfv_frequent_itemsets",
+    "frequent_itemsets_apriori",
     """
     WITH items AS (
         SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
@@ -18490,7 +18490,7 @@ def xfu_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All exact integer counts; unique (i1, i2, i3) order",
     ("lineitem", "analytics"),
 )
-def xfv_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def frequent_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     items = (
         t["lineitem"]

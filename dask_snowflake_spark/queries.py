@@ -99,7 +99,7 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 @query(
-    "q01_pricing_summary",
+    "xfw_pricing_summary",
     """
     WITH e AS (
         SELECT l_returnflag, l_linestatus,
@@ -147,7 +147,7 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     "sums DECIMAL(38,0) internally instead (docstring note)",
     ("aggregation",),
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfw_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     li = t["lineitem"]
     e = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")).select(
@@ -461,7 +461,7 @@ def xem_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q04_star_join_revenue",
+    "xfx_star_join_revenue",
     """
     SELECT n_name,
            CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -485,7 +485,7 @@ def xem_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary",
     ("join", "aggregation"),
 )
-def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfx_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     # region/nation are constant-size (5/25 rows at every SF): always
     # broadcast. customer is SF-proportional: let Catalyst/AQE decide.

@@ -126,7 +126,7 @@ def xen_fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fn_udf_map_in_arrow",
+    "xfz_fn_udf_map_in_arrow",
     """
     SELECT doc_id, length(text)::BIGINT AS n_chars_py, (doc_id % 16)::BIGINT AS shard
     FROM documents
@@ -135,7 +135,7 @@ def xen_fn_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInArrow: per-partition Arrow RecordBatch transform (zero-copy batch access)",
     ("udf",),
 )
-def fn_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xfz_fn_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
 
     def shard(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

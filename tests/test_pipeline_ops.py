@@ -459,7 +459,7 @@ def test_bloom_probe_rejects_mismatched_build_params(spark):
 
 
 def test_bloom_join_prune_census_replica(spark, sf_oracle):
-    """xfu_bloom_join_prune == a python replica replaying the identical
+    """bloom_join_prune == a python replica replaying the identical
     md5 bit math over the real fixture; pins the operator laws in the
     production join-pruning role: zero false negatives (any clear bit
     proves absence), the structurally-impossible (says=false,
@@ -516,7 +516,7 @@ def test_bloom_join_prune_census_replica(spark, sf_oracle):
     )
     got = sorted(
         tuple(r)
-        for r in registry()["xfu_bloom_join_prune"]
+        for r in registry()["bloom_join_prune"]
         .spark_fn(spark, sf_oracle)
         .collect()
     )

@@ -43,7 +43,7 @@ def test_column_pruning(spark, sf_oracle):
 def test_star_join_broadcasts_dims(spark, sf_oracle):
     """q04: region/nation (constant-size dims) must broadcast, never
     shuffle; the lineitem-orders join may be sort-merge/shuffled-hash."""
-    df = registry()["q04_star_join_revenue"].spark_fn(spark, sf_oracle)
+    df = registry()["xfx_star_join_revenue"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert "BroadcastHashJoin" in p, p
 
@@ -51,7 +51,7 @@ def test_star_join_broadcasts_dims(spark, sf_oracle):
 def test_aggregation_is_partial(spark, sf_oracle):
     """q01 must run map-side partial aggregation (two HashAggregate
     nodes) so the shuffle carries group subtotals, not raw rows."""
-    df = registry()["q01_pricing_summary"].spark_fn(spark, sf_oracle)
+    df = registry()["xfw_pricing_summary"].spark_fn(spark, sf_oracle)
     p = plan(df)
     assert p.count("HashAggregate") >= 2, p
 

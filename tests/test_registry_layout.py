@@ -156,13 +156,33 @@ def test_priority_window_covers_every_surface():
     # value oracle; x21/x41/x90 stay rows-only by nature); demote
     # ks_drift -> xfr_ (driver-green r11-r12; the drift-test mechanism
     # stays covered by x68 PSI + xed chi2's association family).
+    # r14 rotation (the r13 VERDICT's #2 item): promote the four
+    # never-driver-checked r13 flagships — pass_at_k (ex-xfs, unbiased
+    # Chen-et-al. eval), hdr_quantile_sketch (ex-xft, the mergeable
+    # sketch family's quantile axis), bloom_join_prune (ex-xfu, the
+    # bloom index in its production join-prune role) and
+    # frequent_itemsets_apriori (ex-xfv, theorem-checked Apriori).
+    # Demote the four deepest driver-green histories whose mechanisms
+    # stay window-exercised: q01_pricing_summary -> xfw_ (13 greens;
+    # hash-agg sum/avg rides every in-window aggregate),
+    # q04_star_join_revenue -> xfx_ (13 greens; star broadcast joins
+    # ride pipeline_llm_corpus + frequent_itemsets_apriori's joins —
+    # the entry() flagship keeps calling it under the new name),
+    # dedup_minhash_lsh -> xfy_ (13 greens; the LSH band join runs
+    # driver-green inside pipeline_llm_corpus and dedup_apply, and
+    # dedup_span_regions/dedup_region_apply keep the dedup_ family
+    # in-window) and fn_udf_map_in_arrow -> xfz_ (12 greens; the
+    # mapInArrow surface is driver-exercised inside
+    # connector_write_roundtrip's per-partition bulk writer). The mm_
+    # row (also 13 greens) stays: it is the window's only multimodal
+    # representative, a first-class graded family.
     prefixes = (
         "acf_", "ann_", "attribution_", "bh_", "bloom_", "bpe_",
         "calibration_", "capture_", "chi2_", "cluster_", "connector_",
         "content_", "dbscan_", "dedup_", "did_", "doc_", "dsir_",
-        "eb_", "file_", "flow_", "fn_udf_", "governance_", "graph_",
-        "hard_", "hits_", "jackknife_", "mm_", "pca_",
-        "pack_", "pipeline_", "profile_", "q0", "quality_", "rbo_",
+        "eb_", "file_", "flow_", "frequent_", "governance_", "graph_",
+        "hard_", "hdr_", "hits_", "jackknife_", "mm_", "pass_", "pca_",
+        "pack_", "pipeline_", "profile_", "quality_", "rbo_",
         "roc_", "spearman_", "sprt_", "temperature_", "vocab_",
     )
     for p in prefixes:

@@ -2665,7 +2665,7 @@ def test_capture_recapture_matches_python_replica(spark, sf_oracle):
 
 
 def test_pass_at_k_matches_python_replica(spark, sf_oracle):
-    """xfs_pass_at_k == a from-scratch python replica: the ppm values
+    """pass_at_k == a from-scratch python replica: the ppm values
     replicate the engine's fixed-order double product bit-for-bit
     (python floats are the same IEEE doubles), and INDEPENDENTLY the
     exact math.comb rational 1 - C(n-c,k)/C(n,k) must sit within 1e-9
@@ -2716,7 +2716,7 @@ def test_pass_at_k_matches_python_replica(spark, sf_oracle):
     )
     got = sorted(
         tuple(r)
-        for r in registry()["xfs_pass_at_k"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["pass_at_k"].spark_fn(spark, sf_oracle).collect()
     )
     assert got == want
     assert any(v[4] > v[2] for v in per.values())  # more draws help
