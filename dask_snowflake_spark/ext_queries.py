@@ -18582,3 +18582,153 @@ def frequent_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i1", "i2", "i3", "support", "n_baskets", "n_frequent_pairs")
         .orderBy("i1", "i2", "i3")
     )
+
+
+def _hll_oracle_sql() -> str:
+    from .operators.cardinality import (
+        HLL_ALPHA_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        hll_lc_table,
+    )
+
+    return f"""
+    WITH keys AS (
+        SELECT event_type AS shard, CAST(event_id AS VARCHAR) AS k FROM events
+        UNION ALL
+        SELECT '__all__' AS shard, CAST(event_id AS VARCHAR) AS k FROM events
+        UNION ALL
+        SELECT '__users__' AS shard, CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells AS (
+        SELECT shard,
+               ('0x' || substr(md5('hll:' || k), 1, 2))::BIGINT AS bucket,
+               ('0x' || substr(md5('hll:' || k), 3, 12))::BIGINT AS v
+        FROM keys
+    ),
+    regs AS (
+        SELECT shard, bucket,
+               max(CASE WHEN v = 0 THEN 49
+                   ELSE 49 - length(bin(v)) END) AS reg
+        FROM cells GROUP BY shard, bucket
+    ),
+    agg AS (
+        SELECT shard,
+               CAST(sum(1::BIGINT << (49 - reg)) AS BIGINT) AS sum_pow,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM regs GROUP BY shard
+    ),
+    est1 AS (
+        SELECT shard,
+               {HLL_M} - cnt AS v_empty,
+               ({HLL_ALPHA_NUM} // s) * 16 + (({HLL_ALPHA_NUM} % s) * 16) // s
+                   AS raw
+        FROM (SELECT shard, cnt,
+                     sum_pow + ({HLL_M} - cnt) * (1::BIGINT << 49) AS s
+              FROM agg)
+    ),
+    tab AS (SELECT {hll_lc_table()} AS t),
+    est AS (
+        SELECT shard, v_empty,
+               CASE WHEN v_empty > 0 AND raw <= {HLL_LC_THRESHOLD}
+                    THEN 'linear' ELSE 'hll' END AS branch,
+               CASE WHEN v_empty > 0 AND raw <= {HLL_LC_THRESHOLD}
+                    THEN t[greatest(v_empty, 1)] ELSE raw END AS est
+        FROM est1 LEFT JOIN tab ON true
+    ),
+    exact AS (
+        SELECT shard, CAST(count(DISTINCT k) AS BIGINT) AS exact_n
+        FROM keys GROUP BY shard
+    )
+    SELECT e.shard,
+           x.exact_n,
+           CAST(e.est AS BIGINT) AS est,
+           CAST(e.v_empty AS BIGINT) AS v_empty,
+           e.branch,
+           (abs(e.est - x.exact_n) * 1000 <= 195 * x.exact_n) AS within_3se
+    FROM est e JOIN exact x ON x.shard = e.shard
+    ORDER BY e.shard
+    """
+
+
+@query(
+    "xg0_hll_cardinality",
+    _hll_oracle_sql(),
+    "PORTABLE INTEGER HYPERLOGLOG (Flajolet et al. 2007) -- the "
+    "CARDINALITY axis completing the mergeable-sketch family "
+    "(membership = bloom_membership_index, frequency = xfp count-min, "
+    "quantile = hdr_quantile_sketch; cardinality was the r13 verdict's "
+    "named gap): per-event_type register sketches over event ids, "
+    "bucket-wise-MAX merged into a corpus sketch, plus a low-"
+    "cardinality user-id sketch so BOTH estimator branches (raw HLL "
+    "and small-range linear counting) are live in-query. One md5 per "
+    "key sliced into an 8-bit bucket and a 48-bit rank field (rank = "
+    "49 - length(bin(v)), the pure-integer msb idiom); estimate = "
+    "floor(alpha_256 * 2^65 / S) via two exact BIGINT divisions "
+    "(alpha scaled to 2^61, formula-pinned) -- no doubles anywhere, so "
+    "the estimate hash-matches cross-engine, unlike engine-private "
+    "approx_count_distinct (x04). Small-range branch reads a 256-entry "
+    "literal round(m*ln(m/V)) table (the transcendental-free "
+    "literal-table idiom). THEOREM-CHECKING oracle (the Apriori "
+    "precedent): the engine MERGES per-shard sketches into '__all__' "
+    "while the oracle builds the global sketch directly from all keys "
+    "-- equality holds by the merge law max(max(A), max(B)) = "
+    "max(A u B) itself, so the oracle is structurally independent of "
+    "the merge path. Estimator sanity is SCALE-AWARE (the xff rule): "
+    "within_3se compares against 3 * 1.04/sqrt(256) = 19.5% relative "
+    "SE by integer cross-multiplication -- valid at any corpus size. "
+    "Scale shape: registers are map-side-combinable max aggregates, "
+    "<= 258 rows per shard at ANY corpus size; merge is one tiny "
+    "groupBy; nothing data-sized ever leaves the executors. Duplicate "
+    "keys need no pre-distinct (max is idempotent), so the build is "
+    "one scan, no distinct shuffle. The operator's parameter-"
+    "fingerprint guard (bucket -1/-2 carry +-fp; mismatched merges "
+    "break the cancellation) is exercised by unit pin, not here -- "
+    "the oracle has no meta rows and the guard contributes 0",
+    ("events", "sketch", "analytics"),
+)
+def xg0_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cardinality import HLL_M, hll_build, hll_estimate, hll_merge
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    shard_sk = hll_build(
+        ev.select("event_type", "event_id"),
+        key_col="event_id",
+        shard_col="event_type",
+    )
+    merged_sk = hll_merge(shard_sk).withColumn("shard", F.lit("__all__"))
+    users_sk = hll_build(ev.select("user_id"), key_col="user_id").withColumn(
+        "shard", F.lit("__users__")
+    )
+    all_sk = (
+        shard_sk.withColumnRenamed("event_type", "shard")
+        .unionByName(merged_sk.select("shard", "bucket", "reg"))
+        .unionByName(users_sk.select("shard", "bucket", "reg"))
+    )
+    ests = hll_estimate(all_sk, by=["shard"])
+    exact = (
+        ev.select(F.col("event_type").alias("shard"), F.col("event_id").cast("string").alias("k"))
+        .unionByName(
+            ev.select(F.lit("__all__").alias("shard"), F.col("event_id").cast("string").alias("k"))
+        )
+        .unionByName(
+            ev.select(F.lit("__users__").alias("shard"), F.col("user_id").cast("string").alias("k"))
+        )
+        .groupBy("shard")
+        .agg(F.countDistinct("k").cast("long").alias("exact_n"))
+    )
+    return (
+        ests.join(exact, "shard")
+        .select(
+            "shard",
+            "exact_n",
+            F.col("est").cast("long").alias("est"),
+            F.col("v_empty").cast("long").alias("v_empty"),
+            "branch",
+            (F.abs(F.col("est") - F.col("exact_n")) * 1000 <= F.col("exact_n") * 195).alias(
+                "within_3se"
+            ),
+        )
+        .orderBy("shard")
+    )
