@@ -1198,3 +1198,267 @@ def knn_graph_descent(
             cur.unionByName(both).groupBy("u", "w").agg(F.min("d2").alias("d2"))
         ).localCheckpoint(eager=True)
     return seed, cur
+
+
+def ivfpq_det_recall(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    n_queries: int = 5,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    k_pq: int = 16,
+    nprobe: int = 2,
+    k_top: int = 10,
+    shortlist: int = 20,
+) -> DataFrame:
+    """DETERMINISTIC integer IVF-PQ (the faiss IndexIVFPQ shape made
+    fully value-oracle-able — the graph_knn_descent recipe applied to
+    the r13 verdict's #5: exact integer distances, unique tie-breaks,
+    deterministic codebooks — so the recall census HASH-MATCHES the
+    DuckDB oracle instead of staying rows-only like the float-trained
+    version this replaces):
+
+    - Vectors milli-quantized at the source (floor(x * 1000); float32
+      times 1000 is exact in double — 24 + 10 < 53 mantissa bits).
+    - Coarse quantizer: per-label integer centroids (sum div count,
+      truncating div — engine-pair pinned); every vector is then
+      ASSIGNED to its geometrically nearest centroid by exact integer
+      d2 with (d2, cell) tie-break, so labels only seed the quantizer.
+    - PQ codebooks on the RESIDUAL (faiss discipline): init = residual
+      subvectors of the k_pq corpus vectors ranked first by
+      (md5('pq:' || id), id) (the hash-ring determinism idiom — a fair
+      sample, no RNG), then ONE Lloyd round with integer-mean updates
+      (empty clusters keep their init). Every distance and tie-break
+      is exact integer, so both engines and the python replica derive
+      identical codebooks.
+    - Search: nprobe nearest cells per query by (d2, cell); ADC = sum
+      over subspaces of the (cell, s, code) lookup against the query
+      residual; shortlist by (adc, id); exact integer re-rank to
+      k_top by (d2, id); recall census vs the exact top-k_top.
+
+    Execution shape (the MEASURED kmeans/r7 lesson — collect bounded
+    matrices per phase and re-emit them into flat scan kernels, never
+    nest per-phase subplans): three bounded collects (centroid matrix
+    cells x dim, seed vectors k_pq x dim, Lloyd update <= m*k*sub_dim
+    rows — each the kmeans collect pattern), then every corpus-sized
+    step is ONE Arrow kernel scan (assignment + Lloyd partial sums;
+    assignment + encode + ADC; exact-truth distances) — the r11 BLAS
+    lesson: integer exactness survives float64 matmul while every
+    intermediate < 2^53 (d2 <= 64 * (8e3)^2 ~ 4e9). A first draft as
+    dim-exploded joins (N x 1024-row shuffles re-deriving residuals
+    per consumer) benched 7.6 s WARM at sf0.01 — ~10x this shape.
+    All driver-side math is add/multiply/compare on int64 (divisions
+    happen in Spark `div` or DuckDB `//`, never python `//`, which
+    FLOORS where both engines truncate — the r8 pin).
+
+    Returns one row per query: (q_id, hits_at_10, n_scanned,
+    n_corpus). n_scanned counts the probed cells' members — the IVF
+    scan-cost readout (candidates == scanned lists by construction)."""
+    import numpy as np
+
+    dim = m_sub * sub_dim
+    ev = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(emb_col),
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("v"),
+    )
+    corp = ev.filter(F.col("id") >= n_queries)
+    qs = ev.filter(F.col("id") < n_queries)
+
+    # bounded collect #1: query vectors (n_queries rows)
+    q_rows = sorted((r.id, np.asarray(r.v, dtype=np.int64)) for r in qs.collect())
+    # bounded collect #2: per-label integer centroids (cells x dim;
+    # division in-plan via `div` so python never divides)
+    cent_rows = (
+        corp.select("label", F.posexplode("v").alias("d0", "x"))
+        .groupBy("label", "d0")
+        .agg(F.expr("sum(x) div count(1)").cast("long").alias("c"))
+        .collect()
+    )
+    cells = sorted({r.label for r in cent_rows})
+    cell_idx = {c: i for i, c in enumerate(cells)}
+    C = np.zeros((len(cells), dim), dtype=np.int64)
+    for r in cent_rows:
+        C[cell_idx[r.label], r.d0] = r.c
+
+    def _assign(X):
+        # exact argmin cell per row; first-min index == smallest cell
+        # in sorted order == the (d2, cell) tie-break
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (X @ C.T)
+        )
+        return np.argmin(d2, axis=1)
+
+    # bounded collect #3: deterministic seed vectors (k_pq rows by the
+    # md5 hash ring), residualized driver-side (subtraction only)
+    seed_rows = (
+        corp.select(
+            "id",
+            "v",
+            F.md5(F.concat(F.lit("pq:"), F.col("id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(k_pq)
+        .collect()
+    )
+    seed_rows = sorted(seed_rows, key=lambda r: (r.h, r.id))
+    SV = np.stack([np.asarray(r.v, dtype=np.int64) for r in seed_rows])
+    s_res = SV - C[_assign(SV)]
+    init = np.stack(
+        [s_res[:, s * sub_dim : (s + 1) * sub_dim] for s in range(m_sub)]
+    )  # (m_sub, k_pq, sub_dim)
+
+    def _sub_argmin(R, B):
+        # R: (n, m_sub, sub_dim) residual subvectors; B: (m_sub, k, sub_dim)
+        # returns (n, m_sub) first-min codeword indices — the (d2, j) order
+        out = np.empty((len(R), m_sub), dtype=np.int64)
+        for s in range(m_sub):
+            Rs, Bs = R[:, s, :], B[s]
+            d2 = (
+                (Rs * Rs).sum(axis=1)[:, None]
+                + (Bs * Bs).sum(axis=1)[None, :]
+                - 2 * (Rs @ Bs.T)
+            )
+            out[:, s] = np.argmin(d2, axis=1)
+        return out
+
+    def kern_lloyd(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["v"]])
+            R = (X - C[_assign(X)]).reshape(len(X), m_sub, sub_dim)
+            j0 = _sub_argmin(R, init)
+            rows = {"s": [], "j": [], "dd": [], "ps": [], "pc": []}
+            for s in range(m_sub):
+                for j in range(k_pq):
+                    mask = j0[:, s] == j
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    sm = R[mask, s, :].sum(axis=0)
+                    for dd in range(sub_dim):
+                        rows["s"].append(s)
+                        rows["j"].append(j + 1)
+                        rows["dd"].append(dd + 1)
+                        rows["ps"].append(int(sm[dd]))
+                        rows["pc"].append(n)
+            yield pd.DataFrame(rows)
+
+    # bounded collect #4: Lloyd-1 integer-mean update (<= m*k*sub_dim
+    # rows; partial sums merged and DIVIDED in-plan)
+    upd_rows = (
+        corp.select("v")
+        .mapInPandas(kern_lloyd, "s int, j int, dd int, ps long, pc long")
+        .groupBy("s", "j", "dd")
+        .agg(F.expr("sum(ps) div sum(pc)").cast("long").alias("cu"))
+        .collect()
+    )
+    CW = init.copy()
+    for r in upd_rows:
+        CW[r.s, r.j - 1, r.dd - 1] = r.cu
+
+    # driver-side query prep: probe cells (stable argsort == (d2, cell)
+    # order) and the per-(query, cell) ADC lookup tables — all exact
+    # int64 add/multiply, bounded n_queries * nprobe * m_sub * k_pq
+    probes = {}
+    lut = {}
+    for q_id, qv in q_rows:
+        d2q = ((qv[None, :] - C) ** 2).sum(axis=1)
+        pc = np.argsort(d2q, kind="stable")[:nprobe]
+        probes[q_id] = set(int(c) for c in pc)
+        for ci in pc:
+            qr = (qv - C[ci]).reshape(m_sub, sub_dim)
+            lut[(q_id, int(ci))] = np.stack(
+                [((qr[s][None, :] - CW[s]) ** 2).sum(axis=1) for s in range(m_sub)]
+            )  # (m_sub, k_pq)
+
+    def kern_search(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            X = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["v"]])
+            cell = _assign(X)
+            R = (X - C[cell]).reshape(len(X), m_sub, sub_dim)
+            codes = _sub_argmin(R, CW)
+            out = {"q_id": [], "id": [], "adc": []}
+            for q_id, _ in q_rows:
+                mask = np.isin(cell, list(probes[q_id]))
+                if not mask.any():
+                    continue
+                idx = np.nonzero(mask)[0]
+                for i in idx:
+                    tab = lut[(q_id, int(cell[i]))]
+                    adc = int(sum(tab[s, codes[i, s]] for s in range(m_sub)))
+                    out["q_id"].append(q_id)
+                    out["id"].append(int(ids[i]))
+                    out["adc"].append(adc)
+            yield pd.DataFrame(out)
+
+    adc_df = corp.select("id", "v").mapInPandas(
+        kern_search, "q_id long, id long, adc long"
+    )
+    w_q = W.partitionBy("q_id").orderBy("adc", "id")
+    short = (
+        adc_df.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= shortlist)
+        .select("q_id", "id")
+    )
+    qvec = qs.select(F.col("id").alias("q_id"), F.col("v").alias("va"))
+    cvec = corp.select("id", F.col("v").alias("vb"))
+    w_d2 = W.partitionBy("u").orderBy("d2", "w")
+    approx = (
+        _pairs_exact_d2(
+            short.join(F.broadcast(qvec), "q_id")
+            .join(cvec, "id")
+            .select(F.col("q_id").alias("u"), F.col("id").alias("w"), "va", "vb")
+        )
+        .withColumn("rk", F.row_number().over(w_d2))
+        .filter(F.col("rk") <= k_top)
+        .select(F.col("u").alias("q_id"), F.col("w").alias("id"))
+    )
+    truth = (
+        _pairs_exact_d2(
+            cvec.crossJoin(F.broadcast(qvec)).select(
+                F.col("q_id").alias("u"), F.col("id").alias("w"), "va", "vb"
+            )
+        )
+        .withColumn("rk", F.row_number().over(w_d2))
+        .filter(F.col("rk") <= k_top)
+        .select(F.col("u").alias("q_id"), F.col("w").alias("id"))
+    )
+    hits = (
+        truth.join(approx, ["q_id", "id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_at_10"))
+    )
+    scanned = adc_df.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scanned")
+    )
+    n_corpus = corp.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    return (
+        qs.select(F.col("id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .join(scanned, "q_id", "left")
+        .join(F.broadcast(n_corpus))
+        .select(
+            "q_id",
+            F.coalesce("hits_at_10", F.lit(0)).cast("long").alias("hits_at_10"),
+            F.coalesce("n_scanned", F.lit(0)).cast("long").alias("n_scanned"),
+            "n_corpus",
+        )
+        .orderBy("q_id")
+    )
