@@ -300,7 +300,7 @@ def x47_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ann_topk_ivf",
+    "xg1_ann_topk_ivf",
     f"""
     WITH {_COSINE_SQL},
     scored AS (
@@ -320,7 +320,7 @@ def x47_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVF-style pruned top-k: candidates restricted to the query's coarse cell (label)",
     ("similarity",),
 )
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xg1_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
@@ -899,7 +899,7 @@ def xae_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "flow_stateful_counters",
+    "xg2_flow_stateful_counters",
     """
     -- integer-cents total (x66 idiom): floor(value*100) per row is
     -- exact IEEE on both engines (values non-negative), the BIGINT sum
@@ -916,7 +916,7 @@ def xae_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applyInPandasWithState custom stateful operator: per-user running counters (integer-cents state, engine-exact); final state == batch aggregation",
     ("streaming", "udf"),
 )
-def flow_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xg2_flow_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from .streaming.stateful import running_user_counters
@@ -5517,7 +5517,7 @@ def _ivfpq_det_oracle_sql() -> str:
 
 
 @query(
-    "x90_ivfpq_recall",
+    "ivfpq_recall_det",
     _ivfpq_det_oracle_sql(),
     "DETERMINISTIC integer IVF-PQ recall census (the faiss IndexIVFPQ "
     "shape -- THE standard billion-vector layout -- converted r14 from "
@@ -5542,7 +5542,7 @@ def _ivfpq_det_oracle_sql() -> str:
     "-- python never divides (python // floors, the r8 odd one out)",
     ("similarity",),
 )
-def x90_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_recall_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return sim_ops.ivfpq_det_recall(t["embeddings"])
 
@@ -16741,7 +16741,7 @@ def cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the most-similar other-cell HARD NEGATIVES, the confusables "
     "a contrastive loss actually learns from; completes the "
     "similarity family's TRAINING-DATA story next to x47 brute / "
-    "ann_topk_ivf serving / x51-xf5 dedup curation): anchors = "
+    "xg1_ann_topk_ivf serving / x51-xf5 dedup curation): anchors = "
     "vec_id < 20 (a bounded mining batch — batches are how mining "
     "runs at 100 TB), ONE corpus scan against the broadcast anchor "
     "set, roles by cell equality, one (anchor, role)-partitioned "
@@ -18751,7 +18751,7 @@ def _hll_oracle_sql() -> str:
 
 
 @query(
-    "xg0_hll_cardinality",
+    "hll_cardinality",
     _hll_oracle_sql(),
     "PORTABLE INTEGER HYPERLOGLOG (Flajolet et al. 2007) -- the "
     "CARDINALITY axis completing the mergeable-sketch family "
@@ -18786,7 +18786,7 @@ def _hll_oracle_sql() -> str:
     "the oracle has no meta rows and the guard contributes 0",
     ("events", "sketch", "analytics"),
 )
-def xg0_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cardinality import HLL_M, hll_build, hll_estimate, hll_merge
 
     t = _t(spark, sf_dir)

@@ -127,7 +127,7 @@ def test_hll_null_keys_are_skipped(spark):
 
 
 def test_hll_query_matches_python_replica(spark, sf_oracle):
-    """xg0_hll_cardinality == the from-scratch replica on the real
+    """hll_cardinality == the from-scratch replica on the real
     fixture: every shard row's (est, v_empty, branch) re-derived in
     python, exact counts re-counted, and branch liveness asserted
     (both branches must be live at the oracle SF: the per-type event
@@ -160,7 +160,7 @@ def test_hll_query_matches_python_replica(spark, sf_oracle):
         )
     got = {
         r.shard: (r.exact_n, r.est, r.v_empty, r.branch, r.within_3se)
-        for r in registry()["xg0_hll_cardinality"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["hll_cardinality"].spark_fn(spark, sf_oracle).collect()
     }
     assert got == want
     branches = {v[3] for v in got.values()}

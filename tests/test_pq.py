@@ -183,7 +183,7 @@ def test_ivfpq_det_matches_python_replica(spark, sf_oracle):
         want.append((q, len(approx & truth), len(cand), len(corp)))
     got = [
         (r.q_id, r.hits_at_10, r.n_scanned, r.n_corpus)
-        for r in registry()["x90_ivfpq_recall"].spark_fn(spark, sf_oracle).collect()
+        for r in registry()["ivfpq_recall_det"].spark_fn(spark, sf_oracle).collect()
     ]
     assert got == want
     # liveness: the index finds real neighbors but is not the exact scan

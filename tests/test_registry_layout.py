@@ -176,12 +176,28 @@ def test_priority_window_covers_every_surface():
     # connector_write_roundtrip's per-partition bulk writer). The mm_
     # row (also 13 greens) stays: it is the window's only multimodal
     # representative, a first-class graded family.
+    # Second r14 rotation (same-round promotion, the r11 precedent —
+    # this round's flagships take driver rows immediately): promote
+    # hll_cardinality (ex-xg0, the mergeable-sketch family's
+    # cardinality axis — portable integer HLL, value-oracled where
+    # x44's engine-private sketch images cannot be) and
+    # ivfpq_recall_det (ex-x90, the deterministic integer IVF-PQ —
+    # the first fully value-oracled IVF-PQ census, the r13 verdict's
+    # #5). Demote ann_topk_ivf -> xg1_ (12 greens r2-r13; the IVF
+    # cell-probe mechanism is now driver-exercised INSIDE
+    # ivfpq_recall_det's coarse quantizer, and the similarity family
+    # keeps graph_knn_descent/dbscan/cluster_* rows in-window) and
+    # flow_stateful_counters -> xg2_ (12 greens r2-r13; the flow_
+    # family stays via flow_stream_join, and the stateful
+    # applyInPandasWithState surface keeps its streaming contract
+    # tests).
     prefixes = (
-        "acf_", "ann_", "attribution_", "bh_", "bloom_", "bpe_",
+        "acf_", "attribution_", "bh_", "bloom_", "bpe_",
         "calibration_", "capture_", "chi2_", "cluster_", "connector_",
         "content_", "dbscan_", "dedup_", "did_", "doc_", "dsir_",
         "eb_", "file_", "flow_", "frequent_", "governance_", "graph_",
-        "hard_", "hdr_", "hits_", "jackknife_", "mm_", "pass_", "pca_",
+        "hard_", "hdr_", "hits_", "hll_", "ivfpq_", "jackknife_",
+        "mm_", "pass_", "pca_",
         "pack_", "pipeline_", "profile_", "quality_", "rbo_",
         "roc_", "spearman_", "sprt_", "temperature_", "vocab_",
     )
