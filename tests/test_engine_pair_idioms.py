@@ -838,3 +838,60 @@ def test_hdr_sketch_merge_law(spark):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in sketch(vals).collect()
     )
+
+
+def test_hll_slice_rank_and_estimator_engine_identical(spark):
+    """hll_cardinality's register extraction (2-hex bucket, 12-hex
+    48-bit rank field via length(bin(v))) and pure-integer estimator
+    (alpha*2^65/S as q*16 + rem*16 // S) must be engine-identical on
+    adversarial hex literals — all-zero field (rank 49), minimal field
+    (rank 48 boundary), all-ones (rank 1), single-top-bit, and the
+    estimator at both S extremes (empty sketch S = 256*2^49, near-full
+    S) — fixture-independent (r14 adversarial pass)."""
+    import duckdb
+
+    from dask_snowflake_spark.operators.cardinality import HLL_ALPHA_NUM
+
+    hexes = [
+        "00" + "000000000000",
+        "00" + "000000000001",
+        "ff" + "ffffffffffff",
+        "80" + "800000000000",
+        "0a" + "0000000f0000",
+        "7f" + "123456789abc",
+    ]
+    spark_rows = []
+    for h in hexes:
+        r = spark.sql(
+            f"SELECT cast(conv(substring('{h}', 1, 2), 16, 10) as bigint) AS b,"
+            f" CASE WHEN cast(conv(substring('{h}', 3, 12), 16, 10) as bigint) = 0"
+            f" THEN CAST(49 AS BIGINT) ELSE CAST(49 - length(bin("
+            f"cast(conv(substring('{h}', 3, 12), 16, 10) as bigint))) AS BIGINT)"
+            f" END AS rk"
+        ).collect()[0]
+        spark_rows.append((r.b, r.rk))
+    con = duckdb.connect()
+    duck_rows = []
+    for h in hexes:
+        b, rk = con.execute(
+            f"SELECT ('0x' || substr('{h}', 1, 2))::BIGINT,"
+            f" CASE WHEN ('0x' || substr('{h}', 3, 12))::BIGINT = 0 THEN 49"
+            f" ELSE 49 - length(bin(('0x' || substr('{h}', 3, 12))::BIGINT)) END"
+        ).fetchone()
+        duck_rows.append((b, rk))
+    assert spark_rows == duck_rows
+    assert spark_rows[0] == (0, 49)  # all-zero field
+    assert spark_rows[1] == (0, 1 + 47)  # v = 1 -> rank 48
+    assert spark_rows[2] == (255, 1)  # top bit set -> rank 1
+
+    # estimator division pair at S extremes
+    for s in [256 * (1 << 49), 2048, 123_456_789, (1 << 57) - 1]:
+        sp = spark.sql(
+            f"SELECT (CAST({HLL_ALPHA_NUM} AS BIGINT) div {s}) * 16"
+            f" + ((CAST({HLL_ALPHA_NUM} AS BIGINT) % {s}) * 16) div {s} AS e"
+        ).collect()[0].e
+        du = con.execute(
+            f"SELECT ({HLL_ALPHA_NUM} // {s}) * 16"
+            f" + (({HLL_ALPHA_NUM} % {s}) * 16) // {s}"
+        ).fetchone()[0]
+        assert sp == du == (HLL_ALPHA_NUM * 16) // s, s

@@ -514,3 +514,24 @@ def test_row_keys_are_unique(sf_dir: str) -> None:
         n = len(col)
         n_unique = pc.count_distinct(col.combine_chunks()).as_py()
         assert n == n_unique, (sf_dir, table, key, n, n_unique)
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
+def test_events_type_and_user_are_non_null(sf_dir: str) -> None:
+    """hll_cardinality shards on event_type and sketches
+    user_id/event_id (r14 adversarial review): a NULL event_type would
+    form a NULL shard group that sorts NULLS FIRST in Spark but NULLS
+    LAST in DuckDB (the documents.lang class), and a NULL key would be
+    SKIPPED by hll_build (isNotNull, the count-distinct convention)
+    while the oracle's md5('hll:' || NULL) propagates into a
+    NULL-bucket register row that shifts v_empty — silent divergence.
+    If a regenerated fixture introduces NULLs, add IS NOT NULL filters
+    to BOTH sides of every events-keyed sketch query instead of
+    widening this contract."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "event_id"],
+    )
+    for col in ("event_type", "user_id", "event_id"):
+        n_null = tbl[col].null_count
+        assert not n_null, f"{n_null} NULL events.{col} at {sf_dir}"
