@@ -2422,7 +2422,12 @@ def x40_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concentration bounds ANY quantizer's recall on them, so the "
     "deliverable here is the mechanism (lookup-only scan, bounded "
     "codebooks, exact re-rank), not the recall value — rows-only "
-    "check by design (iterative float training)",
+    "check by design (iterative float training). The VALUE-ORACLED "
+    "form of this family is ivfpq_recall_det (r14): deterministic "
+    "integer training hash-matches end-to-end; x41 deliberately keeps "
+    "exercising the float pq_fit/pq_encode/pq_adc_topk primitive "
+    "surface (Lloyd's over DataFrame aggs) that production float "
+    "pipelines use",
     ("similarity",),
 )
 def x41_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3014,15 +3019,19 @@ def x53_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
     )
     vocab = track_cache(words.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
-    total = vocab.agg(F.sum("c")).collect()[0][0]  # one scalar to the driver
+    # corpus total rides in-plan as a broadcast one-row aggregate (the
+    # r7 scalar-fold pattern — the r13 verdict's last watch item): no
+    # driver round-trip, one fewer job per run
+    total = vocab.agg(F.sum("c").cast("long").alias("__total"))
     return (
         words.join(vocab, "w")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_words"), F.sum("c").alias("sum_freq"))
+        .join(F.broadcast(total))
         .select(
             "doc_id",
             "n_words",
-            (F.expr(f"sum_freq * 1000000 div (n_words * {int(total)})") / 1e6).alias(
+            (F.expr("sum_freq * 1000000 div (n_words * __total)") / 1e6).alias(
                 "mean_corpus_freq"
             ),
         )
@@ -18677,7 +18686,7 @@ def frequent_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tri.join(F.broadcast(ctx), how="left")
+        tri.join(F.broadcast(ctx), F.lit(True), how="left")
         .select("i1", "i2", "i3", "support", "n_baskets", "n_frequent_pairs")
         .orderBy("i1", "i2", "i3")
     )
