@@ -2721,3 +2721,79 @@ def test_pass_at_k_matches_python_replica(spark, sf_oracle):
     assert got == want
     assert any(v[4] > v[2] for v in per.values())  # more draws help
     assert all(v[1] < v[0] for v in per.values())  # no all-purchase user
+
+
+def test_kruskal_wallis_matches_replica_and_textbook(spark, sf_oracle):
+    """xg3_kruskal_wallis == a from-scratch python replica (exact
+    integer spec re-derived independently), AND the quantized H agrees
+    with the float textbook formula to quantization error, AND the
+    honest null holds: generator doc lengths are lang-independent
+    (xek measured F < 1), so H sits near its null mean ~ k-1 and
+    epsilon^2 ~ 0 (the r11 honest-null rule — assert the truthful
+    null, never fake liveness)."""
+    from collections import Counter
+
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, length(text) FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    by_lang: dict = {}
+    allv = []
+    for lang, ln in rows:
+        by_lang.setdefault(lang, []).append(ln)
+        allv.append(ln)
+    n = len(allv)
+    k = len(by_lang)
+    hist = Counter(allv)
+    # doubled average ranks from the histogram cumsum
+    r2 = {}
+    cum = 0
+    for v in sorted(hist):
+        cum += hist[v]
+        r2[v] = 2 * cum - hist[v] + 1
+    a = 0
+    want_groups = {}
+    for lang, vals in by_lang.items():
+        r2j = sum(r2[v] for v in vals)
+        nj = len(vals)
+        a += (r2j * r2j) // (4 * nj)
+        want_groups[lang] = (nj, r2j, (r2j * 1000) // (2 * nj))
+    gg = max(a // 700_000_000_000, 1)
+    den = (n * (n + 1)) // gg + (1 if (n * (n + 1)) % gg > 0 else 0)
+    h_q = (12 * (a // gg) * 1_000_000) // den - 3 * (n + 1) * 1_000_000
+    tsum = sum(c * c * c - c for c in hist.values())
+    d = n * n * n - n
+    dd = max(d // 1_000_000, 1)
+    h_tie_q = (
+        h_q if tsum == 0 else (h_q * (d // dd)) // max((d - tsum) // dd, 1)
+    )
+    eps_q = (
+        max(h_tie_q - (k - 1) * 1_000_000, 0) // (n - k) if n > k else 0
+    )
+    got = {
+        r.lang: (
+            r.n_docs,
+            r.doubled_rank_sum,
+            r.mean_rank_milli,
+            r.h_stat,
+            r.h_tie_corrected,
+            r.epsilon_sq,
+        )
+        for r in registry()["xg3_kruskal_wallis"].spark_fn(spark, sf_oracle).collect()
+    }
+    for lang, (nj, r2j, mrm) in want_groups.items():
+        assert got[lang] == (nj, r2j, mrm, h_q / 1e6, h_tie_q / 1e6, eps_q / 1e6)
+    # textbook float H (tie-corrected) agrees to quantization error
+    ranks = {v: rr / 2 for v, rr in r2.items()}
+    h_float = 12 / (n * (n + 1)) * sum(
+        (sum(ranks[v] for v in vals)) ** 2 / len(vals) for vals in by_lang.values()
+    ) - 3 * (n + 1)
+    h_float /= 1 - tsum / d
+    assert abs(h_float - h_tie_q / 1e6) < 0.01, (h_float, h_tie_q / 1e6)
+    # honest null: no language effect in the generator
+    assert h_tie_q / 1e6 < 3 * (k - 1), h_tie_q / 1e6
+    assert eps_q / 1e6 < 0.01
