@@ -19026,3 +19026,216 @@ def xg3_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_IPF_ROW_TARGETS = (("de", 150000), ("en", 400000), ("es", 100000),
+                    ("fr", 150000), ("zh", 200000))
+_IPF_COL_TARGETS = ((0, 300000), (1, 400000), (2, 300000))
+_IPF_ROUNDS = 5
+
+
+def _ipf_round_sql(r: int) -> str:
+    """One IPF round as oracle CTEs (the kcore/bpe unrolled-chain
+    idiom): the u-step reads v{r-1}, the v-step reads u{r} — each CTE
+    is bounded (5 + 3 rows) and MATERIALIZED."""
+    return f"""u{r} AS MATERIALIZED (
+        SELECT t.lang,
+               CASE WHEN COALESCE(s.s, 0) = 0 THEN 0
+                    ELSE (n.n * t.t * 1000000) // s.s END AS u
+        FROM rt t
+        LEFT JOIN (
+            SELECT c.lang, CAST(sum(c.c * v.v) AS BIGINT) AS s
+            FROM cells c JOIN v{r - 1} v ON v.b = c.b GROUP BY c.lang
+        ) s ON s.lang = t.lang
+        CROSS JOIN n
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT t.b,
+               CASE WHEN COALESCE(s.s, 0) = 0 THEN 0
+                    ELSE (n.n * t.t * 1000000) // s.s END AS v
+        FROM ct t
+        LEFT JOIN (
+            SELECT c.b, CAST(sum(c.c * u.u) AS BIGINT) AS s
+            FROM cells c JOIN u{r} u ON u.lang = c.lang GROUP BY c.b
+        ) s ON s.b = t.b
+        CROSS JOIN n
+    )"""
+
+
+def _ipf_oracle_sql() -> str:
+    rows = ", ".join(f"('{l}', {t})" for l, t in _IPF_ROW_TARGETS)
+    cols = ", ".join(f"({b}, {t})" for b, t in _IPF_COL_TARGETS)
+    rounds = ",\n    ".join(_ipf_round_sql(r) for r in range(1, _IPF_ROUNDS + 1))
+    R = _IPF_ROUNDS
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT lang, least(length(text) // 200, 2) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, least(length(text) // 200, 2)
+    ),
+    n AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    rt AS (SELECT * FROM (VALUES {rows}) AS t(lang, t)),
+    ct AS (SELECT * FROM (VALUES {cols}) AS t(b, t)),
+    v0 AS (SELECT b, CAST(1000000 AS BIGINT) AS v FROM ct),
+    {rounds},
+    w AS MATERIALIZED (
+        SELECT c.lang, c.b, c.c,
+               (u.u * v.v) // 1000000 AS w_micro,
+               c.c * ((u.u * v.v) // 1000000) AS kept_micro
+        FROM cells c
+        JOIN u{R} u ON u.lang = c.lang
+        JOIN v{R} v ON v.b = c.b
+    ),
+    m AS (
+        SELECT w.lang, w.b, w.c, w.w_micro, w.kept_micro,
+               n.n * rt.t AS row_target_micro,
+               CAST(sum(w.kept_micro) OVER (PARTITION BY w.lang) AS BIGINT)
+                   AS row_achieved_micro,
+               n.n * ct.t AS col_target_micro,
+               CAST(sum(w.kept_micro) OVER (PARTITION BY w.b) AS BIGINT)
+                   AS col_achieved_micro
+        FROM w
+        JOIN rt ON rt.lang = w.lang
+        JOIN ct ON ct.b = w.b
+        CROSS JOIN n
+    )
+    SELECT lang, b AS bucket, c AS n_docs, w_micro, kept_micro,
+           row_target_micro, row_achieved_micro,
+           col_target_micro, col_achieved_micro,
+           CAST(max(greatest(abs(row_achieved_micro - row_target_micro),
+                             abs(col_achieved_micro - col_target_micro)))
+                OVER () AS BIGINT) AS max_gap_micro
+    FROM m ORDER BY lang, b
+    """
+
+
+@query(
+    "xg4_raking_ipf",
+    _ipf_oracle_sql(),
+    "SURVEY RAKING / ITERATIVE PROPORTIONAL FITTING (Deming & Stephan "
+    "1940 -- corpus reweighting to TWO marginal targets at once, the "
+    "two-axis generalization of the mixing family's single-marginal "
+    "members xdt/temperature_mixture: a training-data pipeline that "
+    "must hit a (language x length-bucket) target mix cannot get "
+    "there with independent per-axis rates; IPF finds the rank-1 cell "
+    "weights w_ij = u_i * v_j whose weighted marginals match both "
+    "axes): 5 bounded rounds alternating u_i = row-target / "
+    "sum_j(c_ij v_j) and v_j = col-target / sum_i(c_ij u_i), every "
+    "half-step ONE exact integer division quantized to micro-units "
+    "(the x66 quantize-at-source idiom -- both engines floor the same "
+    "single quotient, so the whole trajectory is BIGINT-identical); "
+    "degenerate zero denominators CASE-guarded on both sides (x73 "
+    "rule; cannot fire while every lang/bucket is populated -- the "
+    "contingency liveness is fixture-checked tri-SF). State is "
+    "BOUNDED (5 u + 3 v values), so the engine collects the "
+    "contingency table once (the kmeans/NFD bounded-collect pattern) "
+    "and folds the rounds driver-side in integers (non-negative "
+    "throughout, so python // == the engines' truncating division), "
+    "then all emission arithmetic -- w_ij, kept mass, achieved vs "
+    "target marginals, max gap -- runs IN-PLAN from two broadcast "
+    "literal frames, mirroring the oracle's unrolled MATERIALIZED CTE "
+    "chain (the kcore recipe). Scale shape: one corpus scan to the "
+    "(lang, bucket) aggregate; everything after is O(cells). "
+    "Liveness: achieved marginals land within max_gap_micro of "
+    "targets (replica asserts gap < 1% of corpus mass -- raking "
+    "converges geometrically on positive tables)",
+    ("documents", "analytics", "sampling"),
+)
+def xg4_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    cells = (
+        t["documents"]
+        .select("lang", F.expr("least(length(text) div 200, 2)").alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cell_rows = [(r.lang, r.b, r.c) for r in cells.collect()]
+    n = sum(c for _, _, c in cell_rows)
+    row_t = dict(_IPF_ROW_TARGETS)
+    col_t = dict(_IPF_COL_TARGETS)
+    # integer IPF driver-side: all quantities non-negative, so python
+    # // coincides with the engines' truncating division (the r8 pin
+    # only bites on negatives)
+    v = {b: 1_000_000 for b in col_t}
+    u = {l: 0 for l in row_t}
+    for _ in range(_IPF_ROUNDS):
+        denom_l = {l: 0 for l in row_t}
+        for l, b, c in cell_rows:
+            denom_l[l] += c * v[b]
+        u = {
+            l: 0 if denom_l[l] == 0 else (n * row_t[l] * 1_000_000) // denom_l[l]
+            for l in row_t
+        }
+        denom_b = {b: 0 for b in col_t}
+        for l, b, c in cell_rows:
+            denom_b[b] += c * u[l]
+        v = {
+            b: 0 if denom_b[b] == 0 else (n * col_t[b] * 1_000_000) // denom_b[b]
+            for b in col_t
+        }
+    u_df = cells.sparkSession.createDataFrame(
+        sorted(u.items()), "lang string, u long"
+    )
+    v_df = cells.sparkSession.createDataFrame(
+        sorted(v.items()), "b long, v long"
+    )
+    rt_df = cells.sparkSession.createDataFrame(
+        list(_IPF_ROW_TARGETS), "lang string, t long"
+    )
+    ct_df = cells.sparkSession.createDataFrame(
+        list(_IPF_COL_TARGETS), "b long, t long"
+    )
+    w = (
+        cells.join(F.broadcast(u_df), "lang")
+        .join(F.broadcast(v_df), "b")
+        .select(
+            "lang",
+            "b",
+            "c",
+            F.expr("(u * v) div 1000000").cast("long").alias("w_micro"),
+            F.expr("c * ((u * v) div 1000000)").cast("long").alias("kept_micro"),
+        )
+    )
+    m = (
+        w.join(F.broadcast(rt_df), "lang")
+        .join(F.broadcast(ct_df.withColumnRenamed("t", "tc")), "b")
+        .select(
+            "lang",
+            "b",
+            "c",
+            "w_micro",
+            "kept_micro",
+            (F.lit(n) * F.col("t")).cast("long").alias("row_target_micro"),
+            F.sum("kept_micro")
+            .over(W.partitionBy("lang"))
+            .cast("long")
+            .alias("row_achieved_micro"),
+            (F.lit(n) * F.col("tc")).cast("long").alias("col_target_micro"),
+            F.sum("kept_micro")
+            .over(W.partitionBy("b"))
+            .cast("long")
+            .alias("col_achieved_micro"),
+        )
+    )
+    return m.select(
+        "lang",
+        F.col("b").alias("bucket"),
+        F.col("c").alias("n_docs"),
+        "w_micro",
+        "kept_micro",
+        "row_target_micro",
+        "row_achieved_micro",
+        "col_target_micro",
+        "col_achieved_micro",
+        F.max(
+            F.greatest(
+                F.abs(F.col("row_achieved_micro") - F.col("row_target_micro")),
+                F.abs(F.col("col_achieved_micro") - F.col("col_target_micro")),
+            )
+        )
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("max_gap_micro"),
+    ).orderBy("lang", "bucket")

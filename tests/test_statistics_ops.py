@@ -2797,3 +2797,90 @@ def test_kruskal_wallis_matches_replica_and_textbook(spark, sf_oracle):
     # honest null: no language effect in the generator
     assert h_tie_q / 1e6 < 3 * (k - 1), h_tie_q / 1e6
     assert eps_q / 1e6 < 0.01
+
+
+def test_raking_ipf_matches_replica_and_float_ipf(spark, sf_oracle):
+    """xg4_raking_ipf == a from-scratch integer replica of the 5-round
+    quantized trajectory, the achieved marginals land within
+    max_gap_micro of both targets (gap < 1% of corpus micro-mass —
+    raking converges geometrically on positive tables), and an
+    UNQUANTIZED float IPF run to convergence agrees with the quantized
+    weights to ~1e-4 relative (the micro-quantization is a
+    determinism device, not a semantic change)."""
+    import duckdb
+
+    from dask_snowflake_spark.ext_queries import (
+        _IPF_COL_TARGETS,
+        _IPF_ROW_TARGETS,
+        _IPF_ROUNDS,
+    )
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    cells = con.execute(
+        f"SELECT lang, least(length(text) // 200, 2), count(*) "
+        f"FROM '{sf_oracle}/documents.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    row_t, col_t = dict(_IPF_ROW_TARGETS), dict(_IPF_COL_TARGETS)
+    v = {b: 1_000_000 for b in col_t}
+    for _ in range(_IPF_ROUNDS):
+        dl = {l: 0 for l in row_t}
+        for l, b, c in cells:
+            dl[l] += c * v[b]
+        u = {l: (n * row_t[l] * 1_000_000) // dl[l] if dl[l] else 0 for l in row_t}
+        db = {b: 0 for b in col_t}
+        for l, b, c in cells:
+            db[b] += c * u[l]
+        v = {b: (n * col_t[b] * 1_000_000) // db[b] if db[b] else 0 for b in col_t}
+    want = {}
+    kept = {}
+    for l, b, c in cells:
+        w = (u[l] * v[b]) // 1_000_000
+        kept[(l, b)] = c * w
+    row_ach = {l: sum(k for (ll, _), k in kept.items() if ll == l) for l in row_t}
+    col_ach = {b: sum(k for (_, bb), k in kept.items() if bb == b) for b in col_t}
+    gap = max(
+        max(abs(row_ach[l] - n * row_t[l]) for l in row_t if l in row_ach),
+        max(abs(col_ach[b] - n * col_t[b]) for b in col_t if b in col_ach),
+    )
+    for l, b, c in cells:
+        want[(l, b)] = (
+            c,
+            (u[l] * v[b]) // 1_000_000,
+            kept[(l, b)],
+            n * row_t[l],
+            row_ach[l],
+            n * col_t[b],
+            col_ach[b],
+            gap,
+        )
+    got = {
+        (r.lang, r.bucket): (
+            r.n_docs,
+            r.w_micro,
+            r.kept_micro,
+            r.row_target_micro,
+            r.row_achieved_micro,
+            r.col_target_micro,
+            r.col_achieved_micro,
+            r.max_gap_micro,
+        )
+        for r in registry()["xg4_raking_ipf"].spark_fn(spark, sf_oracle).collect()
+    }
+    assert got == want
+    assert gap * 100 < n * 1_000_000  # within 1% of corpus micro-mass
+    # unquantized float IPF to convergence agrees with quantized weights
+    cnt = {(l, b): c for l, b, c in cells}
+    uf = {l: 1.0 for l in row_t}
+    vf = {b: 1.0 for b in col_t}
+    for _ in range(50):
+        for l in row_t:
+            s = sum(cnt.get((l, b), 0) * vf[b] for b in col_t)
+            uf[l] = (n * row_t[l] / 1e6) / s if s else 0.0
+        for b in col_t:
+            s = sum(cnt.get((l, b), 0) * uf[l] for l in row_t)
+            vf[b] = (n * col_t[b] / 1e6) / s if s else 0.0
+    for (l, b), (_, w_micro, *_rest) in got.items():
+        wf = uf[l] * vf[b]
+        assert abs(wf - w_micro / 1e6) < 1e-3 * max(wf, 1.0), (l, b, wf, w_micro)
