@@ -19239,3 +19239,156 @@ def xg4_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_gap_micro"),
     ).orderBy("lang", "bucket")
+
+
+_GMC_ROUNDS = 8
+
+
+def _gmc_oracle_sql() -> str:
+    """Greedy max-coverage oracle: 8 unrolled rounds (the kcore/bpe
+    bounded-chain idiom). Every per-round CTE is MATERIALIZED — p{r}
+    is consumed by BOTH cov{r} and the final union (the r8 rule:
+    multiply-consumed CTEs otherwise inline into subtree copies)."""
+    parts = []
+    for r in range(1, _GMC_ROUNDS + 1):
+        parts.append(f"""g{r} AS MATERIALIZED (
+        SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM dw
+        WHERE NOT EXISTS (SELECT 1 FROM cov{r - 1} cv WHERE cv.b = dw.b)
+        GROUP BY dw.doc_id
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT doc_id, c FROM g{r} ORDER BY c DESC, doc_id LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+        SELECT b FROM cov{r - 1}
+        UNION
+        SELECT dw.b FROM dw JOIN p{r} p ON dw.doc_id = p.doc_id
+    )""")
+    rounds = ",\n    ".join(parts)
+    picks = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rnd, doc_id, c AS gain FROM p{r}"
+        for r in range(1, _GMC_ROUNDS + 1)
+    )
+    return f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    dw AS MATERIALIZED (
+        SELECT DISTINCT doc_id, b FROM (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+            FROM docs, unnest(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2
+        )
+    ),
+    cov0 AS (SELECT CAST(NULL AS VARCHAR) AS b WHERE false),
+    {rounds},
+    picks AS ({picks}),
+    tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS total FROM dw)
+    SELECT p.rnd AS round,
+           p.doc_id AS picked_doc,
+           p.gain,
+           CAST(sum(p.gain) OVER (ORDER BY p.rnd) AS BIGINT) AS covered,
+           t.total AS universe,
+           CAST(CAST(sum(p.gain) OVER (ORDER BY p.rnd) AS BIGINT) * 1000
+                // t.total AS BIGINT) AS coverage_milli
+    FROM picks p CROSS JOIN tot t
+    ORDER BY p.rnd
+    """
+
+
+@query(
+    "xg5_greedy_max_coverage",
+    _gmc_oracle_sql(),
+    "GREEDY MAX-COVERAGE DATA SELECTION (Nemhauser-Wolsey-Fisher 1978 "
+    "-- the submodular-selection staple behind diverse few-shot / "
+    "coreset / dedup-aware sampling: pick k documents maximizing "
+    "covered BIGRAM vocabulary; the greedy pick carries the classic "
+    "1 - 1/e approximation guarantee, and coverage over the fixture's "
+    "CLOSED bigram class (916 bigrams, max 98 per doc -- probed "
+    "tri-SF before building, the r11 unit-of-analysis rule) has real "
+    "submodular structure where unigrams are degenerate: one doc "
+    "holds all 31 words): 8 rounds, each = anti-filter the corpus "
+    "bigram set against the covered set (a BOUNDED python InSet -- "
+    "covered <= 8 * 98 strings, codegen'd membership, never a "
+    "corpus-sized join), per-doc gain aggregation, argmax by "
+    "(gain DESC, doc_id) via orderBy().limit(1) "
+    "(TakeOrderedAndProject, the xco rule), then ONE bounded collect "
+    "of the picked doc's bigrams (the kmeans bounded-collect "
+    "pattern). Oracle = the same greedy as 8 unrolled MATERIALIZED "
+    "CTE rounds (kcore recipe; p{r} is multiply-consumed). All "
+    "integers; unique tie-breaks everywhere. The replica pins the "
+    "SUBMODULARITY THEOREM on real data: greedy marginal gains are "
+    "monotone non-increasing -- a strictly increasing gain would "
+    "prove the implementation wrong, fixture-independent",
+    ("documents", "text", "sampling"),
+)
+def xg5_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                )
+            ).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered: set = set()
+    picks = []
+    for r in range(1, _GMC_ROUNDS + 1):
+        gains = dw
+        if covered:
+            gains = gains.filter(~F.col("b").isin(sorted(covered)))
+        top = (
+            gains.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0].doc_id, top[0].c
+        picks.append((r, doc, gain))
+        new_bs = {
+            row.b for row in dw.filter(F.col("doc_id") == doc).select("b").collect()
+        }
+        covered |= new_bs
+    picks_df = spark.createDataFrame(picks, "round long, picked_doc long, gain long")
+    tot = dw.agg(F.countDistinct("b").cast("long").alias("universe"))
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.orderBy("round").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        picks_df.crossJoin(F.broadcast(tot))
+        .select(
+            "round",
+            "picked_doc",
+            "gain",
+            F.sum("gain").over(w_cum).cast("long").alias("covered"),
+            "universe",
+        )
+        .select(
+            "round",
+            "picked_doc",
+            "gain",
+            "covered",
+            "universe",
+            F.expr("covered * 1000 div universe").cast("long").alias("coverage_milli"),
+        )
+        .orderBy("round")
+    )
