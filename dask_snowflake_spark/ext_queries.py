@@ -19392,3 +19392,161 @@ def xg5_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+@query(
+    "xg6_randomization_inference",
+    """
+    WITH arms AS MATERIALIZED (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    obs AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(converted) AS BIGINT) AS c_tot,
+               CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+                   AS s_obs
+        FROM arms
+    ),
+    spine AS (SELECT unnest(range(1, 200)) AS b),
+    perm AS MATERIALIZED (
+        SELECT s.b, a.converted,
+               row_number() OVER (PARTITION BY s.b
+                   ORDER BY md5('perm:' || s.b || ':' || a.user_id), a.user_id)
+                   AS rk
+        FROM arms a CROSS JOIN spine s
+    ),
+    stats AS MATERIALIZED (
+        SELECT p.b,
+               CAST(sum(CASE WHEN p.rk <= o.n_a THEN p.converted ELSE 0 END)
+                    AS BIGINT) AS s_b
+        FROM perm p CROSS JOIN obs o GROUP BY p.b
+    ),
+    ex AS (
+        SELECT o.n, o.n_a, o.c_tot, o.s_obs,
+               CAST(sum(CASE WHEN abs(s.s_b * o.n - o.n_a * o.c_tot)
+                              >= abs(o.s_obs * o.n - o.n_a * o.c_tot)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM stats s CROSS JOIN obs o
+        GROUP BY o.n, o.n_a, o.c_tot, o.s_obs
+    )
+    SELECT n AS n_users, n_a, c_tot AS conv_total, s_obs,
+           CAST(n_a * c_tot * 1000 // n AS BIGINT) AS expected_milli,
+           CAST(199 AS BIGINT) AS n_perms,
+           n_extreme,
+           ((1 + n_extreme) * 1000000 // 200) / 1e6 AS p_value
+    FROM ex
+    """,
+    "RANDOMIZATION INFERENCE / PERMUTATION TEST (Fisher 1935 -- the "
+    "experimentation family's FOURTH inference paradigm next to the "
+    "parametric z (x73), the Poisson bootstrap (xds) and the "
+    "sequential SPRT: exact finite-sample inference with NO "
+    "distributional assumption, valid for any statistic): 199 "
+    "DETERMINISTIC pseudo-permutations of the x73 arm assignment "
+    "(rank users by md5('perm:' || b || ':' || user_id) per replicate "
+    "-- the hash-ring determinism idiom; fixed margins, so pseudo-A "
+    "is always exactly n_a users), statistic = conversions captured "
+    "by pseudo-A, two-sided extremeness by the INTEGER "
+    "cross-multiplication |s_b * N - n_a * C| >= |s_obs * N - n_a * "
+    "C| (the hypergeometric mean n_a*C/N cleared of its denominator "
+    "-- no float anywhere), p = (1 + n_extreme) / 200 via the "
+    "round-6 integer count-ratio quantization. The arm and "
+    "conversion definitions COPY x73's exact text (the r12 rule: a "
+    "population defined by another operator's filter copies that "
+    "filter verbatim). Honest null expected and asserted: arms are "
+    "hash-random w.r.t. conversion, so p is non-extreme (0.535 at "
+    "sf0.01). SCALE NOTE: fixed-margin permutation ranks B x N rows "
+    "(one window per replicate) -- fine to millions of users x "
+    "hundreds of replicates; at billions of users relax to binomial "
+    "(per-(b,user) hash-bit) assignment, which drops the rank window "
+    "and stays a valid randomization test with random margins",
+    ("events", "analytics"),
+)
+def xg6_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    arms = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' AND value > 250"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("converted")
+        )
+        .select(
+            "user_id",
+            "converted",
+            F.expr(
+                "CASE WHEN cast(conv(substring(md5(concat('ab:', user_id)), 1, 15),"
+                " 16, 10) as bigint) % 2 = 0 THEN 'A' ELSE 'B' END"
+            ).alias("arm"),
+        )
+    )
+    obs = arms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN arm = 'A' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum("converted").cast("long").alias("c_tot"),
+        F.sum(F.expr("CASE WHEN arm = 'A' THEN converted ELSE 0 END"))
+        .cast("long")
+        .alias("s_obs"),
+    )
+    spine = spark.range(1, 200).select(F.col("id").alias("b"))
+    perm = arms.crossJoin(F.broadcast(spine)).select(
+        "b",
+        "converted",
+        F.md5(
+            F.concat(
+                F.lit("perm:"), F.col("b").cast("string"), F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("h"),
+        "user_id",
+    )
+    w_b = W.partitionBy("b").orderBy("h", "user_id")
+    stats = (
+        perm.withColumn("rk", F.row_number().over(w_b))
+        .crossJoin(F.broadcast(obs))
+        .groupBy("b")
+        .agg(
+            F.sum(F.expr("CASE WHEN rk <= n_a THEN converted ELSE 0 END"))
+            .cast("long")
+            .alias("s_b"),
+            F.first("n").alias("n"),
+            F.first("n_a").alias("n_a"),
+            F.first("c_tot").alias("c_tot"),
+            F.first("s_obs").alias("s_obs"),
+        )
+    )
+    ex = stats.groupBy("n", "n_a", "c_tot", "s_obs").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN abs(s_b * n - n_a * c_tot)"
+                " >= abs(s_obs * n - n_a * c_tot) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_extreme")
+    )
+    return ex.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        F.col("c_tot").alias("conv_total"),
+        "s_obs",
+        F.expr("n_a * c_tot * 1000 div n").cast("long").alias("expected_milli"),
+        F.lit(199).cast("long").alias("n_perms"),
+        "n_extreme",
+        (F.expr("(1 + n_extreme) * 1000000 div 200").cast("long") / 1e6).alias(
+            "p_value"
+        ),
+    )

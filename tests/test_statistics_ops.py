@@ -2938,3 +2938,59 @@ def test_greedy_max_coverage_matches_replica_and_submodularity(spark, sf_oracle)
     assert gains[0] > gains[-1]  # real overlap: later picks gain less
     total, universe_n = got[-1][3], got[-1][4]
     assert 0 < total < universe_n  # substantial but partial coverage
+
+
+def test_randomization_inference_matches_replica(spark, sf_oracle):
+    """xg6_randomization_inference == a from-scratch python replay of
+    the 199 deterministic pseudo-permutations, and the honest null
+    holds: the x73 arm hash is independent of conversion, so the
+    permutation p is non-extreme (the arms really are random)."""
+    import hashlib
+
+    import duckdb
+
+    from dask_snowflake_spark.queries import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 250 "
+        f"THEN 1 ELSE 0 END) FROM '{sf_oracle}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    users = {u: c for u, c in rows}
+    arm_a = {
+        u
+        for u in users
+        if int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2 == 0
+    }
+    n = len(users)
+    n_a = len(arm_a)
+    c_tot = sum(users.values())
+    s_obs = sum(users[u] for u in arm_a)
+    obs_dev = abs(s_obs * n - n_a * c_tot)
+    n_extreme = 0
+    for b in range(1, 200):
+        ranked = sorted(
+            users, key=lambda u: (hashlib.md5(f"perm:{b}:{u}".encode()).hexdigest(), u)
+        )
+        s_b = sum(users[u] for u in ranked[:n_a])
+        if abs(s_b * n - n_a * c_tot) >= obs_dev:
+            n_extreme += 1
+    want = (
+        n,
+        n_a,
+        c_tot,
+        s_obs,
+        (n_a * c_tot * 1000) // n,
+        199,
+        n_extreme,
+        ((1 + n_extreme) * 1_000_000 // 200) / 1e6,
+    )
+    got = [
+        tuple(r)
+        for r in registry()["xg6_randomization_inference"]
+        .spark_fn(spark, sf_oracle)
+        .collect()
+    ]
+    assert got == [want]
+    p = got[0][-1]
+    assert 0.05 < p <= 1.0, p  # honest null: hash arms are truly random
