@@ -12654,8 +12654,11 @@ def _markov_oracle_sql(rounds: int = 8) -> str:
     "attribution share = effect / sum(effects) integer-quantized. "
     "Scale shape: the corpus-heavy work is ONE pass (journey windows "
     "+ transition counts); the state space is CHANNEL-bounded, so the "
-    "8 rounds run on a pivoted ONE-ROW-PER-VARIANT p vector — tiny "
-    "broadcast joins, no checkpoints, no collects, single action. "
+    "pivoted per-variant transition matrix (~45 rows) is collected "
+    "ONCE and the 8 rounds fold driver-side in exact python ints "
+    "(non-negative operands make python // identical to engine div — "
+    "the kmeans/ivfpq bounded-collect pattern; the in-plan broadcast "
+    "iteration re-planned 8 nested AQE subtrees at 34 jobs, r14). "
     "Headroom: cnt * 1e9 < 2^63 to ~9e9 transitions per edge; beyond, "
     "lower the probability scale",
     ("events", "analytics", "attribution"),
@@ -12735,38 +12738,41 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base_states = ["START"] + list(chans)
-    p = variants.select(
-        F.col("removed").alias("variant"),
-        *[F.lit(0).cast("long").alias(f"p_{s}") for s in base_states],
-    )
-    num = " + ".join(f"cnt_{c} * p_{c}" for c in chans)
+    # The transition matrix is data-derived ONCE and channel-bounded
+    # ((1+|chans|) variants x <=|chans|+1 states ~ 45 rows), so the 8
+    # absorption rounds are the kmeans/ivfpq COLLECT pattern, not the
+    # in-plan pivoted iteration: r14 measured the 8 nested
+    # broadcast-join rounds at 34 jobs / 7.45 s (AQE re-plans every
+    # level's broadcast subtree into extra stage jobs — the r7 kmeans
+    # counter-lesson) vs ~4 jobs for collect-once + driver fold. The
+    # fold is exact: every operand is a non-negative BIGINT (counts,
+    # nano-probabilities, positive totals), so python // (floor) is
+    # identical to the engines' truncating div — pinned by the
+    # from-scratch replica test (test_markov_removal_matches_python_
+    # replica) and the DuckDB-oracle hash gate.
+    tw_rows = tw.collect()
+    by_variant: dict[str, list] = {}
+    for r in tw_rows:
+        by_variant.setdefault(r["variant"], []).append(r)
+    p_vec = {
+        v: {s: 0 for s in base_states} for v in ("__BASE__",) + tuple(chans)
+    }
     for _ in range(8):
-        p = (
-            tw.join(F.broadcast(p), "variant")
-            .select(
-                "variant",
-                "from_s",
-                F.expr(f"({num} + cnt_conv * {sc}L) div tot").alias("p_new"),
-            )
-            .groupBy("variant")
-            .agg(
-                *[
-                    F.coalesce(
-                        F.max(F.when(F.col("from_s") == s, F.col("p_new"))), F.lit(0)
+        for v, cur in p_vec.items():
+            new = {s: 0 for s in base_states}
+            for r in by_variant.get(v, ()):
+                if r["from_s"] in new:
+                    num_i = (
+                        sum(r[f"cnt_{c}"] * cur[c] for c in chans)
+                        + r["cnt_conv"] * sc
                     )
-                    .cast("long")
-                    .alias(f"p_{s}")
-                    for s in base_states
-                ]
-            )
-        )
-    base = p.filter(F.col("variant") == "__BASE__").select(
-        F.col("p_START").alias("p_base")
-    )
-    rem = p.filter(F.col("variant") != "__BASE__").select(
-        F.col("variant").alias("channel"), F.col("p_START").alias("p_removed")
-    )
-    eff = rem.crossJoin(F.broadcast(base)).select(
+                    new[r["from_s"]] = num_i // r["tot"]
+            p_vec[v] = new
+    p_base = p_vec["__BASE__"]["START"]
+    eff = spark.createDataFrame(
+        [(c, p_base, p_vec[c]["START"]) for c in chans],
+        "channel string, p_base long, p_removed long",
+    ).select(
         "channel",
         "p_base",
         "p_removed",
@@ -18944,41 +18950,66 @@ def xg3_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = _t(spark, sf_dir)
+    # ONE linear plan: the r14 before-bench caught the hv/g
+    # double-consume shape racing its broadcast builds (per-pass jobs
+    # wobbled 9<->13; eager checkpoints "fixed" determinism at 15 jobs
+    # and ~2x wall). Instead every scalar rides the histogram rows:
+    # per-v totals and the global rank cumsum as windows ON lv (RANGE
+    # frame over ORDER BY v sums all ties -> identical cum(v)), the tie
+    # term as a once-per-v guarded sum over the same unpartitioned
+    # window, and the former tot/ties/h broadcast fan as `over ()`
+    # windows on the 5-row per-language aggregate (the r7 xb9->xce
+    # window-over-grouped-output idiom). No subtree is consumed twice,
+    # so job counts cannot race. Integer expressions are byte-identical
+    # to the oracle's.
     lv = (
         t["documents"]
         .select("lang", F.length("text").cast("long").alias("v"))
         .groupBy("lang", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    hv = lv.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
-    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    hr = hv.select(
+    wv = W.partitionBy("v")
+    w_cum = W.orderBy("v")  # default RANGE frame: all rows with v' <= v
+    w_all = W.partitionBy()
+    lvx = lv.select(
+        "lang",
         "v",
-        "cv",
-        (2 * F.sum("cv").over(w_cum) - F.col("cv") + 1).cast("long").alias("r2"),
-    )
-    g = (
-        lv.join(hr.select("v", "r2"), "v")
-        .groupBy("lang")
-        .agg(
-            F.sum("c").cast("long").alias("n_j"),
-            F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2_j"),
+        "c",
+        F.sum("c").over(wv).cast("long").alias("cv"),
+        F.row_number().over(wv.orderBy("lang")).alias("rn_v"),
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+    ).select(
+        "lang",
+        "c",
+        (2 * F.col("cum") - F.col("cv") + 1).cast("long").alias("r2"),
+        F.sum(
+            F.when(F.col("rn_v") == 1, F.expr("cv * cv * cv - cv"))
         )
+        .over(w_all)
+        .cast("long")
+        .alias("tsum"),
     )
-    tot = g.agg(
-        F.sum("n_j").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(F.expr("(r2_j * r2_j) div (4 * n_j)")).cast("long").alias("a"),
+    g = lvx.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_j"),
+        F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2_j"),
+        F.min("tsum").cast("long").alias("tsum"),
     )
-    ties = hv.agg(F.sum(F.expr("cv * cv * cv - cv")).cast("long").alias("tsum"))
-    h = (
-        tot.crossJoin(F.broadcast(ties))
-        .select(
-            "n",
-            "k",
-            "a",
+    gx = (
+        g.select(
+            "lang",
+            "n_j",
+            "r2_j",
             "tsum",
-            F.expr("n * n * n - n").alias("d"),
+            F.sum("n_j").over(w_all).cast("long").alias("n"),
+            F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+            F.sum(F.expr("(r2_j * r2_j) div (4 * n_j)"))
+            .over(w_all)
+            .cast("long")
+            .alias("a"),
+        )
+        .withColumn("d", F.expr("n * n * n - n"))
+        .withColumn(
+            "h_q",
             F.expr(
                 "((12 * (a div greatest(a div 700000000000, 1)) * 1000000)"
                 " div ((n * (n + 1)) div greatest(a div 700000000000, 1)"
@@ -18986,46 +19017,33 @@ def xg3_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "             % greatest(a div 700000000000, 1) > 0"
                 "        THEN 1 ELSE 0 END))"
                 " - 3 * (n + 1) * 1000000"
-            ).alias("h_q"),
+            ),
         )
-        .select(
-            "n",
-            "k",
-            "tsum",
-            "d",
-            "h_q",
-            F.expr("greatest(d div 1000000, 1)").alias("dd"),
-        )
-        .select(
-            "n",
-            "k",
-            "h_q",
+        .withColumn("dd", F.expr("greatest(d div 1000000, 1)"))
+        .withColumn(
+            "h_tie_q",
             F.expr(
                 "CASE WHEN tsum = 0 THEN h_q"
                 " ELSE h_q * (d div dd) div greatest((d - tsum) div dd, 1) END"
-            ).alias("h_tie_q"),
+            ),
         )
     )
-    return (
-        g.crossJoin(F.broadcast(h))
-        .select(
-            "lang",
-            F.col("n_j").alias("n_docs"),
-            F.col("r2_j").alias("doubled_rank_sum"),
-            F.expr("r2_j * 1000 div (2 * n_j)").cast("long").alias("mean_rank_milli"),
-            (F.col("h_q").cast("long") / 1e6).alias("h_stat"),
-            (F.col("h_tie_q").cast("long") / 1e6).alias("h_tie_corrected"),
-            (
-                F.expr(
-                    "CAST(CASE WHEN n > k"
-                    " THEN greatest(h_tie_q - (k - 1) * 1000000, 0) div (n - k)"
-                    " ELSE 0 END AS BIGINT)"
-                )
-                / 1e6
-            ).alias("epsilon_sq"),
-        )
-        .orderBy("lang")
-    )
+    return gx.select(
+        "lang",
+        F.col("n_j").alias("n_docs"),
+        F.col("r2_j").alias("doubled_rank_sum"),
+        F.expr("r2_j * 1000 div (2 * n_j)").cast("long").alias("mean_rank_milli"),
+        (F.col("h_q").cast("long") / 1e6).alias("h_stat"),
+        (F.col("h_tie_q").cast("long") / 1e6).alias("h_tie_corrected"),
+        (
+            F.expr(
+                "CAST(CASE WHEN n > k"
+                " THEN greatest(h_tie_q - (k - 1) * 1000000, 0) div (n - k)"
+                " ELSE 0 END AS BIGINT)"
+            )
+            / 1e6
+        ).alias("epsilon_sq"),
+    ).orderBy("lang")
 
 
 _IPF_ROW_TARGETS = (("de", 150000), ("en", 400000), ("es", 100000),
