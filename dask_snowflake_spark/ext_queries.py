@@ -10937,7 +10937,8 @@ def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(bucket < 4)
     held = docs.filter(bucket == 4)
     merges, _state = text_ops._bpe_iterate(
-        train, "text", rounds=5, min_word_len=1
+        train, "text", rounds=5, min_word_len=1,
+        need_sizes=False, need_state=False,
     )
     pairs = [(m[1], m[2]) for m in merges]
     return text_ops.bpe_encode(held, pairs).orderBy("doc_id")
@@ -11127,7 +11128,8 @@ def xdl_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(bucket < 4)
     held = docs.filter(bucket == 4)
     merges, _state = text_ops._bpe_iterate(
-        train, "text", rounds=5, min_word_len=1
+        train, "text", rounds=5, min_word_len=1,
+        need_sizes=False, need_state=False,
     )
     pairs = [(m[1], m[2]) for m in merges]
     enc = text_ops.bpe_encode(held, pairs)

@@ -437,7 +437,8 @@ def bpe_segment(
     corpus-stream aggregation beyond the vocabulary-bounded learn loop;
     empty-text documents report zeros."""
     _merges, state = _bpe_iterate(
-        docs, text_col, rounds=rounds, min_word_len=min_word_len
+        docs, text_col, rounds=rounds, min_word_len=min_word_len,
+        need_sizes=False,
     )
     wt = state.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
     words = docs.select(
@@ -565,10 +566,20 @@ def _bpe_iterate(
     *,
     rounds: int,
     min_word_len: int,
+    need_sizes: bool = True,
+    need_state: bool = True,
 ) -> "tuple[list[tuple], DataFrame]":
     """The shared BPE loop: returns (merges, final state) — merges as
     (round, left, right, merged, n_occurrences, symbols_after) tuples,
-    state as the converged (w, cnt, pos, sym) frame (checkpointed)."""
+    state as the converged (w, cnt, pos, sym) frame (checkpointed).
+
+    ``need_sizes=False`` skips the per-round ``state.count()`` driver
+    action (symbols_after comes back ``None``) and ``need_state=False``
+    additionally skips the LAST round's merge pass + checkpoint — the
+    frozen-table encode/fertility consumers read only the merge PAIRS,
+    so the r14 bench was paying 5 count jobs + 1 checkpoint action per
+    query for fields nobody consumed (guide §1.2: don't compute what
+    you throw away)."""
     from pyspark.sql.window import Window as W
 
     if min_word_len < 1:
@@ -602,8 +613,11 @@ def _bpe_iterate(
         if not best:
             break
         a, b, n = best[0].sym, best[0].nxt, best[0].n
-        state = _merge_pass(state, a, b).localCheckpoint(eager=True)
-        merges.append((r, a, b, a + b, int(n), state.count()))
+        if need_state or need_sizes or r < max(0, int(rounds)):
+            state = _merge_pass(state, a, b).localCheckpoint(eager=True)
+        merges.append(
+            (r, a, b, a + b, int(n), state.count() if need_sizes else None)
+        )
     return merges, state
 
 
