@@ -13064,16 +13064,26 @@ _DBSCAN_MIN_NBRS = 2  # core = >= 2 OTHER points in range (minPts=3 w/ self)
 _DBSCAN_MAX_CELL = 100_000
 
 
-def _dbscan_cell_pairs(pdf):
-    """Arrow-batched per-cell pair kernel for ``dbscan_embeddings``:
+def _dbscan_cell_kernel(pdf):
+    """Arrow-batched per-cell DBSCAN kernel for ``dbscan_embeddings``:
     one BLAS matmul per 2048-row block against the whole cell — exact
     despite float64 (every quantized component is an integer with
     |xq| <= ~1e3, so products <= ~1.6e7 and 64-dim sums <= ~1e9, far
-    inside 2^53; the <= eps^2 compare is an integer compare). Emits
-    only integer ids (the r8 rule: python never touches driver-facing
-    floats). Cells beyond ``_DBSCAN_MAX_CELL`` raise — the blocker
-    (label today, finer IVF/grid cells at scale) must keep cells
-    bounded; a loud error names the fix, silent O(cell^2) does not."""
+    inside 2^53; the <= eps^2 compare is an integer compare).
+
+    Because the blocker is a hard partition (pairs exist only WITHIN a
+    label cell, by declared semantics), degrees, core flags, core-core
+    components AND border labels all decompose per cell — so the whole
+    classification runs here: integer min-label propagation with
+    pointer jumping over the in-cell core-core edges (vectorized numpy,
+    O(E log n)), min-core-neighbor border rule, noise = -1. The r14
+    rewrite deleted the distributed CC loop this kernel used to feed
+    (~60 scheduling-bound jobs for graphs that never cross cells).
+    Emits only integer ids/flags (the r8 rule: python never touches
+    driver-facing floats). Cells beyond ``_DBSCAN_MAX_CELL`` raise —
+    the blocker (label today, finer IVF/grid cells at scale) must keep
+    cells bounded; a loud error names the fix, silent O(cell^2) does
+    not."""
     import numpy as np
     import pandas as pd
 
@@ -13085,24 +13095,61 @@ def _dbscan_cell_pairs(pdf):
             "so cells stay bounded instead of letting one cell go quadratic"
         )
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-    ids = pdf["vec_id"].to_numpy()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    n = len(ids)
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vq"]])
     n2 = (X * X).sum(axis=1)
     out_a: list = []
     out_b: list = []
     step = 2048
-    for s in range(0, len(ids), step):
+    for s in range(0, n, step):
         blk = X[s : s + step]
         sqd = n2[s : s + step, None] + n2[None, :] - 2.0 * (blk @ X.T)
         ii, jj = np.nonzero(sqd <= float(_DBSCAN_EPS2))
         gi = ii + s
         keep = gi < jj  # sorted by vec_id, so index order IS id order
-        out_a.append(ids[gi[keep]])
-        out_b.append(ids[jj[keep]])
+        out_a.append(gi[keep])
+        out_b.append(jj[keep])
+    ia = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    ib = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    # degree = number of OTHER in-range points; core threshold
+    deg = np.bincount(ia, minlength=n) + np.bincount(ib, minlength=n)
+    core = deg >= _DBSCAN_MIN_NBRS
+    # components of the core-core subgraph: min-index propagation +
+    # pointer jumping. Labels are always indices within the node's own
+    # component (induction over relax/jump), monotone non-increasing,
+    # and the component-min index m keeps labels[m] == m — so at the
+    # fixpoint (no change over a full round ⇒ every edge's endpoints
+    # agree) every member holds exactly the component-min index. Index
+    # order IS vec_id order (sorted above), so ids[labels] is the
+    # oracle's least(u, min(reach)) cluster id.
+    cm = core[ia] & core[ib]
+    ea, eb = ia[cm], ib[cm]
+    labels = np.arange(n)
+    while True:
+        before = labels.copy()
+        np.minimum.at(labels, ea, labels[eb])
+        np.minimum.at(labels, eb, labels[ea])
+        labels = labels[labels]
+        if np.array_equal(labels, before):
+            break
+    cluster = np.where(core, ids[labels], np.int64(-1))
+    # border: non-core point with >=1 core neighbor takes the MIN core
+    # neighbor's cluster id (the oracle's min(cl.cl) rule)
+    sentinel = np.iinfo(np.int64).max
+    bmin = np.full(n, sentinel, dtype=np.int64)
+    m1 = core[ia] & ~core[ib]
+    np.minimum.at(bmin, ib[m1], cluster[ia[m1]])
+    m2 = core[ib] & ~core[ia]
+    np.minimum.at(bmin, ia[m2], cluster[ib[m2]])
+    cluster = np.where(
+        core, cluster, np.where(bmin < sentinel, bmin, np.int64(-1))
+    )
     return pd.DataFrame(
         {
-            "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
-            "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+            "vec_id": ids,
+            "is_core": core.astype("int32"),
+            "cluster": cluster.astype("int64"),
         }
     )
 
@@ -13177,18 +13224,20 @@ def _dbscan_cell_pairs(pdf):
     "candidates blocked by the coarse label cell (the x98 IVF-style "
     "declared semantics — at scale the blocker is the pluggable "
     "part, the density classification is the mechanism); clusters = "
-    "connected components over CORE-CORE edges (frontier hash-min on "
-    "Spark, recursive transitive closure in the oracle — the x51 "
-    "pair), isolated core points self-cluster, border points take "
-    "the MIN core-neighbor cluster (deterministic), everything else "
-    "is noise (cluster -1); output = per-cluster core/border/point "
-    "counts. The pair scan is the one step built-ins can't express "
-    "efficiently (an interpreted 64-element HOF per pair benched "
-    "44 s at sf0.1): a vectorized Arrow-batched applyInPandas kernel "
-    "per label cell does the block with ONE BLAS matmul — exact "
-    "despite float64 (every intermediate an integer < 2^53), "
-    "integer-id output only (the r8 python-kernel rule); 3.5 s at "
-    "sf0.1. Cell-size CONTRACT (r12): the kernel is O(cell^2) by "
+    "connected components over CORE-CORE edges (recursive transitive "
+    "closure in the oracle), isolated core points self-cluster, "
+    "border points take the MIN core-neighbor cluster "
+    "(deterministic), everything else is noise (cluster -1); output "
+    "= per-cluster core/border/point counts. The blocker is a HARD "
+    "partition (pairs never cross cells), so the whole "
+    "classification decomposes per cell: ONE vectorized "
+    "Arrow-batched applyInPandas kernel per label cell does the "
+    "BLAS pair scan AND the integer min-label components (pointer "
+    "jumping) AND the border rule — exact despite float64 (every "
+    "intermediate an integer < 2^53), integer-only output (the r8 "
+    "python-kernel rule); the r13 distributed-CC-loop version spent "
+    "~60 scheduling-bound jobs on graphs that are cell-local by "
+    "construction. Cell-size CONTRACT (r12): the kernel is O(cell^2) by "
     "design, so cells beyond _DBSCAN_MAX_CELL=1e5 raise a loud error "
     "naming the mitigation (finer blocking cells) instead of silently "
     "going quadratic; fixture cells contract-tested ~3 orders under "
@@ -13197,73 +13246,36 @@ def _dbscan_cell_pairs(pdf):
     ("embeddings", "similarity", "graph", "analytics"),
 )
 def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import _both_directions, connected_components
-
     t = _t(spark, sf_dir)
-    q = (
-        t["embeddings"]
-        .select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
-        .select(
-            "vec_id",
-            "label",
-            F.col("pos0").alias("pos"),
-            F.floor(F.col("x").cast("double") * 1_000).cast("long").alias("xq"),
-        )
-    )
-    vecs = q.groupBy("vec_id", "label").agg(
+    # Quantize in-array (the knn_graph_descent idiom): the embedding is
+    # already position-ordered, so one F.transform computes vq with zero
+    # shuffle — the former posexplode + groupBy/collect_list rebuild of
+    # the same array cost two exchanges over 64x-exploded rows.
+    vecs = t["embeddings"].select(
+        "vec_id",
+        "label",
         F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "xq"))), lambda s: s["xq"]
-        ).alias("vq")
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1_000).cast("long"),
+        ).alias("vq"),
     )
-    # Pairwise distances are the one step DataFrame built-ins can't
-    # express efficiently (an interpreted 64-element HOF per candidate
-    # pair benched 44 s at sf0.1): the module-level Arrow-batched
-    # _dbscan_cell_pairs kernel computes each label cell with one BLAS
-    # matmul per 2048-row block, guarded by the _DBSCAN_MAX_CELL
-    # contract (see both docstrings).
-    pairs = vecs.groupBy("label").applyInPandas(
-        _dbscan_cell_pairs, "id_a long, id_b long"
-    )
-    und = _both_directions(pairs, "id_a", "id_b").select(
-        F.col("__u").alias("u"), F.col("__v").alias("v")
-    )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    core = deg.filter(F.col("nn") >= _DBSCAN_MIN_NBRS).select("u")
-    ce = (
-        und.join(core, "u")
-        .join(core.select(F.col("u").alias("v")), "v")
-        .select("u", "v")
-    )
-    cc = connected_components(ce.filter(F.col("u") < F.col("v")), "u", "v")
-    corelab = (
-        core.join(cc.withColumnRenamed("vertex", "u"), "u", "left")
-        .select("u", F.coalesce("component", F.col("u")).alias("cl"))
-    )
-    border = (
-        und.join(
-            corelab.select(F.col("u").alias("v"), "cl"), "v"
-        )
-        .join(core, "u", "left_anti")
-        .groupBy("u")
-        .agg(F.min("cl").alias("cl"))
-    )
+    # The whole classification runs in ONE Arrow kernel pass per label
+    # cell (_dbscan_cell_kernel): the blocker is a hard partition, so
+    # degrees, cores, core-core components and border labels never
+    # cross cells — the distributed CC loop the r13 version fed was
+    # ~60 scheduling-bound jobs spent on per-cell-local graphs. Every
+    # point comes back exactly once with integer (is_core, cluster);
+    # role strings and the per-cluster rollup stay JVM-side.
     roles = (
-        t["embeddings"]
-        .select("vec_id")
-        .join(corelab.withColumnRenamed("u", "vec_id"), "vec_id", "left")
-        .withColumnRenamed("cl", "cl_core")
-        .join(
-            border.withColumnRenamed("u", "vec_id").withColumnRenamed("cl", "cl_b"),
-            "vec_id",
-            "left",
-        )
+        vecs.groupBy("label")
+        .applyInPandas(_dbscan_cell_kernel, "vec_id long, is_core int, cluster long")
         .select(
             "vec_id",
-            F.when(F.col("cl_core").isNotNull(), F.lit("core"))
-            .when(F.col("cl_b").isNotNull(), F.lit("border"))
+            F.when(F.col("is_core") == 1, F.lit("core"))
+            .when(F.col("cluster") >= 0, F.lit("border"))
             .otherwise(F.lit("noise"))
             .alias("role"),
-            F.coalesce("cl_core", "cl_b", F.lit(-1)).cast("long").alias("cluster"),
+            F.col("cluster").cast("long").alias("cluster"),
         )
     )
     return (

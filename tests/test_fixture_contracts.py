@@ -487,11 +487,14 @@ def test_dbscan_kernel_guard_raises_on_oversized_cell(monkeypatch) -> None:
         {"vec_id": range(5), "label": [0] * 5, "vq": [[0, 0]] * 5}
     )
     with pytest.raises(ValueError, match="finer blocking key"):
-        ext_queries._dbscan_cell_pairs(pdf)
-    # under the bound the kernel runs and finds the coincident pairs
+        ext_queries._dbscan_cell_kernel(pdf)
+    # under the bound the kernel runs: 5 coincident points are all
+    # core (4 in-range others each) in one min-id cluster
     monkeypatch.setattr(ext_queries, "_DBSCAN_MAX_CELL", 100)
-    out = ext_queries._dbscan_cell_pairs(pdf)
-    assert len(out) == 10  # all 5-choose-2 zero-distance pairs
+    out = ext_queries._dbscan_cell_kernel(pdf)
+    assert len(out) == 5
+    assert list(out["is_core"]) == [1] * 5
+    assert list(out["cluster"]) == [0] * 5
 
 
 @pytest.mark.parametrize("sf_dir", [d for d in _SF_DIRS if os.path.isdir(d)])
