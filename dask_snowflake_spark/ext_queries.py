@@ -19385,9 +19385,19 @@ def xg5_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         gains = dw
         if covered:
             gains = gains.filter(~F.col("b").isin(sorted(covered)))
+        # ONE job per round: the argmax row carries its own (uncovered)
+        # bigram list — collect_list is bounded (<= 98 bigrams/doc, the
+        # probed fixture bound) and TakeOrderedAndProject ships only the
+        # top-1 row, so this fuses the former second per-pick collect
+        # (dw.filter(doc_id).collect()) into the argmax job. The union
+        # with `covered` is identical: the doc's already-covered bigrams
+        # are in `covered` by definition.
         top = (
             gains.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.collect_list("b").alias("bs"),
+            )
             .orderBy(F.col("c").desc(), "doc_id")
             .limit(1)
             .collect()
@@ -19396,10 +19406,7 @@ def xg5_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         doc, gain = top[0].doc_id, top[0].c
         picks.append((r, doc, gain))
-        new_bs = {
-            row.b for row in dw.filter(F.col("doc_id") == doc).select("b").collect()
-        }
-        covered |= new_bs
+        covered |= set(top[0].bs)
     picks_df = spark.createDataFrame(picks, "round long, picked_doc long, gain long")
     tot = dw.agg(F.countDistinct("b").cast("long").alias("universe"))
     from pyspark.sql.window import Window as W

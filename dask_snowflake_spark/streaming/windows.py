@@ -56,9 +56,16 @@ def _stream_session(spark: SparkSession) -> SparkSession:
 
         clone = spark.newSession()
         _ensure_runtime_confs(clone)
+        # Bounded smoke runs are state-store-setup bound: stream-stream
+        # joins allocate 4 state stores per partition per micro-batch,
+        # so width 8 -> 4 measured 15-30% faster across the whole
+        # stream family (r14; the earlier 32 -> 8 cut measured 6 s ->
+        # 2.7 s). Env-overridable: a long-lived production stream sizes
+        # this to its key cardinality instead.
+        cap = os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4")
         width = clone.conf.get("spark.sql.shuffle.partitions")
-        if width.isdigit() and int(width) > 8:
-            clone.conf.set("spark.sql.shuffle.partitions", "8")
+        if width.isdigit() and cap.isdigit() and int(width) > int(cap):
+            clone.conf.set("spark.sql.shuffle.partitions", cap)
         _STREAM_CLONES[spark] = clone
     return clone
 
