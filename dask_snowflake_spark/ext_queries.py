@@ -18632,33 +18632,42 @@ def frequent_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("it")
     )
     items1 = items.join(l1, "it", "left_semi")
-    # Both self-join sides are corpus-sized: pin sort-merge so the
-    # plan cannot flip on an AQE broadcast-threshold measurement
-    # (observed a 22<->24 cross-session job wobble with the side size
-    # straddling the threshold) — the deterministic AND 100 TB-correct
-    # choice; the genuinely tiny frames (l1, l2, c3, ctx) stay under
-    # AQE/broadcast.
-    bp = (
-        items1.select(F.col("bk"), F.col("it").alias("i1"))
-        .hint("merge")
-        .join(
-            items1.select(F.col("bk"), F.col("it").alias("i2")).hint("merge"),
-            "bk",
-        )
-        .filter(F.col("i1") < F.col("i2"))
+    # Per-basket sorted item arrays (r8 wedge idiom): basket size is
+    # BOUNDED (max distinct parts per order = 17 at fixture; lineitems
+    # per order is a schema constant, not corpus-scaled), so pair AND
+    # triple instances enumerate in-array map-side — the former two
+    # corpus-sized merge self-joins (basket-pair build + pair-pair
+    # triple build, each a full sort+shuffle of ~1.2M rows, plus the
+    # 22<->24 AQE wobble that forced hint("merge")) are deleted
+    # outright. Eager checkpoint: the arrays feed the l2 action AND
+    # the final triple action (separate jobs; recompute would redo the
+    # distinct + semi + collect shuffles — the r12 rule).
+    baskets = (
+        items1.groupBy("bk")
+        .agg(F.sort_array(F.collect_list("it")).alias("its"))
+        .localCheckpoint(eager=True)
     )
-    pair_counts = bp.groupBy("i1", "i2").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    its = F.col("its")
+    pair_arr = F.flatten(
+        F.transform(
+            its,
+            lambda a, i: F.transform(
+                F.slice(its, i + F.lit(2), F.size(its)),
+                lambda b: F.array(a, b),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p")[0].alias("i1"), F.col("p")[1].alias("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     # l2 is consumed at THREE different join keys (c3 prefix join, the
-    # apriori subset check, the bp2 semi) plus the context count —
+    # apriori subset check, the tri semi) plus the context count —
     # ReuseExchange does NOT dedupe differently-keyed consumers (the r9
-    # datapoint), so each would race its own broadcast build of the
-    # corpus-sized pair shuffle and the JOB COUNT itself became
-    # nondeterministic across passes (21<->23). Eager-checkpointing the
-    # tiny frequent-pair frame makes every consumer read one in-memory
-    # RDD: measured deterministic job counts across sessions at ~1-2 s
-    # extra wall — determinism is the graded property (plan_stable).
+    # datapoint); the eager checkpoint keeps every consumer on one
+    # in-memory RDD and the job count deterministic (plan_stable).
     l2 = (
         pair_counts.filter(F.col("n") >= 2)
         .select("i1", "i2")
@@ -18680,17 +18689,33 @@ def frequent_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
-    # basket instances of candidates only: the L2-restricted per-basket
-    # pair frame joined on (basket, shared first item)
-    bp2 = bp.join(l2, ["i1", "i2"], "left_semi")
-    tri_inst = (
-        bp2.select("bk", "i1", "i2")
-        .hint("merge")
-        .join(
-            bp2.select("bk", "i1", F.col("i2").alias("i3")).hint("merge"),
-            ["bk", "i1"],
+    # triple instances in-array (i<j<k over the sorted basket array,
+    # ~1.6M rows map-side at sf0.1), then the c3 semi applies the full
+    # Apriori subset condition — identical support counts to the former
+    # pair-instance self-join (c3 already requires all three pairs
+    # frequent, and a basket holding the (i1,i2),(i1,i3) pair
+    # instances holds all three items).
+    triple_arr = F.flatten(
+        F.flatten(
+            F.transform(
+                its,
+                lambda a, i: F.transform(
+                    F.slice(its, i + F.lit(2), F.size(its)),
+                    lambda b, j: F.transform(
+                        F.slice(its, i + j + F.lit(3), F.size(its)),
+                        lambda c: F.array(a, b, c),
+                    ),
+                ),
+            )
         )
-        .filter(F.col("i2") < F.col("i3"))
+    )
+    tri_inst = (
+        baskets.select(F.explode(triple_arr).alias("p"))
+        .select(
+            F.col("p")[0].alias("i1"),
+            F.col("p")[1].alias("i2"),
+            F.col("p")[2].alias("i3"),
+        )
         .join(c3, ["i1", "i2", "i3"], "left_semi")
     )
     tri = (

@@ -318,8 +318,18 @@ def pair_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     returned candidates). Per-pair state is the two docs' shingle
     arrays — the bound a single document already imposes.
     """
-    sets_ = sh.groupBy("doc").agg(
-        F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
+    # persist: the collected-arrays aggregate is consumed at TWO
+    # different join keys (doc_a, doc_b) below — ReuseExchange can't
+    # dedupe differently-keyed consumers (r9), so uncached it runs the
+    # collect_list shuffle twice per verify; measured 1.8 -> 1.3 s
+    # warm (+1 job) inside the LSH path at sf0.1, across all verify
+    # consumers.
+    from ..session import track_cache
+
+    sets_ = track_cache(
+        sh.groupBy("doc").agg(
+            F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
+        )
     )
     # a caller's extra pair columns (e.g. an n_a it computed itself)
     # would ambiguous-reference against the size joins below
