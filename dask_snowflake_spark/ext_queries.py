@@ -11476,57 +11476,57 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     t = _t(spark, sf_dir)
-    e0 = (
-        t["embeddings"]
-        .select(
-            "vec_id",
-            F.posexplode(F.col("embedding")).alias("pos", "comp32"),
-        )
-        .select(
-            "vec_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.col("comp32").cast("double").alias("comp"),
-        )
-        .repartition("vec_id")
-        .persist()
-    )
+    emb = t["embeddings"].select("embedding")
     dim = 64  # fixture contract: embeddings are 64-dim (pinned below)
     vq = [1_000_000] * dim
-    wq_rows: list[tuple[int, int]] = []
+    wq = [0] * dim
+    # Each round is a single in-array pass (r14 rewrite of the former
+    # posexplode + repartition.persist + per-round join, 3.1 s / 16
+    # jobs -> ~2 s / 10): dq = sum_j floor(comp_j * v_j) folds per row
+    # over zip_with(embedding, literal iterate) — no vec_id shuffle,
+    # no join — and w re-ranks through one posexplode + groupBy(pos)
+    # of the 64x-narrow integer rows. The HOF lambdas are interpreted
+    # but touch |V| * 64 elements once per round; integer sums are
+    # order-independent, so every value is bit-identical to the old
+    # plan and the python replica.
     for _ in range(5):
         varr = F.lit(np.asarray(vq, dtype=np.int64))
-        # attach the iterate as a literal array column so the exact
-        # per-term floor expression can index it by pos
-        d = (
-            e0.withColumn("__v", varr)
-            .withColumn(
-                "t",
-                F.expr(
-                    "cast(floor(comp * element_at(__v, cast(pos + 1 as int))) as bigint)"
+        rowd = emb.select(
+            "embedding",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    varr,
+                    lambda x, v: F.floor(x.cast("double") * v).cast("long"),
                 ),
-            )
-            .groupBy("vec_id")
-            .agg(F.sum("t").cast("long").alias("dq"))
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dq"),
         )
         w = (
-            e0.join(d, "vec_id")
-            .withColumn("u", F.expr("cast(floor(comp * dq) as bigint)"))
+            rowd.select(
+                F.posexplode(
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: F.floor(x.cast("double") * F.col("dq")).cast(
+                            "long"
+                        ),
+                    )
+                ).alias("pos", "u")
+            )
             .groupBy("pos")
             .agg(F.sum("u").cast("long").alias("wq"))
         )
         wq_rows = sorted((r.pos, r.wq) for r in w.collect())
-        M = max(max(abs(q) for _, q in wq_rows), 1)
+        wq = [int(q) for _, q in wq_rows]
+        M = max(max(abs(q) for q in wq), 1)
         G = max(M // 10**12, 1)
         den = max(M // G, 1)
         vq = [
             (1 if q >= 0 else -1) * (((abs(q) // G) * 1_000_000) // den)
-            for _, q in wq_rows
+            for q in wq
         ]
-    e0.unpersist()
-    rows = [
-        (int(p), int(v), int(q), v / 1e6)
-        for (p, q), v in zip(wq_rows, vq)
-    ]
+    rows = [(p, int(vq[p]), int(wq[p]), vq[p] / 1e6) for p in range(dim)]
     return spark.createDataFrame(
         rows, "pos long, vq long, wq long, loading double"
     ).orderBy("pos")
