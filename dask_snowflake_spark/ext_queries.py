@@ -15500,13 +15500,26 @@ def xeq_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v")
+    # in-array pair enumeration (the apriori/basket_affinity r14
+    # rewrite): per-order sorted part arrays are bounded (<= 17 at
+    # fixture), so the co-purchase edges explode map-side — no
+    # order-keyed self-join.
+    its = F.col("__its")
+    pair_arr = F.flatten(
+        F.transform(
+            its,
+            lambda x, i: F.transform(
+                F.slice(its, i + F.lit(2), F.size(its)),
+                lambda y: F.array(x, y),
+            ),
+        )
     )
     pairs = (
-        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("v") > F.col("u")))
-        .select("u", "v")
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("__its"))
+        .select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p")[0].alias("u"), F.col("__p")[1].alias("v"))
         .distinct()
     )
     directed = _both_directions(pairs, "u", "v").select(

@@ -259,10 +259,28 @@ def basket_affinity(
     ).distinct()
     tot = items.agg(F.countDistinct("__bk").cast("long").alias("__n_baskets"))
     cnt = items.groupBy("__it").agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    a = items.select(F.col("__bk").alias("__bka"), F.col("__it").alias("item_a"))
-    b = items.select(F.col("__bk").alias("__bkb"), F.col("__it").alias("item_b"))
+    # in-array pair enumeration (r8 wedge idiom, r14): collect each
+    # basket's sorted item array once and explode i<j pairs map-side —
+    # the former basket-keyed self-join shuffled both sides and
+    # re-sorted per pass; the array bound is basket size, exactly the
+    # bound the join's basket-size-choose-2 output already imposed.
+    its = F.col("__its")
+    pair_arr = F.flatten(
+        F.transform(
+            its,
+            lambda x, i: F.transform(
+                F.slice(its, i + F.lit(2), F.size(its)),
+                lambda y: F.array(x, y),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("__bka") == F.col("__bkb")) & (F.col("item_a") < F.col("item_b")))
+        items.groupBy("__bk")
+        .agg(F.sort_array(F.collect_list("__it")).alias("__its"))
+        .select(F.explode(pair_arr).alias("__p"))
+        .select(
+            F.col("__p")[0].alias("item_a"), F.col("__p")[1].alias("item_b")
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)
