@@ -573,13 +573,17 @@ def _bpe_iterate(
     (round, left, right, merged, n_occurrences, symbols_after) tuples,
     state as the converged (w, cnt, pos, sym) frame (checkpointed).
 
-    ``need_sizes=False`` skips the per-round ``state.count()`` driver
-    action (symbols_after comes back ``None``) and ``need_state=False``
+    ``need_sizes=False`` skips size bookkeeping entirely
+    (symbols_after comes back ``None``) and ``need_state=False``
     additionally skips the LAST round's merge pass + checkpoint — the
     frozen-table encode/fertility consumers read only the merge PAIRS,
     so the r14 bench was paying 5 count jobs + 1 checkpoint action per
     query for fields nobody consumed (guide §1.2: don't compute what
-    you throw away)."""
+    you throw away). With ``need_sizes=True`` the sizes are FUSED into
+    the next round's argmax collect (round r's aggregation scans state
+    r-1 anyway, so one single-row agg returns both the best pair and
+    the row count = round r-1's symbols_after); only the final round
+    pays a dedicated ``state.count()``."""
     from pyspark.sql.window import Window as W
 
     if min_word_len < 1:
@@ -600,24 +604,62 @@ def _bpe_iterate(
     wo = W.partitionBy("w").orderBy("pos")
     wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
     merges: list[tuple] = []
-    for r in range(1, max(0, int(rounds)) + 1):
+    max_rounds = max(0, int(rounds))
+    for r in range(1, max_rounds + 1):
         pr = state.withColumn("nxt", F.lead("sym").over(wo))
-        best = (
-            pr.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("cnt").cast("long").alias("n"))
-            .orderBy(F.col("n").desc(), "sym", "nxt")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, n = best[0].sym, best[0].nxt, best[0].n
-        if need_state or need_sizes or r < max(0, int(rounds)):
+        if need_sizes:
+            # Fused argmax + state-size collect: round r's aggregation
+            # already scans state r-1, so the SAME single-row collect
+            # returns both the best pair (min over (-n, sym, nxt)
+            # structs == ORDER BY n DESC, sym, nxt LIMIT 1 — struct
+            # comparison is positional) and the state row count, which
+            # is round r-1's ``symbols_after``. That deletes the
+            # per-round ``state.count()`` driver action (one count per
+            # merge at the old shape); only the LAST round still needs
+            # its own count after the loop. The null-nxt rows (word-
+            # final symbols) are kept so sum(__c) counts EVERY state
+            # row; min() skips their null struct.
+            g = pr.groupBy("sym", "nxt").agg(
+                F.sum("cnt").cast("long").alias("__n"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+            row = g.agg(
+                F.sum("__c").cast("long").alias("__size"),
+                F.min(
+                    F.when(
+                        F.col("nxt").isNotNull(),
+                        F.struct(
+                            (-F.col("__n")).alias("negn"),
+                            F.col("sym").alias("a"),
+                            F.col("nxt").alias("b"),
+                            F.col("__n").alias("n"),
+                        ),
+                    )
+                ).alias("__best"),
+            ).collect()[0]
+            if merges and merges[-1][5] is None:
+                merges[-1] = merges[-1][:5] + (int(row["__size"]),)
+            bst = row["__best"]
+            if bst is None:
+                break
+            a, b, n = bst["a"], bst["b"], bst["n"]
+        else:
+            best = (
+                pr.filter(F.col("nxt").isNotNull())
+                .groupBy("sym", "nxt")
+                .agg(F.sum("cnt").cast("long").alias("n"))
+                .orderBy(F.col("n").desc(), "sym", "nxt")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, n = best[0].sym, best[0].nxt, best[0].n
+        if need_state or need_sizes or r < max_rounds:
             state = _merge_pass(state, a, b).localCheckpoint(eager=True)
-        merges.append(
-            (r, a, b, a + b, int(n), state.count() if need_sizes else None)
-        )
+        merges.append((r, a, b, a + b, int(n), None))
+    if need_sizes and merges and merges[-1][5] is None:
+        merges[-1] = merges[-1][:5] + (int(state.count()),)
     return merges, state
 
 

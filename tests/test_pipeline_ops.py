@@ -239,6 +239,38 @@ def test_bpe_learn_greedy_run_semantics(spark):
     assert r2.symbols_after == 5
 
 
+def test_bpe_learn_fused_sizes_tiebreak_and_exhaustion(spark):
+    """The r14 fused argmax+size collect (need_sizes path): the
+    min-over-(-n, sym, nxt)-structs argmax must break an exact count
+    TIE by lexicographically smallest (left, right), and a corpus that
+    runs OUT of pairs before ``rounds`` must still fill the last
+    merge's symbols_after (patched by the empty next round's collect,
+    not a dedicated count)."""
+    from dask_snowflake_spark.operators.text import bpe_learn
+
+    # 'zx' and 'ab' both contribute exactly one pair occurrence:
+    # (z,x) and (a,b) tie at n=1 -> (a,b) must win the tie.
+    tie = spark.createDataFrame(
+        [(1, "zx ab")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_learn(tie, rounds=1).collect()]
+    assert rows == [(1, "a", "b", "ab", 1, 3)]  # state: [ab], [z, x]
+
+    # rounds=3 over a corpus exhausted after round 2: both executed
+    # rounds must come back with exact symbols_after, the missing
+    # third round with no row at all (bounded-cap posture).
+    short = spark.createDataFrame(
+        [(1, "abc abc")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_learn(short, rounds=3).collect()]
+    # vocab = {abc: 2}; r1 merges (a,b) n=2 -> [ab, c] (2 symbols),
+    # r2 merges (ab,c) n=2 -> [abc] (1 symbol), r3 finds no pairs.
+    assert rows == [
+        (1, "a", "b", "ab", 2, 2),
+        (2, "ab", "c", "abc", 2, 1),
+    ]
+
+
 def test_bpe_segment_merge_identity_and_totals(spark, sf_smoke):
     """xd9's min_word_len=1 learning claim: length-1 words carry no
     adjacent pairs, so the learned merges equal the length>=2
