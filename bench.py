@@ -89,6 +89,54 @@ def plan_deltas_vs_baseline(
 # — remains the plan gate (tools/bench_diff.py).
 CALIB_REF_SEC = 1.045
 
+# The driver parses the LAST stdout line out of a 2000-char tail capture
+# (proven: BENCH_r01/r02 printed one long line, rc=0 but parsed=null);
+# the full 259-query maps are ~13 KB, so the headline can only carry a
+# most-expensive-query prefix of them. Budget leaves headroom for the
+# trailing newline and any surrounding capture slop.
+TAIL_BUDGET = 1900
+
+
+def headline_line(
+    headline: dict, timings: dict[str, float], jobs: dict[str, int]
+) -> str:
+    """Serialize the headline with per-query seconds + jobs for the
+    driver's per_query / scaling comparisons (the r14 PERF came back
+    with ``n_common=0`` because the headline carried no "queries" key).
+    The maps hold the most-expensive-query PREFIX, as many entries as
+    keep the line under ``TAIL_BUDGET`` — selection by best-of-N
+    seconds is width-stable enough that the 32- and 8-core runs overlap
+    on nearly all entries. ``n_queries`` (not ``len(queries)``) remains
+    the coverage count, and the complete maps are always in the detail
+    files. Never returns a line over budget (a truncated front never
+    parses); in the pathological case every optional map is dropped."""
+    headline = dict(headline)
+    # a job_deltas blow-up (mass plan change) could alone exceed the
+    # budget: a summarized count still parses where a front-truncated
+    # line never would, and summarizing first leaves the budget to the
+    # per-query maps
+    base = {k: v for k, v in headline.items() if k not in ("queries", "jobs")}
+    if len(json.dumps(base, separators=(",", ":"))) > TAIL_BUDGET // 2 and isinstance(
+        headline.get("job_deltas"), dict
+    ):
+        headline["job_deltas"] = {"n_deltas": len(headline["job_deltas"])}
+    by_cost = sorted(timings, key=lambda n: (-timings[n], n))
+    top_sec = {n: timings[n] for n in by_cost}
+    top_jobs = {n: jobs[n] for n in by_cost}
+    headline["queries"] = top_sec
+    headline["jobs"] = top_jobs
+    line = json.dumps(headline, separators=(",", ":"))
+    while len(line) > TAIL_BUDGET and top_sec:
+        drop = next(reversed(top_sec))
+        top_sec.pop(drop)
+        top_jobs.pop(drop, None)
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > TAIL_BUDGET:
+        headline.pop("queries", None)
+        headline.pop("jobs", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    return line
+
 
 def _calibration_sec(spark) -> list[float]:
     """Three warm runs of the fixed calibration plan (seconds each);
@@ -221,9 +269,21 @@ def main() -> None:
     # gets its FRONT truncated and never parses (r1+r2 both hit this).
     # Per-query detail goes to a file and an earlier stdout line; the
     # FINAL line is a short headline-only JSON that survives tail capture.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_QUERIES.json")
     try:
         with open(detail_path, "w") as f:
+            json.dump(full, f, separators=(",", ":"))
+            f.write("\n")
+    except OSError:
+        pass
+    # The driver benches the same build at TWO core counts and the single
+    # detail file keeps only the last run (the r14 judge had to treat the
+    # 8-core per-query walls as the 32-core numbers). Persist a per-width
+    # copy so both runs' full per-query detail survives side by side.
+    try:
+        cpus = spark.sparkContext.defaultParallelism
+        with open(os.path.join(repo_dir, f"BENCH_QUERIES_c{cpus}.json"), "w") as f:
             json.dump(full, f, separators=(",", ":"))
             f.write("\n")
     except OSError:
@@ -262,7 +322,7 @@ def main() -> None:
             headline["job_deltas"] = plan_deltas
     elif baseline_sf is not None:
         headline["plan_baseline_sf"] = baseline_sf
-    print(json.dumps(headline, separators=(",", ":")))
+    print(headline_line(headline, timings, jobs))
 
 
 if __name__ == "__main__":

@@ -9284,12 +9284,31 @@ def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import kcore_onion
 
     t = _t(spark, sf_dir)
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("v"))
+    # in-array pair enumeration (the apriori/basket_affinity r14
+    # rewrite, applied here r15): per-order sorted distinct part arrays
+    # are bounded (<= 7 lines/order in the schema), so co-purchase pair
+    # instances explode map-side and the order-keyed self-join — 4.9 s
+    # of the query's 8 s at sf0.1, measured — disappears. sort_array +
+    # i<j keeps u < v; support counting is unchanged (one pair instance
+    # per order that contains both parts).
+    its = F.col("__its")
+    pair_arr = F.flatten(
+        F.transform(
+            its,
+            lambda x, i: F.transform(
+                F.slice(its, i + F.lit(2), F.size(its)),
+                lambda y: F.array(x, y),
+            ),
+        )
+    )
     edges = (
-        a.join(b, "__bk")
-        .filter(F.col("u") < F.col("v"))
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("__its"))
+        .select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p")[0].alias("u"), F.col("__p")[1].alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__n_ab"))
         .filter(F.col("__n_ab") >= 2)
@@ -14009,9 +14028,12 @@ def _hits_oracle_sql(rounds: int = 4) -> str:
     "pure integer division with the xdp G-shrink overflow guard "
     "(values stay in 1e6-scale integers; sum bound deg*1e6, the "
     "guard divides both operands first so raw*1e6 can never overflow "
-    "at any degree); scalar max folds are broadcast one-row "
-    "crossJoins (no driver actions), one localCheckpoint per round "
-    "bounds lineage (probe-free fixed rounds, the x75 rule); output "
+    "at any degree); the max fold is an unpartitioned window OVER "
+    "the half-step's own aggregate — one flat action per half-step, "
+    "no broadcast-fold diamond (r15; the window's single partition "
+    "holds one row per node, bounded by the node set, never the "
+    "corpus) — and each SMALL renormed state is localCheckpointed "
+    "(probe-free fixed rounds, the x75 rule); output "
     "= top-10 per side via TakeOrderedAndProject, unique (score, "
     "key) order. Oracle = unrolled MATERIALIZED alternating chain; "
     "all integer end-to-end",
@@ -14033,20 +14055,47 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("c")
     )
 
-    def _renorm(raw_df, key):
-        s = raw_df.agg(
-            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
-        ).select(
-            "mx",
-            F.greatest(F.expr("mx div 1000000000000"), F.lit(1))
-            .cast("long")
-            .alias("g"),
-        )
-        return raw_df.crossJoin(F.broadcast(s)).select(
-            key,
-            F.expr("((raw div g) * 1000000) div greatest(mx div g, 1)")
-            .cast("long")
-            .alias("q"),
+    from pyspark.sql.window import Window as W
+
+    def _half(prev, join_key, out_key):
+        # ONE flat action per half-step: join + map-side-combinable sum,
+        # renormalized in place by an unpartitioned window over the
+        # half-step's own aggregate (max/g/q integer expressions are
+        # byte-identical to the r14 broadcast-fold form, so every score
+        # is the same integer). The r14 shape checkpointed the RAW
+        # aggregate and re-derived the renorm from it through a
+        # broadcast max-fold — a per-half-step diamond whose broadcast
+        # subquery cost extra AQE jobs; the window form has no second
+        # consumer at all. The window's single partition holds one row
+        # per node (bounded by the node SET, never the corpus — the
+        # frame any HITS renorm must materialize anyway); the
+        # checkpointed state is that same small frame.
+        return (
+            edges.join(prev.select(F.col("q").alias("pq"), join_key), join_key)
+            .groupBy(out_key)
+            .agg(F.sum("pq").cast("long").alias("raw"))
+            .select(
+                out_key,
+                "raw",
+                F.greatest(F.max("raw").over(W.partitionBy()), F.lit(1))
+                .cast("long")
+                .alias("mx"),
+            )
+            .select(
+                out_key,
+                "raw",
+                "mx",
+                F.greatest(F.expr("mx div 1000000000000"), F.lit(1))
+                .cast("long")
+                .alias("g"),
+            )
+            .select(
+                out_key,
+                F.expr("((raw div g) * 1000000) div greatest(mx div g, 1)")
+                .cast("long")
+                .alias("q"),
+            )
+            .localCheckpoint(eager=True)
         )
 
     h = edges.select("c").distinct().select(
@@ -14054,23 +14103,8 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(4):
-        # eager-checkpoint each RAW half-step aggregate: the renorm's
-        # broadcast max-fold and its main consumer would otherwise each
-        # re-evaluate the join+agg subtree, and the nesting compounds
-        # per round (first draft: 96 jobs / 10.8 s; checkpointed raw
-        # halves: the join+agg runs exactly once per half-step)
-        ar = (
-            edges.join(h.select("c", F.col("q").alias("hq")), "c")
-            .groupBy("p")
-            .agg(F.sum("hq").cast("long").alias("raw"))
-        ).localCheckpoint(eager=True)
-        a = _renorm(ar, "p")
-        hr = (
-            edges.join(a.select("p", F.col("q").alias("aq")), "p")
-            .groupBy("c")
-            .agg(F.sum("aq").cast("long").alias("raw"))
-        ).localCheckpoint(eager=True)
-        h = _renorm(hr, "c")
+        a = _half(h, "c", "p")
+        h = _half(a, "p", "c")
     tops = (
         a.orderBy(F.col("q").desc(), "p")
         .limit(10)
@@ -18009,8 +18043,9 @@ def _knn_round_sql(prev: str, rnd: int, k: int) -> str:
     "_bpe_chain_sql idiom); python replica re-runs the whole descent "
     "in numpy independently. Count-ratio recalls, window means over "
     "the 32-row probe frame. Scale: cell-blocked seeds, <= |V|*(2k "
-    "choose 2) wedge rows/round, id-keyed vector-attach joins — no "
-    "all-pairs scan anywhere",
+    "choose 2) wedge rows/round emitted map-side with both endpoint "
+    "vectors riding the collected neighborhood (r15: the attach joins "
+    "and candidate distinct fused away) — no all-pairs scan anywhere",
     ("embeddings", "similarity", "graph"),
 )
 def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:

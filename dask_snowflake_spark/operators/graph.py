@@ -172,6 +172,10 @@ def pagerank_integer(
     mass, so there are no dangling-mass corrections. Returns
     ``(vertex, pr_q)`` with ``pr_q`` in mass units.
     """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     from ..session import track_cache
 
     from pyspark.sql.window import Window as W
@@ -609,6 +613,10 @@ def label_propagation(
     id) the vertex holds after ``rounds`` updates. Self-loops dropped
     (a vertex voting for its own label distorts plurality).
     """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     from ..session import track_cache
 
     und = track_cache(
@@ -640,7 +648,10 @@ def label_propagation(
             )
             .select("__u", (-F.col("__m.__nl")).alias("__lbl"))
         )
-        if (i + 1) % checkpoint_interval == 0:
+        # last-round guard matches pagerank_integer: the final labels
+        # frame has no further lineage to truncate, so a checkpoint
+        # there is a pure materialization job
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select(
         F.col("__u").alias("vertex"), F.col("__lbl").alias("community")

@@ -37,8 +37,13 @@ selection read at all.
 Hot cells: a non-constant candidate cell whose pass-1 count exceeds
 ``max_cell_rows`` (many DISTINCT values packed inside one log-bucket,
 e.g. heavy mass in [1.0, 1.0443) at the default resolution) would
-window-sort in a single task — spillable, but serialized. Those cells
-take bounded refinement passes instead: their rows (only theirs) are
+window-sort in a single task — spillable, but serialized. The default
+(``hot_cells="raise"``) keeps that bound as a LOUD in-plan guard: the
+selection join's local-rank key raises (raise_error in the CONSUMED
+expression — the lsh_bands idiom; a guard in a dropped column would be
+pruned) naming the mitigation, and the common all-small plan pays no
+driver probe at all. ``hot_cells="refine"`` opts into bounded
+refinement passes instead: hot cells' rows (only theirs) are
 re-bucketed LINEARLY inside the cell's [min, max] span into R
 sub-cells sized from the cell count, the target rank is re-located in
 the sub-cell histogram, and only the landing sub-cell is rank-sorted.
@@ -50,9 +55,11 @@ levels (each level tightens the span strictly; 8 levels of >=256-way
 splits exhaust double precision for any realistic distribution). A
 cell still hot past the cap falls back to the spillable single-task
 window sort — exactness is never affected, only the bound claim, and
-only in that adversarial corner. The branch is gated on ``isEmpty``
-probes of the tiny cached candidates table, so the common all-small
-plan is unchanged. NaNs are not handled (filter them like nulls
+only in that adversarial corner. Refinement is gated on ``isEmpty``
+probes of the tiny cached candidates table — one driver action per
+call even when no cell is hot, which is why "raise" (probe-free) is
+the default and refinement is the opt-in for callers that expect hot
+cells. NaNs are not handled (filter them like nulls
 before calling); +/-infinities are fine — each infinity maps to its
 own extreme constant bucket (finite sub-octave indexes top out at
 |log2(DBL_MAX)|*S, far below the clamp), and the linear split guards
@@ -98,6 +105,7 @@ def exact_group_quantiles(
     *,
     buckets: int = 1024,
     max_cell_rows: int = 1_000_000,
+    hot_cells: str = "raise",
 ) -> DataFrame:
     """Exact ``quantile_cont`` per group for each probability.
 
@@ -106,9 +114,18 @@ def exact_group_quantiles(
     ignored (SQL aggregate semantics); a group with zero non-null
     values produces no row. ``buckets`` tunes histogram resolution
     (``buckets/16`` sub-buckets per octave). ``max_cell_rows`` bounds
-    the number of rows any single selection task may sort: candidate
-    cells larger than this take one extra linear-refinement pass (see
-    module docstring) so the bound holds even when a log-bucket is hot.
+    the number of rows any single selection task may sort; a candidate
+    cell over the bound is handled per ``hot_cells``:
+
+    - ``"raise"`` (default): the plan is probe-free — the bound is a
+      loud ``raise_error`` inside the selection join's consumed rank
+      expression. The error names both mitigations (raise the bound or
+      pass ``hot_cells="refine"``). Use when hot cells are a data bug,
+      not an expected shape.
+    - ``"refine"``: hot cells take bounded linear-refinement passes
+      (see module docstring) so the sort bound holds under arbitrary
+      skew — at the price of one ``isEmpty`` driver probe per call
+      (plus one per refinement level actually taken).
     """
     if not probs:
         raise ValueError("probs must name at least one quantile")
@@ -116,6 +133,8 @@ def exact_group_quantiles(
         raise ValueError(f"probs must be in [0, 1], got {probs}")
     if max_cell_rows < 1:
         raise ValueError(f"max_cell_rows must be >= 1, got {max_cell_rows}")
+    if hot_cells not in ("raise", "refine"):
+        raise ValueError(f"hot_cells must be 'raise' or 'refine', got {hot_cells!r}")
     sub_octave = max(1, buckets // 16)
     g = [F.col(c) for c in group_cols]
 
@@ -214,14 +233,39 @@ def exact_group_quantiles(
     const_picks = cand.filter(F.col("__bmin") == F.col("__bmax")).select(
         *group_cols, "__pi", "__frac", "__role", F.col("__bmin").alias("__v")
     )
-    var_cand = cand.filter(
-        (F.col("__bmin") != F.col("__bmax")) & (F.col("__c") <= max_cell_rows)
-    ).select(
-        *group_cols, "__pi", "__frac", "__role", "__b", F.col("__lr").cast("int").alias("__lr")
-    )
-    hot_cand = cand.filter(
-        (F.col("__bmin") != F.col("__bmax")) & (F.col("__c") > max_cell_rows)
-    )
+    if hot_cells == "raise":
+        # probe-free default: every non-constant candidate goes to the
+        # selection join, whose CONSUMED local-rank key raises on a hot
+        # cell (a guard in its own dropped column would be pruned by
+        # Catalyst and never evaluate — the lsh_bands idiom)
+        lr_guarded = (
+            F.when(F.col("__c") <= max_cell_rows, F.col("__lr"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "exact_group_quantiles: a candidate cell holds %s rows, "
+                        f"over max_cell_rows={max_cell_rows} — a single selection "
+                        "task would sort it serialized. Raise max_cell_rows, or "
+                        "pass hot_cells='refine' for bounded refinement passes",
+                        F.col("__c"),
+                    )
+                )
+            )
+            .cast("int")
+        )
+        var_cand = cand.filter(F.col("__bmin") != F.col("__bmax")).select(
+            *group_cols, "__pi", "__frac", "__role", "__b", lr_guarded.alias("__lr")
+        )
+        hot_cand = None
+    else:
+        var_cand = cand.filter(
+            (F.col("__bmin") != F.col("__bmax")) & (F.col("__c") <= max_cell_rows)
+        ).select(
+            *group_cols, "__pi", "__frac", "__role", "__b", F.col("__lr").cast("int").alias("__lr")
+        )
+        hot_cand = cand.filter(
+            (F.col("__bmin") != F.col("__bmax")) & (F.col("__c") > max_cell_rows)
+        )
 
     # Pass 2: re-read ONLY non-constant candidate cells; a row_number
     # window sorted within the cell assigns local ranks (external-sort
@@ -235,11 +279,11 @@ def exact_group_quantiles(
         *group_cols, "__pi", "__frac", "__role", "__v"
     )
 
-    # Hot cells (count > max_cell_rows): one extra bounded refinement
-    # pass instead of a single-task sort. The gate is an isEmpty probe
-    # of the tiny cached candidates table (G×P×2 rows, never the data),
-    # so the common all-small plan gains no stages.
-    if not hot_cand.isEmpty():
+    # Hot cells (count > max_cell_rows) under hot_cells="refine": one
+    # extra bounded refinement pass instead of a single-task sort. The
+    # gate is an isEmpty probe of the tiny cached candidates table
+    # (G×P×2 rows, never the data).
+    if hot_cand is not None and not hot_cand.isEmpty():
         var_picks = var_picks.unionByName(
             _refined_hot_picks(vals, group_cols, hot_cand, max_cell_rows)
         )

@@ -1076,9 +1076,11 @@ def knn_graph_descent(
 
     Scale shape: one corpus scan quantizes vectors; seed pairs are
     cell-blocked (never all-pairs); each round's candidate volume is
-    <= |V| * (2k choose 2) wedge rows; the vector-attach joins are
-    id-keyed shuffles (broadcast at fixture scale, linear at 100 TB);
-    ranking windows partition by u. No collects, no python floats."""
+    <= |V| * (2k choose 2) wedge rows, emitted map-side with both
+    endpoint vectors riding the collected neighborhood array (the one
+    vector-attach join lands on the 2k-capped neighbor rows, never the
+    wedge rows); ranking windows partition by u. No collects, no
+    python floats."""
     vq = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(cell_col).alias("cell"),
@@ -1095,16 +1097,6 @@ def knn_graph_descent(
             .filter(F.col("__rk") <= k)
             .select("u", "w", "d2")
         )
-
-    def attach_and_score(pairs: DataFrame) -> DataFrame:
-        withv = (
-            pairs.join(
-                vecs.select(F.col("id").alias("u"), F.col("v").alias("va")), "u"
-            )
-            .join(vecs.select(F.col("id").alias("w"), F.col("v").alias("vb")), "w")
-            .select("u", "w", "va", "vb")
-        )
-        return _pairs_exact_d2(withv)
 
     # Seed: per-cell top-k via the grouped BLAS kernel. top-k over
     # (per-u cell top-k UNION bridges) == top-k over (all cell pairs
@@ -1166,11 +1158,25 @@ def knn_graph_descent(
             .agg(F.min("d2").alias("d2"))
         )
         wb = W.partitionBy("c").orderBy(F.col("d2").asc(), F.col("x").asc())
+        # Fused candidate+attach (r15, the r14 verdict's named lever):
+        # each kept neighbor's VECTOR rides the per-c collected array, so
+        # the wedge explode emits (u, w, va, vb) ready for the distance
+        # kernel — the per-round candidate `distinct` exchange and both
+        # id-keyed vector-attach joins disappear. The vector join lands
+        # on the 2k-capped nbhd rows (2k*|V|, never the wedge rows), the
+        # collect_list rides the window's own c-partitioning
+        # (exchange-free), and dedup happens AFTER scoring in the final
+        # (u, w) min-groupBy the round already pays. The r13 "distinct
+        # is load-bearing" measurement was taken with the attach JOINS
+        # still downstream of the explode (dup wedge rows shuffled
+        # through two joins); with no joins left, the ~3x wedge dup
+        # factor only widens the map-side Arrow batch, not an exchange.
         nbhd = (
             und.withColumn("__rk", F.row_number().over(wb))
             .filter(F.col("__rk") <= 2 * k)
+            .join(vecs.select(F.col("id").alias("x"), F.col("v").alias("vx")), "x")
             .groupBy("c")
-            .agg(F.sort_array(F.collect_list("x")).alias("nb"))
+            .agg(F.sort_array(F.collect_list(F.struct("x", "vx"))).alias("nb"))
         )
         pair_arr = F.flatten(
             F.transform(
@@ -1181,16 +1187,13 @@ def knn_graph_descent(
                 ),
             )
         )
-        # candidates ARE deduped here: dropping this distinct was
-        # measured SLOWER (wedge dup factor ~3x flows through the two
-        # attach joins and the Arrow kernel — 7.3 s -> 10 s at sf0.1
-        # for one less exchange); the distinct is load-bearing
-        cand = (
-            nbhd.select(F.explode(pair_arr).alias("p"))
-            .select(F.col("p")[0].alias("u"), F.col("p")[1].alias("w"))
-            .distinct()
+        cand = nbhd.select(F.explode(pair_arr).alias("p")).select(
+            F.col("p")[0]["x"].alias("u"),
+            F.col("p")[1]["x"].alias("w"),
+            F.col("p")[0]["vx"].alias("va"),
+            F.col("p")[1]["vx"].alias("vb"),
         )
-        scored = attach_and_score(cand)
+        scored = _pairs_exact_d2(cand)
         both = scored.unionByName(
             scored.select(F.col("w").alias("u"), F.col("u").alias("w"), "d2")
         )

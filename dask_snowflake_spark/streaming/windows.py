@@ -66,6 +66,26 @@ def _stream_session(spark: SparkSession) -> SparkSession:
         width = clone.conf.get("spark.sql.shuffle.partitions")
         if width.isdigit() and cap.isdigit() and int(width) > int(cap):
             clone.conf.set("spark.sql.shuffle.partitions", cap)
+        # State-store provider is env-selectable. Long-lived production
+        # streams want RocksDB (state spills off-heap/to disk instead of
+        # living in executor heap — the right 100 TB posture for
+        # stream-stream joins whose state outgrows memory); the bounded
+        # local smoke runs keep the in-heap default, which measured
+        # FASTER here (RocksDB pays native store setup per partition per
+        # operator, the dominant cost of a seconds-long bounded run —
+        # same class as the width clamp above). Set
+        # SPARK_GRAFT_STREAM_STATE_PROVIDER=rocksdb (or a full class
+        # name) to flip every stream in the session.
+        provider = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER", "")
+        if provider:
+            if provider.lower() == "rocksdb":
+                provider = (
+                    "org.apache.spark.sql.execution.streaming."
+                    "state.RocksDBStateStoreProvider"
+                )
+            clone.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
         _STREAM_CLONES[spark] = clone
     return clone
 

@@ -111,3 +111,68 @@ def test_job_deltas_is_the_single_comparison():
         "b": [7, 9],
         "c": [1, None],
     }
+
+
+def _headline_base():
+    return {
+        "metric": "total_query_sec",
+        "value": 319.3,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": 259,
+        "n_passes": 3,
+        "value_median": 355.7,
+        "spread_total_sec": 111.66,
+        "calib_sec": 0.924,
+        "host_factor": 0.884,
+        "value_host_normalized": 361.2,
+        "detail": "BENCH_QUERIES.json",
+        "plan_stable": True,
+    }
+
+
+def _registry_sized_maps(n=259):
+    # realistic name lengths (~19 chars average in the real registry)
+    timings = {f"q{i:03d}_{'x' * 14}": round(0.3 + (i % 40) / 7.0, 2) for i in range(n)}
+    jobs = {k: 3 + (i % 30) for i, k in enumerate(timings)}
+    return timings, jobs
+
+
+def test_headline_carries_per_query_topk_and_fits_tail_capture():
+    timings, jobs = _registry_sized_maps()
+    line = bench.headline_line(_headline_base(), timings, jobs)
+    assert len(line) <= bench.TAIL_BUDGET  # driver tail capture is 2000
+    parsed = json.loads(line)
+    # every existing headline key survives (additive contract)
+    for k in _headline_base():
+        assert k in parsed
+    # per-query maps present, ordered most-expensive-first, jobs aligned
+    qs = parsed["queries"]
+    assert qs and set(qs) <= set(timings)
+    costs = list(qs.values())
+    assert costs == sorted(costs, reverse=True)
+    assert set(parsed["jobs"]) == set(qs)
+    # the included entries are exactly the global top-|qs| by cost
+    by_cost = sorted(timings, key=lambda n: (-timings[n], n))
+    assert list(qs) == by_cost[: len(qs)]
+
+
+def test_headline_survives_pathological_job_deltas():
+    timings, jobs = _registry_sized_maps()
+    h = _headline_base()
+    h["plan_stable"] = False
+    h["job_deltas"] = {f"q{i:03d}_{'y' * 20}": [3, 4] for i in range(200)}
+    line = bench.headline_line(h, timings, jobs)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["job_deltas"] == {"n_deltas": 200}  # summarized, still parses
+    assert parsed["queries"]  # maps still present after summarizing
+
+
+def test_headline_keeps_small_job_deltas_verbatim():
+    timings, jobs = _registry_sized_maps()
+    h = _headline_base()
+    h["plan_stable"] = False
+    h["job_deltas"] = {"hits_bipartite": [48, 24]}
+    parsed = json.loads(bench.headline_line(h, timings, jobs))
+    assert parsed["job_deltas"] == {"hits_bipartite": [48, 24]}

@@ -581,6 +581,23 @@ def test_lpa_checkpoint_interval_is_value_invariant(spark) -> None:
     )
 
 
+def test_checkpoint_interval_validated(spark) -> None:
+    # r14 ADVICE: checkpoint_interval=0 raised ZeroDivisionError from
+    # the modulo on both public loop surfaces; both now validate loudly.
+    import pytest
+
+    from dask_snowflake_spark.operators.graph import (
+        label_propagation,
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "s long, d long")
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        pagerank_integer(edges, "s", "d", checkpoint_interval=0)
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        label_propagation(edges, "s", "d", checkpoint_interval=-1)
+
+
 def test_link_prediction_matches_naive_python(spark) -> None:
     """xdx's in-array wedge scoring vs a from-scratch python replay of
     the whole pipeline (co-purchase graph build, hub cap, CN counts,

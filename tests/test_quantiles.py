@@ -136,7 +136,7 @@ def test_hot_cell_adaptive_resplit_is_exact(spark) -> None:
     got = {
         r.g: list(r.quantiles)
         for r in exact_group_quantiles(
-            df, ["g"], "v", probs, buckets=1024, max_cell_rows=50
+            df, ["g"], "v", probs, buckets=1024, max_cell_rows=50, hot_cells="refine"
         ).collect()
     }
     exp = {
@@ -212,7 +212,9 @@ def test_hot_cell_resplit_property(spark) -> None:
     probs = [0.01, 0.25, 0.5, 0.75, 0.99]
     got = {
         r.g: list(r.quantiles)
-        for r in exact_group_quantiles(df, ["g"], "v", probs, max_cell_rows=64).collect()
+        for r in exact_group_quantiles(
+            df, ["g"], "v", probs, max_cell_rows=64, hot_cells="refine"
+        ).collect()
     }
     exp = {
         r.g: list(r.p)
@@ -254,7 +256,7 @@ def test_hot_cell_resplit_iterates_on_concentrated_mass(spark) -> None:
     got = {
         r.g: list(r.quantiles)
         for r in exact_group_quantiles(
-            df, ["g"], "v", probs, buckets=64, max_cell_rows=50
+            df, ["g"], "v", probs, buckets=64, max_cell_rows=50, hot_cells="refine"
         ).collect()
     }
     exp = {
@@ -319,6 +321,45 @@ def test_infinities_match_spark_percentile(spark) -> None:
     rows = [("g", float(i)) for i in range(10)] + [("g", inf), ("g", -inf)]
     df = spark.createDataFrame(rows, ["g", "v"]).repartition(4)
     probs = [0.0, 0.5, 1.0]
-    for kwargs in ({}, {"max_cell_rows": 2}):
+    for kwargs in ({}, {"max_cell_rows": 2, "hot_cells": "refine"}):
         got = exact_group_quantiles(df, ["g"], "v", probs, **kwargs).collect()[0].quantiles
         assert list(got) == [-inf, 4.5, inf], (kwargs, list(got))
+
+
+def test_default_raise_mode_is_loud_on_hot_cell(spark) -> None:
+    """r15: the default plan is probe-free — a cell over max_cell_rows
+    must RAISE with the mitigations named (not silently serialize, not
+    silently refine), from the guard inside the consumed rank key."""
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [("g", 1.0 + i * 1e-5) for i in range(200)] + [("g", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    q = exact_group_quantiles(df, ["g"], "v", [0.5], max_cell_rows=50)
+    with pytest.raises(SparkRuntimeException) as ei:
+        q.collect()
+    msg = str(ei.value)
+    assert "max_cell_rows" in msg and "hot_cells='refine'" in msg
+
+
+def test_raise_mode_matches_refine_mode_when_no_hot_cell(spark) -> None:
+    """Both modes compute identical quantiles whenever no cell is hot —
+    the only difference is the plan (probe vs consumed guard)."""
+    rows = [("g", float(i)) for i in range(300)] + [("h", 2.0), ("h", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    probs = [0.1, 0.5, 0.9]
+    got = {
+        mode: {
+            r.g: list(r.quantiles)
+            for r in exact_group_quantiles(
+                df, ["g"], "v", probs, hot_cells=mode
+            ).collect()
+        }
+        for mode in ("raise", "refine")
+    }
+    assert got["raise"] == got["refine"]
+
+
+def test_hot_cells_mode_validated(spark) -> None:
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError, match="hot_cells"):
+        exact_group_quantiles(df, ["g"], "v", [0.5], hot_cells="auto")

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Dump ``explain("formatted")`` for registry queries to
-``plans/r14/<name>_<suffix>.txt`` — the judge-facing before/after plan
-evidence for the optimization round.
+``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt`` — the
+judge-facing before/after plan evidence for the optimization round.
 
 Usage: python tools/capture_plan.py SUFFIX name [name ...]
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_PLANS_ROUND (default r15)
 """
 
 from __future__ import annotations
@@ -33,7 +34,9 @@ def main() -> None:
     spark = get_session("dask_snowflake_spark-capture-plan")
     register_tables(spark, sf_dir)
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
