@@ -9204,6 +9204,40 @@ def xcv_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _copurchase_support2_edges(t: dict) -> DataFrame:
+    """Support-2 co-purchase part edges (u < v) by in-array i<j pair
+    enumeration over per-order sorted distinct part arrays (the
+    apriori/basket_affinity r14 rewrite, shared here r15 by the kcore /
+    LPA / link-prediction graph queries): baskets are schema-bounded
+    (<= 7 lines/order), so pair instances explode map-side and the
+    order-keyed self-join — measured 4.9 s of kcore's 8 s at sf0.1 —
+    never exists. sort_array + i<j keeps u < v; support counting is
+    unchanged (one pair instance per order containing both parts)."""
+    its = F.col("__its")
+    pair_arr = F.flatten(
+        F.transform(
+            its,
+            lambda x, i: F.transform(
+                F.slice(its, i + F.lit(2), F.size(its)),
+                lambda y: F.array(x, y),
+            ),
+        )
+    )
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("__its"))
+        .select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p")[0].alias("u"), F.col("__p")[1].alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n_ab"))
+        .filter(F.col("__n_ab") >= 2)
+        .select("u", "v")
+    )
+
+
 def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
     """Unrolled bounded-peel oracle for ``graph_kcore_onion``: alive sets
     alive0..alive{rounds}, each round keeping vertices whose degree
@@ -9284,36 +9318,7 @@ def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import kcore_onion
 
     t = _t(spark, sf_dir)
-    # in-array pair enumeration (the apriori/basket_affinity r14
-    # rewrite, applied here r15): per-order sorted distinct part arrays
-    # are bounded (<= 7 lines/order in the schema), so co-purchase pair
-    # instances explode map-side and the order-keyed self-join — 4.9 s
-    # of the query's 8 s at sf0.1, measured — disappears. sort_array +
-    # i<j keeps u < v; support counting is unchanged (one pair instance
-    # per order that contains both parts).
-    its = F.col("__its")
-    pair_arr = F.flatten(
-        F.transform(
-            its,
-            lambda x, i: F.transform(
-                F.slice(its, i + F.lit(2), F.size(its)),
-                lambda y: F.array(x, y),
-            ),
-        )
-    )
-    edges = (
-        t["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("__its"))
-        .select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p")[0].alias("u"), F.col("__p")[1].alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("__n_ab"))
-        .filter(F.col("__n_ab") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_support2_edges(t)
     return (
         kcore_onion(edges, "u", "v", k=2, max_rounds=8)
         .select(F.col("vertex").cast("long").alias("part_key"), "layer")
@@ -11845,17 +11850,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     t = _t(spark, sf_dir)
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "__bk")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("__n_ab"))
-        .filter(F.col("__n_ab") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_support2_edges(t)
     return (
         label_propagation(edges, "u", "v", rounds=4)
         .groupBy(F.col("community").cast("long").alias("community"))
@@ -11934,17 +11929,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def xdx_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "__bk")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("__n_ab"))
-        .filter(F.col("__n_ab") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_support2_edges(t)
     from pyspark.sql.window import Window as W
 
     from .operators.graph import _both_directions
@@ -14043,6 +14028,11 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import track_cache
 
     t = _t(spark, sf_dir)
+    # ONE exchange builds the cached edge list: hash-partitioning by c
+    # colocates every (c, p) duplicate, so the dedup aggregate rides the
+    # repartition('c') exchange instead of adding its own (c, p)
+    # exchange followed by a second c-keyed one (r15: distinct() +
+    # repartition('c') was two full shuffles of the edge list)
     edges = track_cache(
         t["orders"]
         .select("o_orderkey", "o_custkey")
@@ -14051,8 +14041,8 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
         .repartition("c")
+        .dropDuplicates(["c", "p"])
     )
 
     from pyspark.sql.window import Window as W
